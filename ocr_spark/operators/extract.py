@@ -1,0 +1,385 @@
+"""The flagship extraction operator: documents(spans, meta) → extracted
+spans + assembled text + word index, one row per document, ZERO shuffle.
+
+Spark-first design (SURVEY.md §7):
+
+* one row = one document, so every per-document kernel (classification,
+  reading-order reconstruction, empty-word filtering, text assembly,
+  dehyphenation, word index) runs inside a single ``mapInArrow`` pass —
+  a narrow transformation: no shuffle at any data size, perfect linear
+  scaling with executors.  The only shuffles in the whole engine are the
+  cross-document aggregations (see operators/vocab.py), which are salted.
+* the kernel is Arrow-vectorized: list offsets + flattened child arrays are
+  processed with numpy/pandas column ops (lexsort, masks, shift-based
+  dehyphenation) — never per-row Python.  This is the batching moral of the
+  reference's tesserocr path (one engine init per image, many rectangles —
+  server/src/engines/ocr_tesserocr.py:102-124) applied to Arrow batches.
+
+Reference semantics implemented (citations into /root/reference/):
+
+* classify text/image/remove boxes     — server/celery_app.py:1048-1055
+* boilerplate (remove) drop            — server/celery_app.py:1086-1092
+* media_ref emission                   — server/celery_app.py:1062-1081
+* ocr_image → text path                — server/celery_app.py:1137-1159
+* empty-word filter                    — server/src/utils/parse_hocr.py:67-69
+* reading order page→segment→para→line→word
+                                       — server/celery_app.py:156-161,
+                                         server/src/utils/parse_hocr.py:47-102
+* confidence filtering surface (off by default, thresholds 75/85 are
+  display constants)                   — website .../EditingMenu.js:76-88
+* text assembly + page delimiters      — server/src/utils/file.py:586-596,
+                                         server/src/utils/export.py:182-185
+* dehyphenation + word index           — server/src/utils/export.py:492-530
+* word count                           — server/src/utils/file.py:536-549
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PUNCT_CHARS = "«»“”.,;:!?()[]{}\"'"
+_PUNCT_TABLE = str.maketrans("", "", PUNCT_CHARS)
+
+_SPAN_T = pa.struct(
+    [("kind", pa.string()), ("text", pa.string()),
+     ("media_ref", pa.string()), ("offset", pa.int32())]
+)
+_WIX_T = pa.struct(
+    [("word", pa.string()), ("cnt", pa.int64()), ("pages", pa.list_(pa.int32()))]
+)
+_OUT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("spans", pa.list_(_SPAN_T)),
+        ("doc_text", pa.string()),
+        ("doc_text_delim", pa.string()),
+        ("n_words", pa.int64()),
+        ("word_index", pa.list_(_WIX_T)),
+    ]
+)
+
+OUT_DDL = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "doc_text string, doc_text_delim string, n_words bigint, "
+    "word_index array<struct<word:string,cnt:bigint,pages:array<int>>>"
+)
+
+
+def _list_bounds(col: pa.Array) -> tuple[np.ndarray, pa.Array]:
+    """(per-doc start offsets incl. end, flattened values) for a ListArray."""
+    import pyarrow.compute as pc
+
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+    bounds = np.concatenate(([0], np.cumsum(lens)))
+    return bounds, col.flatten()
+
+
+def _segmented_rank(docix_sorted: np.ndarray) -> np.ndarray:
+    """Dense 0-based rank within each doc for rows already doc-major sorted."""
+    n = len(docix_sorted)
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    first = np.zeros(n, dtype=bool)
+    first[0] = True
+    first[1:] = docix_sorted[1:] != docix_sorted[:-1]
+    starts = np.maximum.accumulate(np.where(first, np.arange(n), -1))
+    return (np.arange(n) - starts).astype(np.int32)
+
+
+def _extract_batch(
+    batch: pa.RecordBatch,
+    order_by: str,
+    conf_min: int | None,
+    with_word_index: bool,
+) -> pa.RecordBatch:
+    n_docs = batch.num_rows
+    doc_ids = batch.column("doc_id")
+    spans_col = pa.array(batch.column("spans"))
+    meta_col = pa.array(batch.column("meta"))
+
+    bounds, flat_spans = _list_bounds(spans_col)
+    _, flat_meta = _list_bounds(meta_col)
+    total = len(flat_spans)
+    docix = np.repeat(np.arange(n_docs), np.diff(bounds))
+
+    kind = flat_spans.field("kind").to_numpy(zero_copy_only=False)
+    text = pd.Series(flat_spans.field("text").to_numpy(zero_copy_only=False))
+    media = flat_spans.field("media_ref").to_numpy(zero_copy_only=False)
+    offset = flat_spans.field("offset").to_numpy(zero_copy_only=False)
+    page = flat_meta.field("page_no").to_numpy(zero_copy_only=False)
+    seg = flat_meta.field("segment_pos").to_numpy(zero_copy_only=False)
+    para = flat_meta.field("para_pos").to_numpy(zero_copy_only=False)
+    line = flat_meta.field("line_pos").to_numpy(zero_copy_only=False)
+    wpos = flat_meta.field("word_pos").to_numpy(zero_copy_only=False)
+    conf = flat_meta.field("confidence").to_numpy(zero_copy_only=False)
+
+    # ---- reading order (O1-O5 composite; SURVEY.md §2.4) -------------------
+    if order_by == "meta":
+        order = np.lexsort((offset, wpos, line, para, seg, page, docix))
+    else:
+        order = np.lexsort((offset, docix))
+
+    # ---- classification + filters (P2, P6, P9, G9, G10) --------------------
+    textish = (kind == "text") | (kind == "ocr_image")
+    nonempty = np.zeros(total, dtype=bool)
+    has_txt = text.notna().to_numpy()
+    if has_txt.any():
+        nonempty[has_txt] = (
+            text[has_txt].str.strip().str.len() > 0
+        ).to_numpy()
+    keep = np.where(
+        textish,
+        nonempty if conf_min is None else nonempty & (conf >= conf_min),
+        kind == "media_ref",
+    )
+
+    o = order[keep[order]]  # kept spans in reading order
+    d_o = docix[o]
+    rank = _segmented_rank(d_o)
+
+    # rebuilt contract spans
+    out_kind = np.where(textish[o], "text", "media_ref").astype(object)
+    out_text = np.where(textish[o], text.to_numpy()[o], None)
+    out_media = np.where(textish[o], None, media[o])
+    kept_per_doc = np.bincount(d_o, minlength=n_docs)
+    span_offsets = pa.array(
+        np.concatenate(([0], np.cumsum(kept_per_doc))), type=pa.int32()
+    )
+    spans_out = pa.ListArray.from_arrays(
+        span_offsets,
+        pa.StructArray.from_arrays(
+            [
+                pa.array(out_kind, type=pa.string()),
+                pa.array(out_text, type=pa.string()),
+                pa.array(out_media, type=pa.string()),
+                pa.array(rank, type=pa.int32()),
+            ],
+            names=["kind", "text", "media_ref", "offset"],
+        ),
+    )
+
+    # ---- per-doc page universe (page files exist for every page) -----------
+    n_pages = np.zeros(n_docs, dtype=np.int64)
+    if total:
+        np.maximum.at(n_pages, docix, page)
+
+    # ---- text rows (kept text-path spans, reading order) -------------------
+    t_sel = o[textish[o]]
+    tdf = pd.DataFrame(
+        {
+            "d": docix[t_sel],
+            "p": page[t_sel],
+            "s": seg[t_sel],
+            "pa": para[t_sel],
+            "l": line[t_sel],
+            "txt": text.to_numpy()[t_sel],
+        }
+    )
+    n_words = np.bincount(docix[t_sel], minlength=n_docs).astype(np.int64)
+
+    # ---- assembly (F1/F2): line ' ' → para '\n' → page '\n\n' + strip ------
+    doc_text = np.empty(n_docs, dtype=object)
+    doc_text_delim = np.empty(n_docs, dtype=object)
+    if len(tdf):
+        lines = (
+            tdf.groupby(["d", "p", "s", "pa", "l"], sort=False)["txt"]
+            .agg(" ".join)
+            .reset_index()
+        )
+        paras = (
+            lines.groupby(["d", "p", "s", "pa"], sort=False)["txt"]
+            .agg("\n".join)
+            .reset_index()
+        )
+        pgs = (
+            paras.groupby(["d", "p"], sort=False)["txt"]
+            .agg("\n\n".join)
+            .reset_index()
+        )
+        page_text = {
+            (int(r.d), int(r.p)): r.txt.strip() for r in pgs.itertuples()
+        }
+    else:
+        page_text = {}
+    for i in range(n_docs):
+        plain, delim = [], []
+        for p in range(1, int(n_pages[i]) + 1):
+            pt = page_text.get((i, p), "")
+            delim.append(f"----- PAGE {p:04d} -----\n\n")
+            plain.append(pt + "\n\n")
+            delim.append(pt + "\n\n")
+        doc_text[i] = "".join(plain)
+        doc_text_delim[i] = "".join(delim)
+
+    # ---- word index (A1): dehyphenate → normalize → count ------------------
+    if with_word_index:
+        wix = _word_index(tdf, n_docs)
+    else:
+        wix = pa.ListArray.from_arrays(
+            pa.array(np.zeros(n_docs + 1), type=pa.int32()),
+            pa.array([], type=_WIX_T),
+        )
+
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(doc_ids.to_numpy(zero_copy_only=False), type=pa.string()),
+            spans_out,
+            pa.array(doc_text, type=pa.string()),
+            pa.array(doc_text_delim, type=pa.string()),
+            pa.array(n_words, type=pa.int64()),
+            wix,
+        ],
+        schema=_OUT_SCHEMA,
+    )
+
+
+def _word_index(tdf: pd.DataFrame, n_docs: int) -> pa.ListArray:
+    """Vectorized find_index_words (export.py:492-530) over all docs at once.
+
+    Dehyphenation: a line-final word ending '-' merges into the immediately
+    following word on the same (doc, page); the orphaned prefix's count is
+    removed (export.py:498-519 on the fixtures' domain where the raw-key
+    decrement at export.py:510-513 always applies).  Cascades (merged word
+    again hyphen-final) are looped until fixpoint.
+    """
+    if not len(tdf):
+        return pa.ListArray.from_arrays(
+            pa.array(np.zeros(n_docs + 1), type=pa.int32()),
+            pa.array([], type=_WIX_T),
+        )
+    d = tdf["d"].to_numpy()
+    p = tdf["p"].to_numpy()
+    txt = tdf["txt"].astype(object).copy()
+    n = len(tdf)
+
+    # line-final = last row of its (d,p,s,pa,l) group
+    keys = tdf[["d", "p", "s", "pa", "l"]].to_numpy()
+    line_final = np.ones(n, dtype=bool)
+    line_final[:-1] = (keys[1:] != keys[:-1]).any(axis=1)
+    same_page_next = np.zeros(n, dtype=bool)
+    same_page_next[:-1] = (d[1:] == d[:-1]) & (p[1:] == p[:-1])
+
+    drop = np.zeros(n, dtype=bool)
+    while True:
+        ends = txt.str.endswith("-").to_numpy(dtype=bool, na_value=False)
+        m = ends & line_final & same_page_next & ~drop
+        # never merge into a row already consumed
+        tgt_ok = np.zeros(n, dtype=bool)
+        tgt_ok[:-1] = ~drop[1:]
+        m &= tgt_ok
+        # avoid chain races within one pass: skip a merge whose target is
+        # itself a pending merge source (handled next iteration)
+        src_next = np.zeros(n, dtype=bool)
+        src_next[:-1] = m[1:]
+        m_now = m & ~src_next
+        if not m_now.any():
+            break
+        src = np.flatnonzero(m_now)
+        tv = txt.to_numpy()
+        merged = [tv[i].rstrip("-") + tv[i + 1] for i in src]
+        txt.iloc[src + 1] = merged
+        drop[src] = True
+        # merged target inherits line-final status it already has
+
+    alive = ~drop
+    wdf = pd.DataFrame({"d": d[alive], "p": p[alive], "txt": txt[alive]})
+    toks = wdf["txt"].str.split().explode()
+    wdf = wdf.loc[toks.index]
+    norm = toks.str.strip().str.translate(_PUNCT_TABLE).str.lower()
+    cnt = (
+        pd.DataFrame({"d": wdf["d"].to_numpy(), "p": wdf["p"].to_numpy(),
+                      "w": norm.to_numpy()})
+        .groupby(["d", "w", "p"], sort=True)
+        .size()
+        .reset_index(name="c")
+    )
+    per_word = (
+        cnt.groupby(["d", "w"], sort=True)
+        .agg(cnt=("c", "sum"), pages=("p", list))
+        .reset_index()
+    )
+    # reference sort key: lower(word) + word (export.py:217-220)
+    per_word["k"] = per_word["w"].str.lower() + per_word["w"]
+    per_word = per_word.sort_values(["d", "k"], kind="stable")
+
+    rows_per_doc = np.bincount(per_word["d"].to_numpy(), minlength=n_docs)
+    offsets = pa.array(np.concatenate(([0], np.cumsum(rows_per_doc))),
+                       type=pa.int32())
+    pages_list = per_word["pages"].tolist()
+    flat_pages = pa.array(
+        [pg for lst in pages_list for pg in lst], type=pa.int32()
+    )
+    page_offs = pa.array(
+        np.concatenate(([0], np.cumsum([len(x) for x in pages_list]))),
+        type=pa.int32(),
+    )
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(per_word["w"].to_numpy(), type=pa.string()),
+            pa.array(per_word["cnt"].to_numpy(), type=pa.int64()),
+            pa.ListArray.from_arrays(page_offs, flat_pages),
+        ],
+        names=["word", "cnt", "pages"],
+    )
+    return pa.ListArray.from_arrays(offsets, struct)
+
+
+def extract_documents(
+    df: DataFrame,
+    order_by: str = "offset",
+    conf_min: int | None = None,
+    with_word_index: bool = True,
+) -> DataFrame:
+    """Run the full extraction kernel.  Input: doc_id, spans, meta.
+
+    ``order_by='offset'`` trusts the input offsets; ``'meta'`` reconstructs
+    reading order from the sidecar layout keys (O1-O5).  ``conf_min`` enables
+    the word-confidence filter (P6; reference display thresholds are 75/85,
+    the server default is no filtering).
+    """
+
+    def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            yield _extract_batch(b, order_by, conf_min, with_word_index)
+
+    return df.mapInArrow(fn, OUT_DDL)
+
+
+def extract_spans_expr(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Contract-only extraction (no meta sidecar) as pure Catalyst
+    expressions — whole-stage-codegen'd, zero Python.  Semantics: order by
+    input offset, drop boilerplate and empty text spans, ocr_image → text,
+    dense re-rank.  Used when the input carries trusted offsets."""
+    ordered = F.array_sort(
+        F.expr(
+            f"filter({spans_col}, s -> s.kind != 'boilerplate' AND "
+            "(s.kind = 'media_ref' OR (s.text IS NOT NULL AND "
+            "length(trim(s.text)) > 0)))"
+        ),
+        lambda a, b: F.when(a["offset"] < b["offset"], F.lit(-1))
+        .when(a["offset"] > b["offset"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    rebuilt = F.transform(
+        ordered,
+        lambda s, i: F.struct(
+            F.when(s["kind"] == "media_ref", s["kind"])
+            .otherwise(F.lit("text"))
+            .alias("kind"),
+            F.when(s["kind"] == "media_ref", F.lit(None).cast("string"))
+            .otherwise(s["text"])
+            .alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return df.withColumn("spans", rebuilt)

@@ -1,0 +1,71 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Design notes for the 1000-executor / 100 TB target (SURVEY.md §4):
+
+* AQE on, with skew-join splitting and partition coalescing — mega-documents
+  (the 0.1% skew tail, FIXTURES.md §1) produce skewed shuffle partitions that
+  AQE re-splits at runtime.
+* Arrow batches capped (``maxRecordsPerBatch``) because one row = one
+  document and documents are fat (a mega-doc row holds up to 200k spans);
+  unbounded batches would blow executor memory in the Python worker.
+* ``spark.sql.shuffle.partitions`` is a *local* default; on a real cluster
+  AQE coalescing makes the initial number mostly irrelevant as long as it is
+  high enough (set ≥ 2–3× total cores there).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Cap on rows per Arrow batch handed to Python kernels.  Documents are fat
+# rows (avg ~45 spans, mega-docs up to 200k spans); 512 docs/batch keeps the
+# worst-case batch under ~100 MB while still amortizing kernel setup
+# (the batching moral of reference server/src/engines/ocr_tesserocr.py:102-124:
+# one engine init per batch, many items per init).
+ARROW_MAX_RECORDS_PER_BATCH = 512
+
+
+def get_spark(
+    app_name: str = "ocr-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
+    the same entry points serve tests, the driver harness, and bench runs at
+    two parallelism levels (the N vs 4N scaling protocol in BASELINE.md).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: match core count so one shuffle wave, no tiny tasks
+        n = master.split("[")[-1].rstrip("]")
+        shuffle_partitions = 32 if n in ("*", "") else max(int(n), 8)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        # documents parquet row groups are large; default 128m maxPartitionBytes
+        # is right for the scan side — leave it, but make small local files
+        # still parallelize:
+        .config("spark.sql.files.openCostInBytes", "1048576")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
