@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Two modes:
+
+* default — headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+  /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32), plus
+  the north-metric end-to-end contract-table extraction throughput
+  (documents/sec) on the seeded generator table (FIXTURES.md §1 shape).
+* ``--scaling`` — the BASELINE.json two-cluster-size protocol: the same
+  extraction job at local[N] and local[4N] (default N = 8), reporting both
+  throughputs and ``eff = T_4N / (4 * T_N)``.  Results also land in
+  BENCH/BASELINE.md via tools elsewhere; this prints the JSON line.
+
+Output schema (driver contract):
+  {"metric": "...", "value": N, "unit": "...", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _contract_path(n_docs: int, seed: int = 42) -> str:
+    """Generate (once, cached) the contract spans table for the bench."""
+    path = os.path.join(
+        tempfile.gettempdir(), f"ocr_spark_bench_{n_docs}_{seed}.parquet"
+    )
+    if not os.path.exists(path):
+        from ocr_spark import datagen
+
+        datagen.generate_to_path(path, n_docs=n_docs, seed=seed, scramble=True)
+    return path
+
+
+def _time_extraction(spark, src_path: str) -> tuple[float, int]:
+    """End-to-end: read parquet → extraction kernel → write parquet."""
+    from ocr_spark.operators.extract import extract_documents
+
+    out_dir = tempfile.mkdtemp(prefix="ocr_bench_out_")
+    df = spark.read.parquet(src_path)
+    n = df.count()
+    t0 = time.perf_counter()
+    extract_documents(df, order_by="meta").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "spans_out")
+    )
+    dt = time.perf_counter() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return dt, n
+
+
+def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
+    from ocr_spark import get_spark
+
+    spark = get_spark("ocr-bench", master=f"local[{cpus}]")
+    import __spark_entry__ as entry_mod
+
+    qset = entry_mod.queries()
+    headline = [
+        "span_extract", "word_index", "dedup_exact", "dedup_minhash_lsh",
+        "simhash", "ann_topk", "q1_pricing", "q3_topk", "q5_region_revenue",
+        "asof_join", "events_windowed", "quality_score",
+    ]
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        qset[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    src = _contract_path(n_docs)
+    dt, n = _time_extraction(spark, src)
+    timings["contract_extract_e2e"] = round(dt, 3)
+    docs_per_sec = n / dt
+    spark.stop()
+
+    return {
+        "metric": "documents/sec end-to-end extraction throughput",
+        "value": round(docs_per_sec, 1),
+        "unit": "docs/sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "contract_docs": n,
+        "total_sec": round(sum(timings.values()), 3),
+    }
+
+
+def run_scaling(n_small: int, n_docs: int) -> dict:
+    """Same job, same input, local[N] vs local[4N] → scaling efficiency."""
+    from ocr_spark import get_spark
+
+    src = _contract_path(n_docs)
+    results = {}
+    for cpus in (n_small, 4 * n_small):
+        spark = get_spark(f"ocr-scale-{cpus}", master=f"local[{cpus}]")
+        _time_extraction(spark, src)          # warm-up (JIT, page cache)
+        dt, n = _time_extraction(spark, src)
+        results[cpus] = n / dt
+        spark.stop()
+    t_n, t_4n = results[n_small], results[4 * n_small]
+    eff = t_4n / (4.0 * t_n)
+    return {
+        "metric": "scaling efficiency N->4N",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            f"docs_per_sec_local[{n_small}]": round(t_n, 1),
+            f"docs_per_sec_local[{4 * n_small}]": round(t_4n, 1),
+        },
+        "sf": f"contract table n_docs={n_docs}",
+        "contract_docs": n_docs,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("OCR_SPARK_BENCH_DOCS", "20000"))
+    if "--scaling" in sys.argv:
+        out = run_scaling(int(os.environ.get("OCR_SPARK_SCALE_N", "8")), n_docs)
+    else:
+        out = run_headline(sf_dir, cpus, n_docs)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

