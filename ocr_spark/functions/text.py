@@ -116,15 +116,21 @@ def shingles(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram (shingle) set of a token array — the unit of the
     MinHash/Jaccard dedup family.  Empty array when the doc has < n tokens.
     DuckDB (1-indexed): ``list_distinct(list_transform(range(1, len(t)-n+2),
-    i -> t[i] || ' ' || ... || t[i+n-1]))``."""
-    gram = lambda i: F.concat_ws(
-        " ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(n)]
-    )
+    i -> t[i] || ' ' || ... || t[i+n-1]))``.
+
+    Implementation detail that matters at scale: built from ``slice`` +
+    ``arrays_zip`` (one linear pass), NOT ``transform(sequence(...),
+    i -> element_at(toks, i+k))``.  The indexed form is O(tokens²) whenever
+    Catalyst inlines the token expression into each element lookup — which
+    predicate pushdown does do (e.g. InferFiltersFromGenerate pushes a
+    ``size(shingles) > 0`` filter below the projection with full
+    substitution; measured 100× slowdown at sf0.1)."""
+    win = F.size(toks) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(toks, k + 1, win) for k in range(n)])
+    gram = lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)])
     return F.when(
         F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(F.sequence(F.lit(0), F.size(toks) - n), gram)
-        ),
+        F.array_distinct(F.transform(zipped, gram)),
     ).otherwise(F.array().cast("array<string>"))
 
 

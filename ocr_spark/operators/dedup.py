@@ -64,13 +64,28 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id + materialized ``sh`` shingle-set column.
+
+    The tokenization and shingle expressions are staged as named columns on
+    purpose: nesting ``norm_tokens`` inside the per-shingle lambdas would
+    make Catalyst re-evaluate the full split+translate of the document for
+    every shingle element (O(tokens²) per doc — measured 100× slowdown).
+    As separate projections with multi-referenced, non-cheap outputs,
+    CollapseProject keeps them materialized and each runs once per row.
+    """
+    return (
+        docs.withColumn("_toks", norm_tokens(F.col("text")))
+        .withColumn("sh", shingles(F.col("_toks"), n))
+        .select("doc_id", "sh")
+    )
+
+
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct word-n-gram table — the dedup work unit."""
     return (
-        docs.select(
-            "doc_id",
-            F.explode(shingles(norm_tokens(F.col("text")), n)).alias("shingle"),
-        )
+        with_shingles(docs, n)
+        .select("doc_id", F.explode("sh").alias("shingle"))
         .distinct()
     )
 
@@ -90,10 +105,12 @@ def minhash_candidates(
     upstream — buckets that large mean the band key carries no signal).
     """
     rows = k // bands
-    sig = docs.select(
-        "doc_id",
-        minhash_signature(shingles(norm_tokens(F.col("text")), n), k).alias("sig"),
-    ).where(F.col("sig")[0].isNotNull())
+    sig = (
+        with_shingles(docs, n)
+        .withColumn("sig", minhash_signature(F.col("sh"), k))
+        .select("doc_id", "sig")
+        .where(F.col("sig")[0].isNotNull())
+    )
 
     band_key = [
         F.md5(
