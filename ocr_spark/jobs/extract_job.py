@@ -1,0 +1,166 @@
+"""The deployable extraction job: bucketed, checkpointed, resumable.
+
+This is the Spark restatement of the reference's incremental-skip +
+completion-gate machinery (SURVEY.md §4 X6/X7):
+
+* reference: exports return early if the output file exists
+  (server/src/utils/export.py:142-143, 163-164), pages checkpoint as
+  ``_ocr_results/*.json`` and the last finisher fires the export when
+  ``len(files) == pages`` (server/celery_app.py:1162-1183).
+* here: the table is salted into ``n_buckets`` partitions on
+  ``pmod(xxhash64(doc_id), n_buckets)``; each completed bucket commits one
+  **manifest row** ``(run_id, bucket, doc_count, span_count, word_count,
+  wall_ms, status)``; a resumed run left-anti-joins the bucket universe
+  against the manifest and processes only the remainder.
+
+Crash-safety / exactly-once without Iceberg (the storage seam, SURVEY.md
+§7.1 — no Iceberg jar in this sandbox, parquet + manifest table is the
+degraded mode with the same commit protocol):
+
+* output is written ``partitionBy(bucket)`` with **dynamic partition
+  overwrite**, so re-processing a bucket atomically replaces exactly that
+  bucket's directory — a bucket that crashed mid-write is simply rewritten
+  on resume, never duplicated.
+* the manifest row is appended only *after* the bucket data is fully
+  written; the manifest is therefore the commit point (a bucket with data
+  but no manifest row is considered incomplete and redone — at most ~1/Nth
+  of the table).
+
+Scale notes: bucketing by hashed doc_id spreads mega-documents uniformly;
+`n_buckets` should be ≥ executors so stragglers don't serialize the tail.
+The per-bucket metrics land in the manifest (progress-heartbeat analog,
+celery_app.py:1170-1180).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.extract import extract_documents
+
+MANIFEST_SCHEMA = (
+    "run_id string, bucket int, doc_count bigint, span_count bigint, "
+    "word_count bigint, wall_ms bigint, status string, committed_at timestamp"
+)
+
+
+def bucketed(df: DataFrame, n_buckets: int) -> DataFrame:
+    """Add the salt column: pmod(xxhash64(doc_id), n_buckets) — the skew
+    defense from SURVEY.md §4 item 1."""
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
+    try:
+        return spark.read.parquet(manifest_path)
+    except Exception:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+def completed_buckets(spark: SparkSession, manifest_path: str) -> list[int]:
+    m = read_manifest(spark, manifest_path)
+    return [
+        r["bucket"]
+        for r in m.where(F.col("status") == "ok").select("bucket").distinct().collect()
+    ]
+
+
+def run_extraction(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    manifest_path: str,
+    run_id: str,
+    n_buckets: int = 32,
+    order_by: str = "meta",
+    wave_size: int | None = None,
+    fail_after_waves: int | None = None,
+) -> dict:
+    """Run (or resume) the extraction over all not-yet-committed buckets.
+
+    Buckets are processed in *waves* of ``wave_size`` buckets: one input
+    scan + one dynamic-partition-overwrite write per wave, then one
+    manifest row per bucket in the wave.  ``wave_size=None`` → whole
+    remainder in a single wave (max throughput, coarsest resume); small
+    waves → checkpoint granularity approaching the reference's per-page
+    commits, at the cost of extra input scans.  A crash between a wave's
+    data write and its manifest append just redoes that wave (dynamic
+    overwrite makes the rewrite idempotent).
+
+    ``fail_after_waves`` is a test hook simulating a mid-run crash.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    done = set(completed_buckets(spark, manifest_path))
+    todo = [b for b in range(n_buckets) if b not in done]
+    if wave_size is None:
+        wave_size = max(len(todo), 1)
+
+    src = bucketed(spark.read.parquet(input_path), n_buckets)
+    waves = [todo[i:i + wave_size] for i in range(0, len(todo), wave_size)]
+    processed = 0
+    totals = {"doc_count": 0, "span_count": 0, "word_count": 0}
+    for w, wave in enumerate(waves):
+        if fail_after_waves is not None and w >= fail_after_waves:
+            return {"status": "crashed", "processed": processed, **totals}
+        t0 = time.perf_counter()
+        part = src.where(F.col("bucket").isin(wave))
+        # bucket re-derives from doc_id after the kernel (cheap hash) rather
+        # than being threaded through the Arrow schema or joined back.
+        out = bucketed(
+            extract_documents(
+                part.select("doc_id", "spans", "meta"), order_by=order_by
+            ),
+            n_buckets,
+        )
+        out.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
+        wall_ms = int((time.perf_counter() - t0) * 1000)
+        stats = (
+            spark.read.parquet(output_path)
+            .where(F.col("bucket").isin(wave))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("doc_count"),
+                F.sum(F.size("spans")).alias("span_count"),
+                F.sum("n_words").alias("word_count"),
+            )
+            .collect()
+        )
+        per_bucket = {r["bucket"]: r for r in stats}
+        rows = [
+            (
+                run_id,
+                b,
+                per_bucket[b]["doc_count"] if b in per_bucket else 0,
+                per_bucket[b]["span_count"] if b in per_bucket else 0,
+                per_bucket[b]["word_count"] if b in per_bucket else 0,
+                wall_ms // max(len(wave), 1),
+                "ok",
+            )
+            for b in wave
+        ]
+        (
+            spark.createDataFrame(
+                rows,
+                "run_id string, bucket int, doc_count bigint, span_count bigint, "
+                "word_count bigint, wall_ms bigint, status string",
+            )
+            .withColumn("committed_at", F.current_timestamp())
+            .write.mode("append")
+            .parquet(manifest_path)
+        )
+        processed += len(wave)
+        for r in stats:
+            totals["doc_count"] += r["doc_count"] or 0
+            totals["span_count"] += r["span_count"] or 0
+            totals["word_count"] += r["word_count"] or 0
+    return {
+        "status": "ok",
+        "processed": processed,
+        "skipped": len(done),
+        **totals,
+    }
