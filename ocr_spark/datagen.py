@@ -249,14 +249,41 @@ def generate(
     return pa.table({"doc_id": doc_ids, "spans": spans_col, "meta": meta_col})
 
 
-def write_parquet(table: pa.Table, path: str, row_group_docs: int = 256) -> None:
-    """Write with small row groups so local[N] scans parallelize and a
-    mega-doc never dominates one row group."""
-    pq.write_table(table, path, row_group_size=row_group_docs)
+def write_parquet(
+    table: pa.Table, path: str, row_group_docs: int = 256, n_files: int = 1
+) -> None:
+    """Write with small row groups so a mega-doc never dominates one row
+    group.  ``n_files > 1`` writes a directory of part files — the layout a
+    real distributed table has, and what lets Spark's scan parallelize
+    (FileSourceScan splits at file/maxPartitionBytes granularity; one fat
+    file caps the whole job at a couple of tasks)."""
+    import os
+
+    if n_files <= 1:
+        pq.write_table(table, path, row_group_size=row_group_docs)
+        return
+    os.makedirs(path, exist_ok=True)
+    n = table.num_rows
+    step = (n + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = table.slice(i * step, step)
+        if chunk.num_rows:
+            pq.write_table(
+                chunk,
+                os.path.join(path, f"part-{i:05d}.parquet"),
+                row_group_size=row_group_docs,
+            )
 
 
 def generate_to_path(
-    path: str, n_docs: int = 500, seed: int = SEED, scramble: bool = False
+    path: str,
+    n_docs: int = 500,
+    seed: int = SEED,
+    scramble: bool = False,
+    n_files: int = 1,
 ) -> str:
-    write_parquet(generate(n_docs=n_docs, seed=seed, scramble=scramble), path)
+    write_parquet(
+        generate(n_docs=n_docs, seed=seed, scramble=scramble), path,
+        n_files=n_files,
+    )
     return path

