@@ -164,3 +164,50 @@ def run_extraction(
         "skipped": len(done),
         **totals,
     }
+
+
+def main(argv: list[str] | None = None) -> None:
+    """spark-submit entry point:
+
+        spark-submit --py-files dist/ocr_spark.zip \\
+            -m ocr_spark.jobs.extract_job  # (or path to this file) \\
+            --input s3://.../documents --output s3://.../spans_out \\
+            --manifest s3://.../_manifests --run-id run-2026-08-17 \\
+            --buckets 4096 --wave-size 256
+
+    On a cluster, ``--buckets`` should be several × total executor cores
+    and ``--wave-size`` the checkpoint granularity (buckets committed per
+    manifest append).
+    """
+    import argparse
+    import uuid
+
+    from ocr_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="resumable extraction job")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--manifest", required=True)
+    ap.add_argument("--run-id", default=f"run-{uuid.uuid4().hex[:8]}")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--wave-size", type=int, default=None)
+    ap.add_argument("--order-by", choices=["meta", "offset"], default="meta")
+    args = ap.parse_args(argv)
+
+    spark = get_spark("ocr-extract")
+    stats = run_extraction(
+        spark,
+        args.input,
+        args.output,
+        args.manifest,
+        args.run_id,
+        n_buckets=args.buckets,
+        order_by=args.order_by,
+        wave_size=args.wave_size,
+    )
+    print(stats)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

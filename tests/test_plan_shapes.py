@@ -1,0 +1,81 @@
+"""Plan-shape regression tests: the physical plans the engine was designed
+to produce (SURVEY.md §4) stay that way.
+
+* extraction = one narrow stage, zero Exchange
+* dim joins broadcast; fact tables shuffle only on their keys
+* parquet scans push filters and prune columns
+* the expression-only extraction path stays inside whole-stage codegen
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark import datagen
+from ocr_spark.operators.extract import extract_documents, extract_spans_expr
+from ocr_spark.operators.relational import (
+    q3_shipping_topk,
+    q5_region_revenue,
+)
+from ocr_spark.plans import checks
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def contract_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("plans")
+    p = os.path.join(d, "docs.parquet")
+    datagen.generate_to_path(p, n_docs=50, seed=42)
+    return p
+
+
+def test_extraction_is_shuffle_free(spark, contract_path):
+    out = extract_documents(spark.read.parquet(contract_path), order_by="meta")
+    checks.assert_no_exchange(out, "extract_documents")
+
+
+def test_extraction_prunes_box_before_python(spark, contract_path):
+    """meta.box must be dropped before the Python exchange: it may appear in
+    the scan (parquet struct pruning is limited) but nowhere above it."""
+    out = extract_documents(spark.read.parquet(contract_path))
+    plan = checks.physical_plan(out)
+    assert "MapInArrow" in plan
+    for line in plan.splitlines():
+        if "box" in line:
+            assert any(k in line for k in ("FileScan", "Relation", "ReadSchema")), (
+                f"meta.box leaked above the scan:\n{line}"
+            )
+
+
+def test_dim_joins_broadcast(spark):
+    checks.assert_broadcast_join(q3_shipping_topk(spark, SF), "q3")
+    checks.assert_broadcast_join(q5_region_revenue(spark, SF), "q5")
+
+
+def test_scan_pushdown_and_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.where(F.col("l_shipdate") <= F.lit("1995-01-01")).select(
+        "l_orderkey", "l_quantity"
+    )
+    checks.assert_filter_pushed(q, "l_shipdate")
+    checks.assert_column_pruned(q, "l_extendedprice")
+
+
+def test_expr_extraction_no_python(spark, contract_path):
+    df = spark.read.parquet(contract_path).select("doc_id", "spans")
+    out = extract_spans_expr(df)
+    plan = checks.physical_plan(out)
+    assert "Python" not in plan and "Arrow" not in plan
+    checks.assert_no_exchange(out, "extract_spans_expr")
+
+
+def test_word_index_single_shuffle(spark):
+    import __spark_entry__ as e
+
+    q = e.queries()["word_index"](spark, SF)
+    # explode → partial agg → one exchange → final agg
+    assert checks.count_exchanges(q) == 1
