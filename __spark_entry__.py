@@ -159,6 +159,44 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenize_asciifold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ES-analyzer tokenization (F13, elastic_search.py:19-36):
+    whitespace → lower → asciifold → stopword drop; per-token counts."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "doc_id", F.explode(T.analyzer_tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_fuzzy_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dictionary match (F14 analog, elastic_search.py:158-189
+    fuzziness=AUTO): distinct doc words within levenshtein distance 1 of a
+    corpus word (distinct part-name tokens), excluding exact matches.
+    Corpus is broadcast; the distance predicate runs as a JVM expression."""
+    docs = _docs(spark, sf_dir)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    corpus = (
+        part.select(F.explode(F.split(F.lower(F.col("p_name")), " ")).alias("cw"))
+        .distinct()
+    )
+    words = (
+        docs.select(F.explode(T.norm_tokens(F.col("text"))).alias("word"))
+        .distinct()
+    )
+    return (
+        words.join(F.broadcast(corpus))
+        .where(
+            (F.levenshtein("word", "cw") == 1)
+        )
+        .select("word", "cw")
+        .orderBy("word", "cw")
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -399,6 +437,48 @@ where round(
                                     list_transform(b.embedding, x -> cast(x as double))))),
          4) >= 0.5
 """,
+    "tokenize_asciifold": f"""
+with toks as (select doc_id,
+    list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+        w -> translate(lower(w), '{T.ACCENT_SRC}', '{T.ACCENT_DST}')),
+        t -> t <> '' and t not in ({', '.join(f"'{w}'" for w in T.STOPWORDS)})) as t
+  from documents)
+select doc_id, token, count(*) as cnt
+from (select doc_id, unnest(t) as token from toks)
+group by doc_id, token
+""",
+    "fuzzy_dict": f"""
+with corpus as (select distinct unnest(string_split(lower(p_name), ' ')) as cw from part),
+words as (select distinct unnest({_NT}) as word from documents)
+select word, cw from words, corpus
+where levenshtein(word, cw) = 1
+order by word, cw
+""",
+    "sessionize": """
+with flagged as (
+  select user_id, event_id, ts,
+         case when epoch(ts) - lag(epoch(ts)) over w > 1800 then 1 else 0 end as new_sess
+  from events
+  window w as (partition by user_id order by ts, event_id)),
+sess as (
+  select user_id, ts,
+         sum(new_sess) over (partition by user_id order by ts, event_id
+                             rows between unbounded preceding and current row) as session_id
+  from flagged)
+select user_id, cast(session_id as bigint) as session_id,
+       count(*) as n_events, min(ts) as t_start, max(ts) as t_end
+from sess group by user_id, session_id
+order by user_id, session_id
+""",
+    "above_cust_avg": """
+select o_orderkey, o_custkey,
+       cast(cast(o_totalprice as decimal(18,2)) as double) as o_totalprice
+from orders o
+where cast(o_totalprice as decimal(18,2)) >
+      (select avg(cast(i.o_totalprice as decimal(18,2)))
+       from orders i where i.o_custkey = o.o_custkey)
+order by o_orderkey
+""",
     "q1_pricing": """
 select l_returnflag, l_linestatus,
        cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty,
@@ -550,6 +630,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_customer_churn": R.setop_customer_churn,
         "events_windowed": R.events_windowed,
         "asof_join": R.asof_join_events_orders,
+        "tokenize_asciifold": q_tokenize_asciifold,
+        "fuzzy_dict": q_fuzzy_dict,
+        "sessionize": R.sessionize_events,
+        "above_cust_avg": R.orders_above_cust_avg,
     }
 
 

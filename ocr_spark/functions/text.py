@@ -106,6 +106,31 @@ def lang_pred(toks: Column) -> Column:
     return pred
 
 
+# Explicit accent-fold map (F13 term normalizer analog,
+# server/src/elastic_search.py:30-36 lowercase+asciifolding).  An explicit
+# translate table — NOT a library NFKD — so the DuckDB oracle can apply the
+# byte-identical mapping.
+ACCENT_SRC = "áàâãäéèêëíìîïóòôõöúùûüçñýÁÀÂÃÄÉÈÊËÍÌÎÏÓÒÔÕÖÚÙÛÜÇÑÝ"
+ACCENT_DST = "aaaaaeeeeiiiiooooouuuucnyAAAAAEEEEIIIIOOOOOUUUUCNY"
+
+
+def asciifold(c: Column) -> Column:
+    return F.translate(c, ACCENT_SRC, ACCENT_DST)
+
+
+def analyzer_tokens(text: Column) -> Column:
+    """The full ES text-analyzer semantics (elastic_search.py:19-36):
+    whitespace tokenize → lowercase → asciifold → drop EN/PT stopwords →
+    drop empties.  Stopwords are matched AFTER folding (ES normalizer
+    order)."""
+    folded = F.transform(
+        tokens(text), lambda t: asciifold(F.lower(t))
+    )
+    return F.filter(
+        folded, lambda t: (t != "") & ~t.isin(*STOPWORDS)
+    )
+
+
 def bpe_token_count(text: Column) -> Column:
     """BPE-ish token count via regex matches (letter runs / digit runs /
     single symbols).  DuckDB: ``len(regexp_extract_all(text, RE))``."""

@@ -233,3 +233,58 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+def sessionize_events(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Gaps-and-islands sessionization (the W3 line-grouping shape —
+    overlap-chain grouping — at relational level): per user, a new session
+    starts when the gap to the previous event exceeds ``gap_minutes``.
+    One shuffle on user_id; two window passes over the sorted partition.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; NTZ→long needs the timestamp hop (session tz is
+    # UTC, so this equals DuckDB's epoch())
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            epoch - F.lag(epoch).over(w) > gap_minutes * 60,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0)),
+    ).withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("t_start"),
+            F.max("ts").alias("t_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (orders above their customer's average) —
+    expressed via SQL so Catalyst's subquery decorrelation rewrites it to
+    an aggregate + join (SURVEY.md §4: classic rewrites come free)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        select o_orderkey, o_custkey,
+               cast(cast(o_totalprice as decimal(18,2)) as double) as o_totalprice
+        from orders_v o
+        where cast(o_totalprice as decimal(18,2)) >
+              (select avg(cast(i.o_totalprice as decimal(18,2)))
+               from orders_v i where i.o_custkey = o.o_custkey)
+        order by o_orderkey
+        """
+    )

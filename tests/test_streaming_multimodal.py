@@ -128,3 +128,56 @@ def test_multimodal_features(spark, tmp_path):
     again = {(r["doc_id"], r["media_ref"]): r["sha1"] for r in feats.collect()}
     for r in got:
         assert again[(r["doc_id"], r["media_ref"])] == r["sha1"]
+
+
+def test_stateful_streaming_dedup(spark, tmp_path):
+    """applyInPandasWithState first-occurrence dedup: duplicates across
+    micro-batches are suppressed by the state store (parquet sink so the
+    second run recovers the state checkpoint)."""
+    import os
+
+    import pandas as pd
+
+    from ocr_spark.streaming.stateful import streaming_dedup
+
+    src = os.path.join(tmp_path, "fps")
+    out = os.path.join(tmp_path, "out")
+    ck = os.path.join(tmp_path, "ck")
+    os.makedirs(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema("fp string, doc_id string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["fp"]: r for r in spark.read.parquet(out).collect()}
+
+    # batch 1: a,b,c (c twice within the batch)
+    pd.DataFrame({"fp": ["a", "b", "c", "c"],
+                  "doc_id": ["d1", "d2", "d3", "d4"]}).to_parquet(
+        os.path.join(src, "b1.parquet"))
+    first = run()
+    assert set(first) == {"a", "b", "c"}
+    assert first["c"]["doc_id"] == "d3"      # min doc_id within the batch
+    assert first["c"]["dup_count"] == 2
+
+    # batch 2: b,c again + new d → only d emits (state recovered)
+    pd.DataFrame({"fp": ["b", "c", "d"],
+                  "doc_id": ["d5", "d6", "d7"]}).to_parquet(
+        os.path.join(src, "b2.parquet"))
+    both = run()
+    assert set(both) == {"a", "b", "c", "d"}
+    assert both["d"]["doc_id"] == "d7"
+    # a/b/c rows unchanged — no duplicate emission
+    assert both["c"]["doc_id"] == "d3"
