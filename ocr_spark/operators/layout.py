@@ -105,3 +105,35 @@ def order_segments(segments: Column) -> Column:
         .when(a["squares"][0]["left"] > b["squares"][0]["left"], F.lit(1))
         .otherwise(F.lit(0)),
     )
+
+
+def page_order_key(source_type: Column, page_name: Column) -> Column:
+    """The two page-ordering keys (SURVEY.md §2.4 O1 vs O2) — selected by
+    source type, because they silently diverge:
+
+    * pdf/tiff (O1): numeric — trailing integer of the page file name
+      (export.py:174-175, file.py:112); ``page_10`` sorts after ``page_2``.
+    * zip (O2): casefold-alphabetical ``(lower(name), name)``
+      (celery_app.py:570, export.py:295); ``page_10`` sorts BEFORE
+      ``page_2``.
+
+    Returns a sortable string key: numeric keys are zero-padded to 12
+    digits so lexicographic order equals numeric order.
+    """
+    numeric = F.lpad(
+        F.regexp_extract(page_name, r"(\d+)(?!.*\d)", 1), 12, "0"
+    )
+    casefold = F.concat_ws("", F.lower(page_name), page_name)
+    return F.when(source_type == "zip", casefold).otherwise(numeric)
+
+
+def order_pages(df: DataFrame) -> DataFrame:
+    """(doc_id, source_type, page_name, ...) rows → same rows with
+    ``page_rank`` = the source-type-correct page position (dense, 0-based,
+    per document).  One shuffle on doc_id; window rank."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        page_order_key(F.col("source_type"), F.col("page_name"))
+    )
+    return df.withColumn("page_rank", F.row_number().over(w) - 1)

@@ -80,3 +80,26 @@ def test_order_segments(spark):
     out = df.select(order_segments(F.col("segments")).alias("s")).collect()[0]["s"]
     got = [(s["squares"][0]["top"], s["squares"][0]["left"]) for s in out]
     assert got == [(10.0, 5.0), (10.0, 100.0), (50.0, 10.0)]
+
+
+def test_page_order_o1_vs_o2(spark):
+    """O1 (numeric) and O2 (casefold) diverge on the same names
+    (SURVEY.md §2.4: 'different key than O1, must be preserved per source
+    type')."""
+    from ocr_spark.operators.layout import order_pages
+
+    names = ["page_2.png", "page_10.png", "Page_1.png"]
+    rows = [("pdfdoc", "pdf", n) for n in names] + [
+        ("zipdoc", "zip", n) for n in names
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source_type string, page_name string"
+    )
+    got = {
+        (r["doc_id"], r["page_name"]): r["page_rank"]
+        for r in order_pages(df).collect()
+    }
+    # pdf: numeric 1 < 2 < 10
+    assert [got[("pdfdoc", n)] for n in ["Page_1.png", "page_2.png", "page_10.png"]] == [0, 1, 2]
+    # zip: casefold-alphabetical — page_1... then page_10 < page_2
+    assert [got[("zipdoc", n)] for n in ["Page_1.png", "page_10.png", "page_2.png"]] == [0, 1, 2]
