@@ -217,6 +217,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_signature(_docs(spark, sf_dir))
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.index import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -390,6 +396,12 @@ with fp as (select doc_id, md5(array_to_string({_NT}, ' ')) as fp from documents
 g as (select fp, min(doc_id) as rep_doc_id, count(*) as group_size from fp group by fp)
 select f.doc_id, f.fp, g.rep_doc_id, g.group_size
 from fp f join g on f.fp = g.fp
+""",
+    "inverted_index": f"""
+with postings as (select distinct doc_id, unnest({_NT}) as word from documents)
+select word, list_sort(list(doc_id)) as postings,
+       cast(count(*) as bigint) as df
+from postings group by word
 """,
     "dedup_minhash_lsh": _minhash_sql(0.0),
     "ngram_jaccard": _ngram_jaccard_sql(0.0),
@@ -623,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "inverted_index": q_inverted_index,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,                       # approximate — no oracle

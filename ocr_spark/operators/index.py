@@ -1,0 +1,54 @@
+"""Corpus-level inverted index — the salted two-stage aggregation
+(SURVEY.md §7.2 M2, §4 item 1).
+
+``inverted_index`` builds ``word → sorted posting list of doc_ids``.  A
+plain ``groupBy(word).agg(collect_list(doc_id))`` is exactly the shape
+where key skew hurts at 100 TB: common words ("the", "de") appear in
+nearly every document, so one reducer would receive a posting list the
+size of the corpus.  The salted build:
+
+1. stage 1 — group by ``(word, salt)`` where ``salt = pmod(xxhash64(doc_id),
+   n_salts)``: each hot word's postings split across ``n_salts`` reducers,
+   partial lists stay bounded;
+2. stage 2 — group by ``word``, ``flatten`` + ``array_sort`` the partial
+   lists: the second shuffle moves only ``n_salts`` pre-aggregated rows per
+   word, not raw postings.
+
+(For pure counting, Spark's map-side partial aggregation already defuses
+skew — salting is only needed for list/set accumulation like this.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.text import norm_tokens
+
+
+def inverted_index(
+    docs: DataFrame,
+    n_salts: int = 16,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """word → sorted distinct posting list + document frequency."""
+    postings = (
+        docs.select(
+            doc_col, F.explode(norm_tokens(F.col(text_col))).alias("word")
+        )
+        .distinct()
+        .withColumn("salt", F.pmod(F.xxhash64(doc_col), F.lit(n_salts)))
+    )
+    partial = postings.groupBy("word", "salt").agg(
+        F.collect_list(doc_col).alias("part")
+    )
+    return (
+        partial.groupBy("word")
+        .agg(F.flatten(F.collect_list("part")).alias("raw"))
+        .select(
+            "word",
+            F.array_sort("raw").alias("postings"),
+            F.size("raw").cast("bigint").alias("df"),
+        )
+    )

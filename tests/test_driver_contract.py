@@ -52,6 +52,12 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].map(lambda v: None if pd.isna(v) else repr(float(v)))
         if pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("Int64")
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: repr([int(x) for x in v])
+                if isinstance(v, (list, tuple)) or hasattr(v, "tolist") and not isinstance(v, str)
+                else v
+            )
     df = df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
     return df
 
