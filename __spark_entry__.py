@@ -15,7 +15,14 @@ correctness gate is the pandas-oracle pytest suite (tests/).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the driver may import this file from any CWD; make the package resolvable
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
