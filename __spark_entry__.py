@@ -627,6 +627,25 @@ def _q_contract_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
 
 
+def _q_contract_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline (extract → dedup → near-dup → quality →
+    tokenize) on the deterministic contract table; rows-only driver check —
+    stage semantics are pytest-verified (tests/test_curate.py)."""
+    import os
+    import tempfile
+
+    from ocr_spark import datagen
+    from ocr_spark.jobs.curate import curate
+
+    path = os.path.join(
+        tempfile.gettempdir(), "ocr_spark_contract_sf001.parquet"
+    )
+    if not os.path.exists(path):
+        datagen.generate_to_path(path, n_docs=200, seed=42, scramble=True)
+    out, _ = curate(spark.read.parquet(path))
+    return out.select("doc_id", "fp", "n_words", "n_tokens")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "span_extract": q_span_extract,
@@ -648,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,                       # approximate — no oracle
         "ann_ivf": q_ann_ivf,                       # approximate — no oracle
         "contract_extract": _q_contract_extract,    # pytest-oracled — no SQL
+        "contract_curate": _q_contract_curate,      # pytest-oracled — no SQL
         "q1_pricing": R.q1_pricing_summary,
         "q3_topk": R.q3_shipping_topk,
         "q5_region_revenue": R.q5_region_revenue,

@@ -1,0 +1,72 @@
+"""Curation pipeline: per-stage retention monotonicity, dedup correctness
+(exact twins and planted near-dups removed, min-id survives), quality
+predicates honored."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark import datagen
+from ocr_spark.jobs.curate import run_curation
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Generator corpus + a planted exact-duplicate pair: doc B is doc A
+    with identical spans under a different doc_id."""
+    d = tmp_path_factory.mktemp("curate")
+    t = datagen.generate(n_docs=150, seed=42, scramble=True, mega_frac=0.0)
+    # plant: duplicate row 0 with a new doc_id
+    dup = t.slice(0, 1)
+    dup = pa.table(
+        {
+            "doc_id": pa.array(["doc-zz-dup"], pa.string()),
+            "spans": dup.column("spans"),
+            "meta": dup.column("meta"),
+        }
+    )
+    t2 = pa.concat_tables([t, dup])
+    src = os.path.join(d, "docs.parquet")
+    datagen.write_parquet(t2, src)
+    return d, src
+
+
+def test_curation_pipeline(spark, corpus):
+    d, src = corpus
+    out_path = os.path.join(d, "curated")
+    stats = run_curation(spark, src, out_path)
+    # retention is monotone non-increasing through the stages
+    order = ["input", "extracted_nonempty", "after_exact_dedup",
+             "after_near_dedup", "after_quality", "written"]
+    vals = [stats[k] for k in order]
+    assert vals == sorted(vals, reverse=True), stats
+    assert stats["input"] == 151
+    # the planted exact duplicate died; the min-id original survived
+    out = spark.read.parquet(out_path)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert "doc-zz-dup" not in ids
+    assert stats["after_exact_dedup"] <= stats["extracted_nonempty"] - 1
+    # curated rows satisfy the quality predicates
+    bad = out.where(F.col("n_tokens") < 5).count()
+    assert bad == 0
+    # tokens column is real and non-degenerate
+    row = out.orderBy("doc_id").first()
+    assert len(row["tokens"]) == row["n_tokens"] > 0
+
+
+def test_curation_deterministic(spark, corpus):
+    d, src = corpus
+    s1 = run_curation(spark, src, os.path.join(d, "c1"))
+    s2 = run_curation(spark, src, os.path.join(d, "c2"))
+    assert s1 == s2
+    a = sorted(
+        (r["doc_id"], r["fp"]) for r in spark.read.parquet(os.path.join(d, "c1")).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["fp"]) for r in spark.read.parquet(os.path.join(d, "c2")).collect()
+    )
+    assert a == b
