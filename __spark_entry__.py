@@ -166,6 +166,36 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (SURVEY §2.8 array/map/JSON row: from_json
+    with explicit schema) over the events props column."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.from_json(F.col("props"), "k bigint")["k"]
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length histogram: 100-char buckets over n_chars (width_bucket
+    family)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(
+            F.floor(F.col("n_chars") / 100).cast("bigint").alias("bucket")
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
 def q_tokenize_asciifold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full ES-analyzer tokenization (F13, elastic_search.py:19-36):
     whitespace → lower → asciifold → stopword drop; per-token counts."""
@@ -403,6 +433,17 @@ with fp as (select doc_id, md5(array_to_string({_NT}, ' ')) as fp from documents
 g as (select fp, min(doc_id) as rep_doc_id, count(*) as group_size from fp group by fp)
 select f.doc_id, f.fp, g.rep_doc_id, g.group_size
 from fp f join g on f.fp = g.fp
+""",
+    "events_json": """
+select event_type, count(*) as n,
+       cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) as sum_k,
+       cast(min(cast(json_extract_string(props, '$.k') as bigint)) as bigint) as min_k,
+       cast(max(cast(json_extract_string(props, '$.k') as bigint)) as bigint) as max_k
+from events group by event_type order by event_type
+""",
+    "doclen_histogram": """
+select cast(floor(n_chars / 100) as bigint) as bucket, count(*) as n_docs
+from documents group by bucket order by bucket
 """,
     "inverted_index": f"""
 with postings as (select distinct doc_id, unnest({_NT}) as word from documents)
@@ -657,6 +698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "bpe_token_count": q_bpe_token_count,
+        "events_json": q_events_json,
+        "doclen_histogram": q_doclen_histogram,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
