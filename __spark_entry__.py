@@ -226,10 +226,11 @@ def q_fuzzy_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         words.join(F.broadcast(corpus))
-        .where(
-            (F.levenshtein("word", "cw") == 1)
+        .where(F.levenshtein("word", "cw").between(1, 2))
+        .select(
+            "word", "cw",
+            F.levenshtein("word", "cw").cast("bigint").alias("dist"),
         )
-        .select("word", "cw")
         .orderBy("word", "cw")
     )
 
@@ -237,6 +238,51 @@ def q_fuzzy_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
+
+def q_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document: composes the word-index aggregate
+    with document frequency.  Scoring uses exact integer ratios
+    (tf * N / df, no log) so both engines produce bit-identical doubles;
+    rank ties break on the word."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.explode(T.norm_tokens(F.col("text"))).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_tbl = (
+        words.distinct().groupBy("word").agg(F.count("*").alias("df"))
+    )
+    n_docs = docs.count()
+    scored = tf.join(df_tbl, "word").withColumn(
+        "score", F.round(F.col("tf") * F.lit(n_docs) / F.col("df"), 6)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "rk", "word", "tf", "df", "score")
+    )
+
+
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation quartiles per order status (percentile
+    family; Spark `percentile` ≡ DuckDB `quantile_cont` on doubles)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    price = F.col("o_totalprice").cast("decimal(18,2)").cast("double")
+    q = F.percentile(price, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(q[0], 4).alias("p25"),
+            F.round(q[1], 4).alias("p50"),
+            F.round(q[2], 4).alias("p75"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(_docs(spark, sf_dir))
@@ -434,6 +480,28 @@ g as (select fp, min(doc_id) as rep_doc_id, count(*) as group_size from fp group
 select f.doc_id, f.fp, g.rep_doc_id, g.group_size
 from fp f join g on f.fp = g.fp
 """,
+    "tfidf_top": f"""
+with words as (select doc_id, unnest({_NT}) as word from documents),
+tf as (select doc_id, word, count(*) as tf from words group by doc_id, word),
+dfq as (select word, count(*) as df from (select distinct doc_id, word from words) group by word),
+n as (select count(*) as n_docs from documents),
+scored as (select t.doc_id, t.word, t.tf, d.df,
+                  round(cast(t.tf as double) * (select n_docs from n) / d.df, 6) as score
+           from tf t join dfq d on t.word = d.word),
+ranked as (select *, row_number() over (partition by doc_id
+                                        order by score desc, word asc) as rk
+           from scored)
+select doc_id, cast(rk as int) as rk, word, tf, df, score
+from ranked where rk <= 3
+""",
+    "price_quantiles": """
+select o_orderstatus,
+       round(quantile_cont(cast(cast(o_totalprice as decimal(18,2)) as double), 0.25), 4) as p25,
+       round(quantile_cont(cast(cast(o_totalprice as decimal(18,2)) as double), 0.5), 4) as p50,
+       round(quantile_cont(cast(cast(o_totalprice as decimal(18,2)) as double), 0.75), 4) as p75,
+       count(*) as n
+from orders group by o_orderstatus order by o_orderstatus
+""",
     "events_json": """
 select event_type, count(*) as n,
        cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) as sum_k,
@@ -515,8 +583,9 @@ group by doc_id, token
     "fuzzy_dict": f"""
 with corpus as (select distinct unnest(string_split(lower(p_name), ' ')) as cw from part),
 words as (select distinct unnest({_NT}) as word from documents)
-select word, cw from words, corpus
-where levenshtein(word, cw) = 1
+select word, cw, cast(levenshtein(word, cw) as bigint) as dist
+from words, corpus
+where levenshtein(word, cw) between 1 and 2
 order by word, cw
 """,
     "sessionize": """
@@ -700,6 +769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "events_json": q_events_json,
         "doclen_histogram": q_doclen_histogram,
+        "tfidf_top": q_tfidf_top,
+        "price_quantiles": q_price_quantiles,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
