@@ -254,11 +254,19 @@ def _extract_batch(
 def _word_index(tdf: pd.DataFrame, n_docs: int) -> pa.ListArray:
     """Vectorized find_index_words (export.py:492-530) over all docs at once.
 
-    Dehyphenation: a line-final word ending '-' merges into the immediately
-    following word on the same (doc, page); the orphaned prefix's count is
-    removed (export.py:498-519 on the fixtures' domain where the raw-key
-    decrement at export.py:510-513 always applies).  Cascades (merged word
-    again hyphen-final) are looped until fixpoint.
+    Dehyphenation, faithful to the reference's exact mechanics:
+
+    * a line-final word ending '-' merges into the first word of the next
+      line on the same (doc, page) — export.py:498-507;
+    * the hyphen PREFIX is still counted (it was tallied when its line was
+      scanned), then decremented by its **raw** text key — export.py:510-513.
+      Since index keys are normalized (stripped+lowered single tokens), the
+      decrement lands only when ``raw == normalize(raw)`` and raw is a
+      single token; otherwise the prefix survives in the index ('Zu-' does,
+      'zu-' does not — reference quirk preserved);
+    * chains apply TOP-DOWN ('a-','b-','c' → count a-, ab-, abc; decrement
+      a- and ab- → only 'abc' survives), matching the reference's
+      sequential line walk.
     """
     if not len(tdf):
         return pa.ListArray.from_arrays(
@@ -277,41 +285,56 @@ def _word_index(tdf: pd.DataFrame, n_docs: int) -> pa.ListArray:
     same_page_next = np.zeros(n, dtype=bool)
     same_page_next[:-1] = (d[1:] == d[:-1]) & (p[1:] == p[:-1])
 
-    drop = np.zeros(n, dtype=bool)
+    consumed = np.zeros(n, dtype=bool)
+    dec_d: list = []
+    dec_p: list = []
+    dec_w: list = []
     while True:
         ends = txt.str.endswith("-").to_numpy(dtype=bool, na_value=False)
-        m = ends & line_final & same_page_next & ~drop
-        # never merge into a row already consumed
-        tgt_ok = np.zeros(n, dtype=bool)
-        tgt_ok[:-1] = ~drop[1:]
-        m &= tgt_ok
-        # avoid chain races within one pass: skip a merge whose target is
-        # itself a pending merge source (handled next iteration)
-        src_next = np.zeros(n, dtype=bool)
-        src_next[:-1] = m[1:]
-        m_now = m & ~src_next
+        m = ends & line_final & same_page_next & ~consumed
+        # top-down chains: defer a merge whose immediate predecessor is
+        # itself a pending source ('a-' into 'b-' happens before the
+        # result merges onward), matching the reference's forward walk
+        prev_pending = np.zeros(n, dtype=bool)
+        prev_pending[1:] = m[:-1]
+        m_now = m & ~prev_pending
         if not m_now.any():
             break
         src = np.flatnonzero(m_now)
         tv = txt.to_numpy()
+        for i in src:
+            raw = tv[i]
+            # raw-key decrement guard (export.py:510-513): the raw prefix
+            # must itself be a normalized single-token key
+            tok = raw.strip()
+            if " " not in tok and tok.translate(_PUNCT_TABLE).lower() == raw:
+                dec_d.append(d[i]); dec_p.append(p[i]); dec_w.append(raw)
         merged = [tv[i].rstrip("-") + tv[i + 1] for i in src]
         txt.iloc[src + 1] = merged
-        drop[src] = True
-        # merged target inherits line-final status it already has
+        consumed[src] = True
 
-    alive = ~drop
-    wdf = pd.DataFrame({"d": d[alive], "p": p[alive], "txt": txt[alive]})
+    # every row's (post-merge) text is counted — prefixes included
+    wdf = pd.DataFrame({"d": d, "p": p, "txt": txt})
     toks = wdf["txt"].str.split().explode()
     wdf = wdf.loc[toks.index]
     norm = toks.str.strip().str.translate(_PUNCT_TABLE).str.lower()
-    # one cython groupby to (d, w, p) page-level counts
+    counts = pd.DataFrame(
+        {"d": wdf["d"].to_numpy(), "p": wdf["p"].to_numpy(),
+         "w": norm.to_numpy(),
+         "c": np.ones(len(wdf), dtype=np.int64)}
+    )
+    if dec_w:
+        counts = pd.concat(
+            [counts, pd.DataFrame({"d": dec_d, "p": dec_p, "w": dec_w,
+                                   "c": -np.ones(len(dec_w), dtype=np.int64)})],
+            ignore_index=True,
+        )
     cnt = (
-        pd.DataFrame({"d": wdf["d"].to_numpy(), "p": wdf["p"].to_numpy(),
-                      "w": norm.to_numpy()})
-        .groupby(["d", "w", "p"], sort=True)
-        .size()
+        counts.groupby(["d", "w", "p"], sort=True)["c"]
+        .sum()
         .reset_index(name="c")
     )
+    cnt = cnt[cnt["c"] > 0].reset_index(drop=True)
     cd = cnt["d"].to_numpy()
     cw = cnt["w"].to_numpy()
     cp = cnt["p"].to_numpy()

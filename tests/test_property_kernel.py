@@ -147,3 +147,72 @@ def test_confidence_filter_property(docs, conf_min):
             (s["kind"], s["text"], s["media_ref"], s["offset"])
             for s in got["spans"]
         ] == [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in exp]
+
+
+def _plant_hyphens(docs: list[list[dict]], p: float = 0.5) -> list[list[dict]]:
+    """Append '-' to eligible words: line-final TEXT word whose successor in
+    reading order is a text span in the same (page, segment, paragraph) —
+    the reference's well-defined merge domain (datagen constraint,
+    export.py:498-519)."""
+    out = []
+    for di, raw in enumerate(docs):
+        rng = np.random.default_rng(1000 + di)
+        order = sorted(
+            range(len(raw)),
+            key=lambda j: (
+                raw[j]["page_no"], raw[j]["segment_pos"], raw[j]["para_pos"],
+                raw[j]["line_pos"], raw[j]["word_pos"], j,
+            ),
+        )
+        raw = [dict(s) for s in raw]
+        for a, b in zip(order, order[1:]):
+            sa, sb = raw[a], raw[b]
+            if (
+                sa["kind"] == "text"
+                and sb["kind"] == "text"
+                and sa["word"].strip() and sb["word"].strip()
+                and " " not in sa["word"]
+                and not sa["word"].endswith("-")
+                and sa["page_no"] == sb["page_no"]
+                and sa["segment_pos"] == sb["segment_pos"]
+                and sa["para_pos"] == sb["para_pos"]
+                and sa["line_pos"] != sb["line_pos"]   # line-final only
+                and rng.random() < p
+            ):
+                sa["word"] = sa["word"] + "-"
+        out.append(raw)
+    return out
+
+
+# dense structure so line-to-line adjacencies (the merge precondition)
+# actually occur: one page/segment, two paragraphs, short lines
+dense_span_st = st.fixed_dictionaries(
+    {
+        "kind": st.sampled_from(["text", "text", "text", "media_ref"]),
+        "word": st.sampled_from(["ba", "c", "Zu", "ação!", "k,"]),
+        "page_no": st.just(1),
+        "segment_pos": st.just(0),
+        "para_pos": st.integers(0, 1),
+        "line_pos": st.integers(0, 3),
+        "word_pos": st.integers(0, 2),
+        "confidence": st.just(90),
+    }
+)
+dense_doc_st = st.lists(dense_span_st, min_size=4, max_size=30)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(dense_doc_st, min_size=1, max_size=3))
+def test_dehyphenation_property(docs):
+    """Random structures with domain-legal hyphen plantings: word index
+    (merge + orphan-prefix removal + cascades) must match the oracle."""
+    docs = _plant_hyphens(docs, p=1.0)
+    batch, py_docs = _build_batch(docs)
+    out = _rows(_extract_batch(batch, "meta", None, True))
+    for doc in py_docs:
+        got = out[doc["doc_id"]]
+        exp_ix = oracle.word_index_expected(doc, order_by="meta")
+        assert [
+            (w["word"], w["cnt"], w["pages"]) for w in got["word_index"]
+        ] == [(w["word"], w["cnt"], w["pages"]) for w in exp_ix]
+        assert got["doc_text"] == oracle.doc_text_expected(doc, order_by="meta")
