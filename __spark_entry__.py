@@ -211,21 +211,38 @@ def q_tokenize_asciifold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fuzzy_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy dictionary match (F14 analog, elastic_search.py:158-189
-    fuzziness=AUTO): distinct doc words within levenshtein distance 1 of a
-    corpus word (distinct part-name tokens), excluding exact matches.
-    Corpus is broadcast; the distance predicate runs as a JVM expression."""
+    fuzziness=AUTO): distinct doc words within levenshtein distance 1-2 of
+    a corpus word (distinct part-name tokens), excluding exact matches.
+
+    Blocked, not all-pairs: edit distance ≤ 2 implies |len(a) - len(b)| ≤ 2,
+    so each corpus word is exploded to its admissible length band and the
+    join is a broadcast HASH join on length — the expensive levenshtein
+    runs only within length buckets, never over the |vocab| × |corpus|
+    cross space (round-1 shipped a BroadcastNestedLoopJoin here).  The
+    length condition is implied by the distance predicate, so the result
+    set is unchanged (oracle stays the plain cross form)."""
     docs = _docs(spark, sf_dir)
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     corpus = (
         part.select(F.explode(F.split(F.lower(F.col("p_name")), " ")).alias("cw"))
         .distinct()
+        .select(
+            "cw",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.length("cw") - 2, F.lit(1)),
+                    F.length("cw") + 2,
+                )
+            ).alias("wlen"),
+        )
     )
     words = (
         docs.select(F.explode(T.norm_tokens(F.col("text"))).alias("word"))
         .distinct()
+        .withColumn("wlen", F.length("word"))
     )
     return (
-        words.join(F.broadcast(corpus))
+        words.join(F.broadcast(corpus), "wlen")
         .where(F.levenshtein("word", "cw").between(1, 2))
         .select(
             "word", "cw",
@@ -301,9 +318,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage inverted index.  The driver canonicalizer hashes
+    scalar columns only (pandas sort_values dies on list cells), so the
+    sorted posting array is projected to a space-joined string."""
     from ocr_spark.operators.index import inverted_index
 
-    return inverted_index(_docs(spark, sf_dir))
+    idx = inverted_index(_docs(spark, sf_dir))
+    return idx.select(
+        "word", F.array_join("postings", " ").alias("postings"), "df"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -356,7 +379,9 @@ from s
 """
 
 
-def _minhash_sql(threshold: float = 0.0, k: int = 16, bands: int = 8) -> str:
+def _minhash_sql(
+    threshold: float = 0.0, k: int = 16, bands: int = 8, max_bucket: int = 1000
+) -> str:
     rows = k // bands
     band_key = " || '|' || ".join(
         f"sig[band * {rows} + {r + 1}]" for r in range(rows)
@@ -374,8 +399,16 @@ sig as (select doc_id,
         from sh),
 banded as (select doc_id, unnest(range(0, {bands})) as band, sig from sig),
 bk as (select doc_id, band, md5({band_key}) as band_key from banded),
+-- mirror Spark's degenerate-bucket guard (dedup.py minhash_candidates:
+-- buckets with 2..max_bucket members produce pairs, larger ones are dropped)
+bksz as (select band, band_key, count(*) as n
+         from bk group by band, band_key),
+bkok as (select bk.doc_id, bk.band, bk.band_key
+         from bk join bksz using (band, band_key)
+         where bksz.n between 2 and {max_bucket}),
 pairs as (select distinct x.doc_id as a, y.doc_id as b
-          from bk x join bk y on x.band = y.band and x.band_key = y.band_key
+          from bkok x join bkok y
+            on x.band = y.band and x.band_key = y.band_key
           where x.doc_id < y.doc_id),
 shingle as (select doc_id, unnest(shingles) as shingle from sh),
 sizes as (select doc_id, count(*) as n_sh from shingle group by doc_id),
@@ -515,7 +548,7 @@ from documents group by bucket order by bucket
 """,
     "inverted_index": f"""
 with postings as (select distinct doc_id, unnest({_NT}) as word from documents)
-select word, list_sort(list(doc_id)) as postings,
+select word, array_to_string(list_sort(list(doc_id)), ' ') as postings,
        cast(count(*) as bigint) as df
 from postings group by word
 """,

@@ -75,22 +75,15 @@ def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     src = _contract_path(n_docs)
-    # warm to convergence: the JVM Arrow bridge for nested columns
-    # JIT-compiles lazily and early iterations run 3-5x slow; a 100 TB job
-    # spends its life in steady state, so that's the honest number.
-    best_dt, n = _time_extraction(spark, src)
-    stall = 0
-    for _ in range(5):
-        dt, n = _time_extraction(spark, src)
-        if dt < best_dt * 0.92:
-            best_dt, stall = dt, 0
-        else:
-            best_dt = min(best_dt, dt)
-            stall += 1
-            if stall >= 2:
-                break
-    timings["contract_extract_e2e"] = round(best_dt, 3)
-    docs_per_sec = n / best_dt
+    # Warm to convergence, then measure: the JVM Arrow bridge for nested
+    # columns JIT-compiles lazily and early iterations run 3-5x slow; a
+    # 100 TB job spends its life in steady state, so the protocol is
+    # "warm until two consecutive runs stop improving the best by >8%,
+    # then report the median of 3 fresh measured runs" (warm-ups are
+    # discarded, never selected from).
+    med_dt, n = _warm_then_measure(spark, src)
+    timings["contract_extract_e2e"] = round(med_dt, 3)
+    docs_per_sec = n / med_dt
     spark.stop()
 
     return {
@@ -105,6 +98,32 @@ def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
     }
 
 
+def _warm_then_measure(
+    spark, src: str, cap: int = 12, stall_n: int = 4, improve: float = 0.95
+) -> tuple[float, int]:
+    """The measurement protocol used everywhere in this harness: warm-up
+    runs until ``stall_n`` consecutive runs fail to improve the best time
+    by >(1-improve) (cap ``cap`` runs — JIT keeps compiling the nested
+    Arrow bridge for ~10 iterations and run-to-run variance is ±25%, so a
+    short stall window under-warms), DISCARD all warm-up runs, then report
+    the median of 3 fresh measured runs."""
+    import statistics
+
+    best, n = _time_extraction(spark, src)
+    stall = 0
+    for _ in range(cap - 1):
+        dt, n = _time_extraction(spark, src)
+        if dt < best * improve:
+            best, stall = dt, 0
+        else:
+            best = min(best, dt)
+            stall += 1
+            if stall >= stall_n:
+                break
+    measured = [_time_extraction(spark, src)[0] for _ in range(3)]
+    return statistics.median(measured), n
+
+
 def run_scaling(n_small: int, n_docs: int) -> dict:
     """Same job, same input, local[N] vs local[4N] → scaling efficiency.
 
@@ -112,34 +131,21 @@ def run_scaling(n_small: int, n_docs: int) -> dict:
     32-logical-core box, cores beyond ~16 are SMT siblings — a raw-CPU
     control (multiprocessing spin) scales only 3.2× from 8→32 procs, so no
     job can show 0.8 efficiency there.  2→8 stays in the linear region.
-    Reports the median of 3 measured runs after 2 JIT warm-up passes
-    (first-iteration JVM codegen is 3–5× slow; see BENCH/BASELINE.md).
+    Protocol per config: convergence warm-up (discarded), then the median
+    of 3 fresh measured runs (see _warm_then_measure).
     """
-    import statistics
-
     from ocr_spark import get_spark
 
     src = _contract_path(n_docs)
     results = {}
     for cpus in (n_small, 4 * n_small):
         spark = get_spark(f"ocr-scale-{cpus}", master=f"local[{cpus}]")
-        # Convergence-based warm-up: JIT compiles on wall-clock background
-        # threads, so a fixed warm-up count under-warms the fast config
-        # (fewer seconds per run) and biases efficiency down.  Run until
-        # two consecutive runs stop improving on the best by >8% (cap 8),
-        # then report the median of the best 3.
-        runs = []
-        stall = 0
-        for _ in range(8):
-            dt, n = _time_extraction(spark, src)
-            runs.append(n / dt)
-            if len(runs) > 1 and runs[-1] < max(runs) * 1.08:
-                stall += 1
-                if stall >= 2 and len(runs) >= 4:
-                    break
-            else:
-                stall = 0
-        results[cpus] = statistics.median(sorted(runs, reverse=True)[:3])
+        # shorter warm-up cap than the headline: local[2] runs are ~60 s
+        # each, and the efficiency METRIC is a ratio of two configs
+        # measured under the identical protocol, so residual JIT bias
+        # largely cancels.
+        med_dt, n = _warm_then_measure(spark, src, cap=8, stall_n=2, improve=0.92)
+        results[cpus] = n / med_dt
         spark.stop()
     t_n, t_4n = results[n_small], results[4 * n_small]
     eff = t_4n / (4.0 * t_n)
@@ -159,7 +165,10 @@ def run_scaling(n_small: int, n_docs: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("OCR_SPARK_BENCH_DOCS", "20000"))
+    # 100k matches the committed BENCH/BASELINE.md headline row (the 20k
+    # round-1 driver run under-amortized JIT/stage overhead 4x and was not
+    # comparable to the baseline; see VERDICT round 1).
+    n_docs = int(os.environ.get("OCR_SPARK_BENCH_DOCS", "100000"))
     if "--scaling" in sys.argv:
         n_docs = int(os.environ.get("OCR_SPARK_BENCH_DOCS", "100000"))
         out = run_scaling(int(os.environ.get("OCR_SPARK_SCALE_N", "2")), n_docs)

@@ -42,18 +42,24 @@ def curate(
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full pipeline; returns (curated DataFrame, stage counts).
 
-    The stage counts trigger evaluation per stage (each an action) — in a
-    production run you would compute them from the final table plus the
-    manifest instead of forcing intermediate actions; they are cheap here
-    and make the pipeline auditable in tests.
+    The stage counts trigger evaluation per stage (each an action).  The
+    extraction output is persisted (MEMORY_AND_DISK) before the first
+    action so the Arrow kernel executes exactly once for the whole run —
+    without the persist, each of the five downstream counts would replay
+    extract → fingerprint from the source (tests assert the single
+    execution via an executor-side accumulator).  The returned DataFrame
+    reads from the same cache; callers that materialize it to a table can
+    ``spark.catalog.clearCache()`` afterwards (run_curation does).
     """
     stats: dict[str, int] = {"input": docs.count()}
 
     extracted = extract_documents(
         docs, order_by=order_by, with_word_index=False
     ).select("doc_id", "doc_text", "n_words")
-    text_df = extracted.where(F.col("n_words") > 0).withColumn(
-        "fp", doc_fingerprint(F.col("doc_text"))
+    text_df = (
+        extracted.where(F.col("n_words") > 0)
+        .withColumn("fp", doc_fingerprint(F.col("doc_text")))
+        .persist()
     )
     stats["extracted_nonempty"] = text_df.count()
 
@@ -109,5 +115,6 @@ def run_curation(
     docs = spark.read.parquet(input_path)
     out, stats = curate(docs, **kw)
     out.write.mode("overwrite").parquet(output_path)
+    spark.catalog.clearCache()  # release the curate() stage cache
     stats["written"] = spark.read.parquet(output_path).count()
     return stats

@@ -118,10 +118,15 @@ def page_order_key(source_type: Column, page_name: Column) -> Column:
       ``page_2``.
 
     Returns a sortable string key: numeric keys are zero-padded to 12
-    digits so lexicographic order equals numeric order.
+    digits so lexicographic order equals numeric order.  The raw name is
+    appended as a tie-break — digit-less names all extract to '' and would
+    otherwise share one key, making row_number nondeterministic across
+    runs/partitions.
     """
-    numeric = F.lpad(
-        F.regexp_extract(page_name, r"(\d+)(?!.*\d)", 1), 12, "0"
+    numeric = F.concat_ws(
+        "|",
+        F.lpad(F.regexp_extract(page_name, r"(\d+)(?!.*\d)", 1), 12, "0"),
+        page_name,
     )
     casefold = F.concat_ws("", F.lower(page_name), page_name)
     return F.when(source_type == "zip", casefold).otherwise(numeric)

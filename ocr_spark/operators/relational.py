@@ -81,18 +81,28 @@ def q3_shipping_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way join with all dims broadcast; only lineitem and
-    orders shuffle (on the join key), then one hash agg."""
-    region = load(spark, sf_dir, "region")
-    nation = load(spark, sf_dir, "nation")
-    cust = load(spark, sf_dir, "customer")
-    supp = load(spark, sf_dir, "supplier")
-    orders = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
+    """TPC-H Q5 shape: 6-way join, one hash agg.
+
+    Broadcast only the genuinely tiny dims (region 5 rows, nation 25):
+    customer/supplier are projected to their two join columns and left to
+    AQE — at TPC-H sf1k full customer is ~15 GB and a forced broadcast
+    would fail outright, while the pruned (key, nationkey) projection lets
+    AQE pick broadcast when it actually fits and a shuffle join when it
+    doesn't."""
+    region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))

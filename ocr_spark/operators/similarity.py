@@ -220,12 +220,35 @@ def cosine_topk_lsh(
     )
 
 
+def _training_sample_matrix(
+    embeddings: DataFrame,
+    vec_col: str,
+    max_rows: int,
+    seed: int,
+) -> "np.ndarray":
+    """Bounded-sample collect for coarse-quantizer training.  By
+    construction at most ``max_rows`` vectors ever reach the driver
+    (``sample`` + ``limit``), no matter how large the index is — the full
+    index is never collected (it only streams through the distributed
+    cell-assignment map).  Returns an L2-normalized float64 matrix."""
+    n = embeddings.count()
+    sample = embeddings.select(vec_col)
+    if n > max_rows:
+        # oversample 20% so the limit() is almost surely satisfied
+        sample = sample.sample(min(1.0, 1.2 * max_rows / n), seed=seed)
+    rows = sample.limit(max_rows).collect()
+    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
 def _kmeans_centroids(
     mat: "np.ndarray", n_centroids: int, seed: int, iters: int = 8
 ) -> "np.ndarray":
     """Small deterministic k-means on L2-normalized vectors (driver-side —
-    the coarse quantizer is tiny; at 100 TB you train it on a sample the
-    same way).  Returns normalized centroids."""
+    the coarse quantizer is tiny and is trained on a bounded sample, see
+    _training_sample_matrix).  Returns normalized centroids."""
     rng = np.random.default_rng(seed)
     init = rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)
     cent = mat[init].copy()
@@ -250,18 +273,22 @@ def cosine_topk_ivf(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a coarse k-means quantizer
     partitions the index into ``n_centroids`` cells; each query probes its
     ``n_probe`` nearest cells and re-ranks exactly within them.
 
-    Scale shape: the index shuffles ONCE on cell id (building the inverted
-    file); queries shuffle on their probed cell ids; the join is
-    cell-local.  Centroids are a broadcast of n_centroids × dim floats.
-    Recall is tunable via n_probe — benchmarked, not oracle-checked.
+    Scale shape: the quantizer trains on a driver sample of at most
+    ``train_sample`` vectors (never the full index); the index then
+    shuffles ONCE on cell id (building the inverted file) via the
+    distributed assignment map; queries shuffle on their probed cell ids;
+    the join is cell-local.  Centroids are a broadcast of
+    n_centroids × dim floats.  Recall is tunable via n_probe —
+    benchmarked, not oracle-checked.
     """
     spark = queries.sparkSession
-    ids, mat = _normalized_matrix(index, id_col, vec_col)
+    mat = _training_sample_matrix(index, vec_col, train_sample, seed)
     cent = _kmeans_centroids(mat, n_centroids, seed)
     b_cent = spark.sparkContext.broadcast(cent)
 

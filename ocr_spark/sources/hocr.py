@@ -80,116 +80,194 @@ _OUT_SCHEMA = pa.schema(
 )
 
 
-def _polyval(coeffs: tuple[float, float], x: float) -> float:
-    """parse_hocr.py:107-115 — linear only: x*a + b."""
-    return x * coeffs[0] + coeffs[1]
+_BBOX_COLS_RE = r"bbox (\d+) (\d+) (\d+) (\d+)"
+_BASELINE_COLS_RE = r"baseline ([\d.\-]+) ([\d.\-]+)"
 
 
-def _extract_box(title: str) -> list[float] | None:
-    m = BBOX_RE.search(title)
-    if not m:
-        return None
-    return [float(v) for v in m.group(1).split()]
+def _parse_batch_arrow(pdf: pd.DataFrame, segment_origin: bool) -> pa.Table:
+    """Fully vectorized parse: three ``extractall`` passes locate the
+    nesting (pages → paragraphs → lines → words), per-word/per-line
+    attributes come from vectorized ``str.extract`` columns, and the
+    nested ListArrays are rebuilt from group-boundary offsets (the
+    ``_word_index`` technique, operators/extract.py) — no per-word Python
+    loop anywhere.
 
-
-def _parse_batch(
-    pdf: pd.DataFrame, segment_origin: bool
-) -> list[tuple[str, int, list]]:
-    """Three extractall passes: pages → paragraphs → lines → words.
-    Carries (row, par, line) multi-index bookkeeping so nesting rebuilds
-    without per-string Python re-parsing."""
+    Preserved reference quirks (parse_hocr.py):
+    * empty-word filter (67-69) runs BEFORE the empty-line/paragraph drops
+      (99-102);
+    * the line-as-one-word fallback (61-64) fires only when a line has no
+      ocrx_word ELEMENTS at all — a line whose words are all empty text is
+      dropped, not falled-back;
+    * segment-origin compensation (78-85) shifts word boxes only; the
+      baseline interpolation (86) uses the SHIFTED x_mid against the
+      UNSHIFTED line origin, and the fallback word is never shifted.
+    """
+    R = len(pdf)
     hocr = pdf["hocr"].fillna("")
-    # pass 1: paragraphs per page  (MultiIndex: (row, par_ix))
+    # pass 1: paragraphs per page  (MultiIndex: (row, par))
     pars = hocr.str.extractall(_PAR_RE, flags=re.S)["body"]
-    # pass 2: lines per paragraph  (MultiIndex: (row, par_ix, line_ix))
+    # pass 2: lines per paragraph  (MultiIndex: (row, par, line))
     lines = pars.str.extractall(_LINE_RE, flags=re.S)
-    # pass 3: words per line
+    # pass 3: words per line       (MultiIndex: (row, par, line, word))
     words = lines["body"].str.extractall(_WORD_RE, flags=re.S)
 
-    seg_dx = pdf["seg_left"].to_numpy() if "seg_left" in pdf else np.zeros(len(pdf))
-    seg_dy = pdf["seg_top"].to_numpy() if "seg_top" in pdf else np.zeros(len(pdf))
+    seg_dx = (
+        pdf["seg_left"].to_numpy(dtype=np.float64)
+        if "seg_left" in pdf else np.zeros(R)
+    )
+    seg_dy = (
+        pdf["seg_top"].to_numpy(dtype=np.float64)
+        if "seg_top" in pdf else np.zeros(R)
+    )
 
-    # group words under (row, par, line)
-    word_map: dict[tuple, list[tuple[str, str]]] = {}
-    for idx, row in words.iterrows():
-        key = idx[:-1]  # drop match level
-        word_map.setdefault(key, []).append((row["title"], row["body"]))
+    # --- vectorized per-line attributes -------------------------------
+    ltitle = lines["title"]
+    lbox = ltitle.str.extract(_BBOX_COLS_RE).astype(np.float64).fillna(0.0)
+    lx1 = lbox[0].to_numpy()
+    ly2 = lbox[3].to_numpy()
+    lbox_np = lbox.to_numpy()  # (L, 4)
+    lbl = (
+        ltitle.str.extract(_BASELINE_COLS_RE).astype(np.float64).fillna(0.0)
+    )
+    bl_a, bl_b = lbl[0].to_numpy(), lbl[1].to_numpy()
+    lbody_text = (
+        lines["body"].str.replace(_TAG_RE, "", regex=True).str.strip()
+    )
 
-    out: list[tuple[str, int, list]] = []
-    for i, (doc_id, page_no) in enumerate(
-        zip(pdf["doc_id"], pdf["page_no"])
-    ):
-        page_pars: list = []
-        if i in pars.index.get_level_values(0):
-            par_ct = len(pars.loc[i])
-        else:
-            par_ct = 0
-        for pj in range(par_ct):
-            par_lines: list = []
-            try:
-                line_rows = lines.loc[(i, pj)]
-            except KeyError:
-                line_rows = None
-            n_lines = 0 if line_rows is None else len(line_rows)
-            for lj in range(n_lines):
-                title = line_rows.iloc[lj]["title"]
-                line_box = _extract_box(title) or [0.0, 0.0, 0.0, 0.0]
-                bl = BASELINE_RE.search(title)
-                baseline = (
-                    tuple(float(v) for v in bl.group(1).split())
-                    if bl
-                    else (0.0, 0.0)
-                )
-                raw_words = word_map.get((i, pj, lj), [])
-                line_words = []
-                if raw_words:
-                    for wtitle, wbody in raw_words:
-                        text = _TAG_RE.sub("", wbody).strip()
-                        if text == "":  # parse_hocr.py:67-69
-                            continue
-                        box = _extract_box(wtitle) or line_box
-                        conf_m = CONF_RE.search(wtitle)
-                        font_m = FONT_RE.search(wtitle)
-                        if segment_origin:  # parse_hocr.py:78-85
-                            box = [
-                                box[0] + seg_dx[i], box[1] + seg_dy[i],
-                                box[2] + seg_dx[i], box[3] + seg_dy[i],
-                            ]
-                        x_mid = (box[0] + box[2]) / 2.0
-                        b = (
-                            _polyval(baseline, x_mid - line_box[0])
-                            + line_box[3]
-                        )  # parse_hocr.py:86
-                        line_words.append(
-                            {
-                                "text": text,
-                                "box": [float(v) for v in box],
-                                "b": float(b),
-                                "confidence": int(conf_m.group(1)) if conf_m else 0,
-                                "font": font_m.group(1) if font_m else None,
-                            }
-                        )
-                else:
-                    # line-as-one-word fallback, parse_hocr.py:61-64
-                    text = _TAG_RE.sub("", line_rows.iloc[lj]["body"]).strip()
-                    if text:
-                        x_mid = (line_box[0] + line_box[2]) / 2.0
-                        b = _polyval(baseline, x_mid - line_box[0]) + line_box[3]
-                        line_words.append(
-                            {
-                                "text": text,
-                                "box": [float(v) for v in line_box],
-                                "b": float(b),
-                                "confidence": 0,
-                                "font": None,
-                            }
-                        )
-                if line_words:  # parse_hocr.py:99-102
-                    par_lines.append(line_words)
-            if par_lines:
-                page_pars.append(par_lines)
-        out.append((doc_id, int(page_no), page_pars))
-    return out
+    # --- vectorized per-word attributes -------------------------------
+    wtext = words["body"].str.replace(_TAG_RE, "", regex=True).str.strip()
+    wbox = words["title"].str.extract(_BBOX_COLS_RE).astype(np.float64)
+    wconf = (
+        words["title"].str.extract(CONF_RE.pattern)[0]
+        .astype(np.float64).fillna(0.0).to_numpy().astype(np.int32)
+    )
+    wfont = words["title"].str.extract(FONT_RE.pattern)[0].to_numpy(dtype=object)
+    wfont[pd.isna(wfont)] = None  # Arrow string arrays reject float NaN
+
+    # real words: empty-text filter (parse_hocr.py:67-69)
+    keep = (wtext != "").to_numpy()
+    widx = words.index
+    # line position of each word (lines index is unique; get_indexer is
+    # the vectorized join)
+    wpos_all = lines.index.get_indexer(widx.droplevel(-1))
+    w_row = widx.get_level_values(0).to_numpy()[keep]
+    w_par = np.asarray(widx.get_level_values(1), dtype=np.int64)[keep]
+    w_line = np.asarray(widx.get_level_values(2), dtype=np.int64)[keep]
+    w_ord = np.asarray(widx.get_level_values(3), dtype=np.int64)[keep]
+    wpos = wpos_all[keep]
+
+    box4 = wbox.to_numpy()[keep]  # (W, 4), NaN where word has no bbox
+    # missing word bbox → line box (parse_hocr.py's `or line_box`)
+    miss = np.isnan(box4[:, 0]) if len(box4) else np.zeros(0, bool)
+    if miss.any():
+        box4[miss] = lbox_np[wpos[miss]]
+    if segment_origin and len(box4):  # parse_hocr.py:78-85
+        box4 = box4 + np.stack(
+            [seg_dx[w_row], seg_dy[w_row], seg_dx[w_row], seg_dy[w_row]],
+            axis=1,
+        )
+    x_mid = (box4[:, 0] + box4[:, 2]) / 2.0 if len(box4) else np.zeros(0)
+    # b = polyval(baseline, x_mid - line_x0) + line_y2   (parse_hocr.py:86)
+    w_b = (x_mid - lx1[wpos]) * bl_a[wpos] + bl_b[wpos] + ly2[wpos]
+    w_text = wtext.to_numpy(dtype=object)[keep]
+    w_conf = wconf[keep]
+    w_font = wfont[keep]
+
+    # --- line-as-one-word fallback (parse_hocr.py:61-64) --------------
+    lidx = lines.index
+    has_word_elems = lidx.isin(widx.droplevel(-1).unique())
+    fb = (~has_word_elems) & (lbody_text != "").to_numpy()
+    fb_pos = np.flatnonzero(fb)
+    fb_row = lidx.get_level_values(0).to_numpy()[fb_pos]
+    fb_par = np.asarray(lidx.get_level_values(1), dtype=np.int64)[fb_pos]
+    fb_line = np.asarray(lidx.get_level_values(2), dtype=np.int64)[fb_pos]
+    fb_xmid = (lbox_np[fb_pos, 0] + lbox_np[fb_pos, 2]) / 2.0
+    fb_b = (
+        (fb_xmid - lx1[fb_pos]) * bl_a[fb_pos] + bl_b[fb_pos] + ly2[fb_pos]
+    )
+
+    # --- merge + global reading-order sort ----------------------------
+    g_row = np.concatenate([w_row, fb_row]).astype(np.int64)
+    g_par = np.concatenate([w_par, fb_par])
+    g_line = np.concatenate([w_line, fb_line])
+    g_ord = np.concatenate([w_ord, np.zeros(len(fb_pos), dtype=np.int64)])
+    g_text = np.concatenate(
+        [w_text, lbody_text.to_numpy(dtype=object)[fb_pos]]
+    )
+    g_box = (
+        np.concatenate([box4, lbox_np[fb_pos]])
+        if len(box4) or len(fb_pos)
+        else np.zeros((0, 4))
+    )
+    g_b = np.concatenate([w_b, fb_b])
+    g_conf = np.concatenate(
+        [w_conf, np.zeros(len(fb_pos), dtype=np.int32)]
+    )
+    g_font = np.concatenate(
+        [w_font, np.full(len(fb_pos), None, dtype=object)]
+    )
+    perm = np.lexsort((g_ord, g_line, g_par, g_row))
+    g_row, g_par, g_line = g_row[perm], g_par[perm], g_line[perm]
+    g_text, g_b = g_text[perm], g_b[perm]
+    g_box, g_conf, g_font = g_box[perm], g_conf[perm], g_font[perm]
+    W = len(g_row)
+
+    # --- group-boundary offsets: words→lines→paragraphs→pages ---------
+    if W:
+        new_line = np.ones(W, dtype=bool)
+        new_line[1:] = (
+            (g_row[1:] != g_row[:-1])
+            | (g_par[1:] != g_par[:-1])
+            | (g_line[1:] != g_line[:-1])
+        )
+        line_starts = np.flatnonzero(new_line)
+        word_offs = np.concatenate((line_starts, [W]))
+        l_row, l_par = g_row[line_starts], g_par[line_starts]
+        L = len(line_starts)
+        new_par = np.ones(L, dtype=bool)
+        new_par[1:] = (l_row[1:] != l_row[:-1]) | (l_par[1:] != l_par[:-1])
+        par_starts = np.flatnonzero(new_par)
+        line_offs = np.concatenate((par_starts, [L]))
+        p_row = l_row[par_starts]
+        pars_per_row = np.bincount(p_row, minlength=R)
+    else:
+        word_offs = np.zeros(1, dtype=np.int64)
+        line_offs = np.zeros(1, dtype=np.int64)
+        pars_per_row = np.zeros(R, dtype=np.int64)
+    par_offs = np.concatenate(([0], np.cumsum(pars_per_row)))
+
+    word_struct = pa.StructArray.from_arrays(
+        [
+            pa.array(g_text, type=pa.string()),
+            pa.ListArray.from_arrays(
+                pa.array(np.arange(W + 1) * 4, type=pa.int32()),
+                pa.array(g_box.ravel(), type=pa.float64()),
+            ),
+            pa.array(g_b, type=pa.float64()),
+            pa.array(g_conf, type=pa.int32()),
+            pa.array(g_font, type=pa.string()),
+        ],
+        names=["text", "box", "b", "confidence", "font"],
+    )
+    paragraphs = pa.ListArray.from_arrays(
+        pa.array(par_offs, type=pa.int32()),
+        pa.ListArray.from_arrays(
+            pa.array(line_offs, type=pa.int32()),
+            pa.ListArray.from_arrays(
+                pa.array(word_offs, type=pa.int32()), word_struct
+            ),
+        ),
+    )
+    return pa.Table.from_arrays(
+        [
+            pa.array(pdf["doc_id"].to_numpy(dtype=object), type=pa.string()),
+            pa.array(
+                pdf["page_no"].to_numpy(dtype=np.int64), type=pa.int32()
+            ),
+            paragraphs.cast(_OUT_SCHEMA.field("paragraphs").type),
+        ],
+        schema=_OUT_SCHEMA,
+    )
 
 
 def parse_hocr_pages(
@@ -204,14 +282,7 @@ def parse_hocr_pages(
     def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in it:
             pdf = batch.to_pandas()
-            rows = _parse_batch(pdf, segment_origin)
-            tbl = pa.Table.from_pylist(
-                [
-                    {"doc_id": d, "page_no": p, "paragraphs": pars}
-                    for d, p, pars in rows
-                ],
-                schema=_OUT_SCHEMA,
-            )
+            tbl = _parse_batch_arrow(pdf, segment_origin)
             for b in tbl.to_batches():
                 yield b
 

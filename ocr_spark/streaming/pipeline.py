@@ -52,14 +52,21 @@ def run_extraction_stream(
     await_termination: bool = True,
 ):
     """Streaming extraction: each micro-batch runs the batch kernel and
-    appends to the output table.  ``foreachBatch`` keeps one code path for
-    batch and stream (exactly-once via the stream checkpoint + idempotent
-    parquet append per batch id)."""
+    lands under the output table.  ``foreachBatch`` keeps one code path for
+    batch and stream.  Exactly-once: the stream checkpoint deduplicates
+    triggers, and the per-batch write is idempotent because each batch
+    overwrites its own ``batch_id=<id>/`` partition directory — a replay of
+    a batch that failed between write and checkpoint commit rewrites the
+    same directory instead of appending duplicates.  (A plain append here
+    would be at-least-once.)  Readers scan ``output_path`` and see
+    ``batch_id`` as a discovered partition column."""
     src = stream_documents(spark, input_path)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = extract_documents(batch_df, order_by=order_by)
-        out.write.mode("append").parquet(output_path)
+        out.write.mode("overwrite").parquet(
+            f"{output_path}/batch_id={batch_id}"
+        )
 
     q = (
         src.writeStream.foreachBatch(process)

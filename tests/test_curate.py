@@ -58,6 +58,39 @@ def test_curation_pipeline(spark, corpus):
     assert len(row["tokens"]) == row["n_tokens"] > 0
 
 
+def test_curate_kernel_runs_once(spark, corpus, monkeypatch):
+    """The extraction kernel must execute exactly once for the whole
+    five-action pipeline (curate() persists its output).  Counted with an
+    executor-side accumulator ticked per row flowing OUT of the kernel: if
+    any downstream action recomputed the kernel, the tick total would be a
+    multiple of the row count."""
+    import ocr_spark.jobs.curate as curate_mod
+    from ocr_spark.jobs.curate import curate
+
+    d, src = corpus
+    acc = spark.sparkContext.accumulator(0)
+    orig = curate_mod.extract_documents
+
+    def counted(docs, **kw):
+        out = orig(docs, **kw)
+
+        def tick(it):
+            for pdf in it:
+                acc.add(len(pdf))
+                yield pdf
+
+        return out.mapInPandas(tick, out.schema)
+
+    monkeypatch.setattr(curate_mod, "extract_documents", counted)
+    out, stats = curate(spark.read.parquet(src))
+    out.count()  # one extra downstream action on top of the five in curate()
+    assert acc.value == stats["input"], (
+        f"kernel rows ticked {acc.value}x vs {stats['input']} docs — "
+        "extraction recomputed"
+    )
+    spark.catalog.clearCache()
+
+
 def test_curation_deterministic(spark, corpus):
     d, src = corpus
     s1 = run_curation(spark, src, os.path.join(d, "c1"))

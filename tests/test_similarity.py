@@ -49,6 +49,26 @@ def test_ivf_recall_and_determinism(spark, emb):
     assert _recall(ivf_all, exact) == 1.0
 
 
+def test_ivf_trains_on_bounded_sample(spark, emb):
+    """The IVF quantizer must never collect the full index to the driver:
+    the training matrix is capped at train_sample rows by construction,
+    and the capped build still works end-to-end."""
+    from ocr_spark.operators.similarity import _training_sample_matrix
+
+    n = emb.count()
+    cap = max(10, n // 4)
+    mat = _training_sample_matrix(emb, "embedding", cap, seed=42)
+    assert len(mat) <= cap < n
+    # end-to-end with the capped quantizer: full probing is still exhaustive
+    exact = _topk_map(cosine_topk_bruteforce(emb, emb, k=5))
+    ivf = _topk_map(
+        cosine_topk_ivf(
+            emb, emb, k=5, n_centroids=8, n_probe=8, train_sample=cap
+        )
+    )
+    assert _recall(ivf, exact) == 1.0
+
+
 def test_lsh_recall(spark, emb):
     exact = _topk_map(cosine_topk_bruteforce(emb, emb, k=5))
     lsh = _topk_map(cosine_topk_lsh(emb, emb, k=5))

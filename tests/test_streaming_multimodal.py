@@ -100,7 +100,11 @@ def test_streaming_windowed_agg(spark, tmp_path):
     assert len(rows) > 0
     total = sum(r["n"] for r in rows)
     assert total <= 1000
-    assert all(r["win_end"] <= r["win_start"] + 300 for r in [])  # shape only
+    from datetime import timedelta
+
+    assert all(
+        r["win_end"] == r["win_start"] + timedelta(minutes=5) for r in rows
+    )
 
 
 def test_multimodal_features(spark, tmp_path):
