@@ -46,6 +46,17 @@ _NT = (
 _RT = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
 
 
+def _analyzer_sql() -> str:
+    """ES-analyzer tokens (F13): whitespace → lower → asciifold →
+    stopword drop — mirrors ocr_spark/functions/text.py analyzer_tokens."""
+    stop = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+    return (
+        "list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'), "
+        f"w -> translate(lower(w), '{T.ACCENT_SRC}', '{T.ACCENT_DST}')), "
+        f"t -> t <> '' and t not in ({stop}))"
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -252,6 +263,85 @@ def q_fuzzy_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dict_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 full fidelity (compare_dicts_words, server/src/utils/text.py:21-43):
+    per-language corpus wordlists, union of the SELECTED languages only,
+    broadcast; output is the {word: bool} map — one row per distinct OCR
+    word including in_dict=false rows (the round-1 semi-join kept hits
+    only).  Languages are synthesized deterministically from part-name
+    tokens (first letter a-m → 'pt', else 'en'); selection = ['pt'], so
+    'en' corpus words must NOT mark true."""
+    docs = _docs(spark, sf_dir)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    corpus = (
+        part.select(F.explode(F.split(F.lower(F.col("p_name")), " ")).alias("cw"))
+        .distinct()
+        .withColumn(
+            "lang", F.when(F.col("cw") < "n", F.lit("pt")).otherwise(F.lit("en"))
+        )
+    )
+    selected = corpus.where(F.col("lang") == "pt").select("cw")
+    words = (
+        docs.select(F.explode(T.norm_tokens(F.col("text"))).alias("word"))
+        .distinct()
+    )
+    return (
+        words.join(
+            F.broadcast(selected.withColumn("hit", F.lit(True))),
+            words.word == selected.cw,
+            "left",
+        )
+        .select("word", F.coalesce("hit", F.lit(False)).alias("in_dict"))
+        .orderBy("word")
+    )
+
+
+_MM_TERMS = ("fast", "merge", "src3")
+
+
+def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 — ES multi_match/best_fields/fuzziness=AUTO analog
+    (server/src/elastic_search.py:158-189): query terms scored against
+    BOTH the text field and the document-name field ('source' stands in
+    for Document); per-field score = Σ(2·exact + 1·fuzzy(dist=1)) term
+    hits over analyzer tokens, best_fields takes the max field score;
+    rank desc with doc_id tie-break, hit cap 1000 (elastic_search.py:136).
+    Deterministic integer scoring so the DuckDB twin matches exactly."""
+    docs = _docs(spark, sf_dir)
+    terms = spark.createDataFrame([(t,) for t in _MM_TERMS], "term string")
+    toks = docs.select(
+        "doc_id", F.explode(T.analyzer_tokens(F.col("text"))).alias("tok")
+    )
+    w = F.when(F.col("tok") == F.col("term"), F.lit(2)).otherwise(F.lit(1))
+    s_text = (
+        toks.join(F.broadcast(terms), F.levenshtein("tok", "term") <= 1)
+        .groupBy("doc_id")
+        .agg(F.sum(w).alias("s_text"))
+    )
+    names = docs.select("doc_id", F.col("source").alias("tok"))
+    s_name = (
+        names.join(F.broadcast(terms), F.levenshtein("tok", "term") <= 1)
+        .groupBy("doc_id")
+        .agg(F.sum(w).alias("s_name"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(s_text, "doc_id", "left")
+        .join(s_name, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("s_text", F.lit(0)).cast("bigint").alias("s_text"),
+            F.coalesce("s_name", F.lit(0)).cast("bigint").alias("s_name"),
+            F.greatest(
+                F.coalesce("s_text", F.lit(0)), F.coalesce("s_name", F.lit(0))
+            ).cast("bigint").alias("score"),
+        )
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(1000)
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -332,6 +422,15 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
+
+def q_word_pages_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 editor map (get_file_parsed, file.py:116-150): RAW-keyed
+    word→pages with per-occurrence duplicates; pages synthesized as
+    100-raw-token blocks (flat table has no physical pages)."""
+    from ocr_spark.operators.index import word_pages_raw
+
+    return word_pages_raw(_docs(spark, sf_dir))
+
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
@@ -551,6 +650,44 @@ with postings as (select distinct doc_id, unnest({_NT}) as word from documents)
 select word, array_to_string(list_sort(list(doc_id)), ' ') as postings,
        cast(count(*) as bigint) as df
 from postings group by word
+""",
+    "dict_check": f"""
+with corpus as (select distinct unnest(string_split(lower(p_name), ' ')) as cw from part),
+sel as (select cw from corpus where cw < 'n'),
+words as (select distinct unnest({_NT}) as word from documents)
+select word, (s.cw is not null) as in_dict
+from words w left join sel s on w.word = s.cw
+order by word
+""",
+    "multi_match": f"""
+with terms(term) as (values ('{_MM_TERMS[0]}'), ('{_MM_TERMS[1]}'), ('{_MM_TERMS[2]}')),
+toks as (select doc_id, unnest({_analyzer_sql()}) as tok from documents),
+st as (select doc_id, sum(case when tok = term then 2 else 1 end) as s_text
+       from toks join terms on levenshtein(tok, term) <= 1 group by doc_id),
+sn as (select doc_id, sum(case when source = term then 2 else 1 end) as s_name
+       from documents join terms on levenshtein(source, term) <= 1
+       group by doc_id)
+select d.doc_id,
+       cast(coalesce(st.s_text, 0) as bigint) as s_text,
+       cast(coalesce(sn.s_name, 0) as bigint) as s_name,
+       cast(greatest(coalesce(st.s_text, 0), coalesce(sn.s_name, 0)) as bigint) as score
+from documents d
+left join st on d.doc_id = st.doc_id
+left join sn on d.doc_id = sn.doc_id
+where greatest(coalesce(st.s_text, 0), coalesce(sn.s_name, 0)) > 0
+order by score desc, d.doc_id asc
+limit 1000
+""",
+    "word_pages_raw": f"""
+with t as (select doc_id, {_RT} as toks from documents),
+e as (select doc_id, toks, unnest(range(1, len(toks) + 1)) as i from t),
+w as (select doc_id, toks[i] as word,
+             cast(floor((i - 1) / 100) as bigint) as page, i
+      from e)
+select doc_id, word,
+       array_to_string(list(cast(page as varchar) order by i), ' ') as pages,
+       count(*) as n_occ, true as syntax
+from w group by doc_id, word
 """,
     "dedup_minhash_lsh": _minhash_sql(0.0),
     "ngram_jaccard": _ngram_jaccard_sql(0.0),
@@ -789,6 +926,43 @@ def _q_contract_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "fp", "n_words", "n_tokens")
 
 
+def _q_contract_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 binary ingest end-to-end: binaryFile scan of generated
+    pdfx/zip containers → page split → O1/O2 ordering → hOCR parse →
+    spans.  Rows-only driver check; ordering semantics are pytest-gated
+    (tests/test_ingest.py)."""
+    import os
+    import tempfile
+
+    from ocr_spark.sources.hocr import render_hocr
+    from ocr_spark.sources.ingest import ingest_spans, write_pdfx, write_zip
+
+    d = os.path.join(tempfile.gettempdir(), "ocr_spark_ingest_fixture")
+    if not os.path.isdir(d):
+        os.makedirs(d, exist_ok=True)
+        words = ["tribunal", "supremo", "acordam", "processo", "recurso"]
+        for k in range(8):
+            pages = []
+            for p in range(4 + k % 3):
+                ir = [[
+                    [
+                        {"text": words[(k + p + i) % len(words)],
+                         "box": [10.0 + 60 * i, 10.0, 60.0 + 60 * i, 30.0],
+                         "b": 0.0, "confidence": 90, "font": None}
+                        for i in range(6)
+                    ]
+                ]]
+                pages.append(render_hocr(ir, page_no=p).encode())
+            if k % 2 == 0:
+                write_pdfx(os.path.join(d, f"doc{k}.pdfx"), pages)
+            else:
+                write_zip(
+                    os.path.join(d, f"doc{k}.zip"),
+                    {f"page_{p}.png": pg for p, pg in enumerate(pages)},
+                )
+    return ingest_spans(spark, d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "span_extract": q_span_extract,
@@ -809,12 +983,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "inverted_index": q_inverted_index,
+        "word_pages_raw": q_word_pages_raw,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,                       # approximate — no oracle
         "ann_ivf": q_ann_ivf,                       # approximate — no oracle
         "contract_extract": _q_contract_extract,    # pytest-oracled — no SQL
         "contract_curate": _q_contract_curate,      # pytest-oracled — no SQL
+        "contract_ingest": _q_contract_ingest,      # pytest-oracled — no SQL
         "q1_pricing": R.q1_pricing_summary,
         "q3_topk": R.q3_shipping_topk,
         "q5_region_revenue": R.q5_region_revenue,
@@ -825,6 +1001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": R.asof_join_events_orders,
         "tokenize_asciifold": q_tokenize_asciifold,
         "fuzzy_dict": q_fuzzy_dict,
+        "dict_check": q_dict_check,
+        "multi_match": q_multi_match,
         "sessionize": R.sessionize_events,
         "above_cust_avg": R.orders_above_cust_avg,
     }

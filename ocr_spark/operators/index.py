@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ocr_spark.functions.text import norm_tokens
+from ocr_spark.functions.text import norm_tokens, tokens
 
 
 def inverted_index(
@@ -51,4 +51,47 @@ def inverted_index(
             F.array_sort("raw").alias("postings"),
             F.size("raw").cast("bigint").alias("df"),
         )
+    )
+
+
+def word_pages_raw(
+    docs: DataFrame,
+    page_size: int = 100,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """A3 — the editor's word→pages map, keyed by RAW (unnormalized) text.
+
+    Reference ``get_file_parsed`` (server/src/utils/file.py:116-150): for
+    every word occurrence, in reading order, the 0-based page id is
+    APPENDED to the word's ``pages`` list — duplicates kept (a word seen
+    three times on page 0 yields ``[0, 0, 0]``), no lowercasing, no
+    punctuation strip (the normalizing variant is the A1 word index); the
+    ``syntax`` flag is constant true at build time (dictionary lookup
+    fills it later).
+
+    The flat ``documents`` table has no physical pages, so pages are
+    synthesized deterministically as fixed blocks of ``page_size`` raw
+    tokens; a table that carries real page ids feeds the same groupBy.
+    Occurrence order is reconstructed exactly via the token ordinal
+    (``sort_array`` over (ordinal, page) structs — collect_list alone has
+    no ordering guarantee after the shuffle).
+    """
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    w = docs.select(
+        doc_col, F.posexplode(toks).alias("i", "word")
+    ).withColumn("page", F.floor(F.col("i") / page_size).cast("bigint"))
+    return (
+        w.groupBy(doc_col, "word")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "page"))),
+                    lambda s: s["page"].cast("string"),
+                ),
+                " ",
+            ).alias("pages"),
+            F.count("*").alias("n_occ"),
+        )
+        .withColumn("syntax", F.lit(True))
     )

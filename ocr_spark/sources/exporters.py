@@ -1,5 +1,6 @@
-"""Export sinks: txt, delimited txt, word-index CSV, ALTO XML — the §2.9
-export operators (E1, E2, E4) as DataFrame writers / column builders.
+"""Export sinks: txt, delimited txt, word-index CSV, ALTO XML, METS — the
+§2.9 export operators (E1, E2, E4, E5) as DataFrame writers / column
+builders.
 
 Reference semantics (citations into /root/reference/):
 
@@ -12,11 +13,17 @@ Reference semantics (citations into /root/reference/):
 * E4 export_alto: ALTO v3 XML, one per page: Page/PrintSpace/TextBlock/
   TextLine/String with integer HPOS/VPOS/WIDTH/HEIGHT and CONTENT
                                              — server/src/utils/export.py:943-984
+* E5 create_document_mets: per-document METS with MD5-checksummed file
+  entries (``IMG``/``ALTO`` page groups + one fileGrp per single export
+  file), a physical structMap pairing each page's image + ALTO, and a
+  single-file structMap                      — server/src/utils/export.py:731-936
+  (file-entry shape ``generate_file`` export.py:623-630)
 
 All builders are pure Catalyst expressions or vectorized string assembly —
-narrow, shuffle-free, safe at any scale; the actual ``df.write`` fan-out is
-the caller's choice of layout (one file per doc via partitionBy, or rolled
-parquet/text).
+narrow, shuffle-free, safe at any scale (METS aggregates per document:
+one hash-agg shuffle of slim fragment strings); the actual ``df.write``
+fan-out is the caller's choice of layout (one file per doc via
+partitionBy, or rolled parquet/text).
 """
 
 from __future__ import annotations
@@ -57,6 +64,149 @@ def word_index_csv_lines(extracted: DataFrame) -> DataFrame:
         "doc_id", F.lit(1).alias("line_no"), F.lit("").alias("value")
     )
     return header.unionByName(blank).unionByName(rows)
+
+
+_METS_AMDSEC = "".join(
+    # constant techMD block, export.py:838-912 (six format designations)
+    '<techMD ID="techMD%d"><mdWrap><xmlData><mix>'
+    "<BasicDigitalObjectInformation><FormatDesignation>"
+    "<formatName>%s</formatName>"
+    "</FormatDesignation></BasicDigitalObjectInformation>"
+    "</mix></xmlData></mdWrap></techMD>" % (i + 1, fmt)
+    for i, fmt in enumerate(
+        ["image/png", "application/pdf", "text/plain",
+         "text/csv", "text/xml", "application/json"]
+    )
+)
+
+
+def mets_file_entry(
+    grp: Column, seq: Column, md5: Column, size: Column,
+    mimetype: Column, href: Column,
+) -> Column:
+    """One METS <file> element (generate_file, export.py:623-630):
+    MD5 checksum, GROUPID = page seq, ID = {GRP}{seq:05d}, FLocat href."""
+    sq = seq.cast("string")
+    return F.concat(
+        F.lit('<file CHECKSUMTYPE="MD5" CHECKSUM="'), md5,
+        F.lit('" GROUPID="'), sq,
+        F.lit('" ID="'), grp, F.lpad(sq, 5, "0"),
+        F.lit('" MIMETYPE="'), mimetype,
+        F.lit('" SEQ="'), sq,
+        F.lit('" SIZE="'), size.cast("string"),
+        F.lit('"><FLocat LOCTYPE="OTHER" OTHERLOCTYPE="FILE" xlink:href="'),
+        href, F.lit('"/></file>'),
+    )
+
+
+def mets_documents(artifacts: DataFrame) -> DataFrame:
+    """E5 — per-document METS manifest (create_document_mets,
+    export.py:731-936) from an artifact-manifest DataFrame:
+
+      ``doc_id, creation timestamp, grp string ('IMG' page image | 'ALTO'
+      page ALTO | single-file extension tag e.g. 'TXT'), seq int (1-based
+      page number; occurrence index for singles), href string, size
+      bigint, md5 string (use F.md5 over the artifact content column),
+      mimetype string``
+
+    Emitted per doc_id: ``mets_xml`` with the reference's structure —
+    metsHdr CREATEDATE (ISO), MODS title (doc_id minus extension), the
+    constant six-entry techMD block, fileSec with PNGGRP + ALTOGRP + one
+    fileGrp per single file, physical structMap pairing IMG+ALTO fptrs
+    per page, and the single-file structMap.  Whitespace/indentation is
+    normalized (the reference hand-indents with tabs); element and
+    attribute vocabulary, ID scheme and checksum semantics are kept.
+
+    Preserved reference quirk: page-image file entries carry ID prefix
+    ``IMG`` (generate_file call export.py:779-786) while the physical
+    structMap's fptrs reference ``PNG{seq:05d}`` (export.py:770-773) —
+    the reference's own fptrs dangle, and this writer reproduces that
+    exactly.  Documented deviations: whitespace normalized; single-file
+    entries carry their occurrence index as SEQ/GROUPID (the reference
+    pins SEQ=1/GROUPID=0 for singles).
+
+    Plan shape: per-artifact fragments are built row-wise (codegen), then
+    ONE hash aggregation on doc_id collects slim fragment strings —
+    content bytes never shuffle (md5/size are computed upstream where the
+    content lives).
+    """
+    frag = mets_file_entry(
+        F.col("grp"), F.col("seq"), F.col("md5"), F.col("size"),
+        F.col("mimetype"), F.col("href"),
+    )
+    rows = artifacts.select(
+        "doc_id", "creation", "grp", "seq",
+        frag.alias("frag"),
+    )
+    agg = rows.groupBy("doc_id").agg(
+        F.max("creation").alias("creation"),
+        F.array_sort(
+            F.collect_list(F.struct("grp", "seq", "frag"))
+        ).alias("entries"),
+    )
+    img = "filter(entries, e -> e.grp = 'IMG')"
+    alto = "filter(entries, e -> e.grp = 'ALTO')"
+    singles = "filter(entries, e -> e.grp != 'IMG' and e.grp != 'ALTO')"
+    page_divs = (
+        f"array_join(transform({img}, e -> concat("
+        "'<div TYPE=\"Page\" ORDER=\"', cast(e.seq as string), '\">"
+        "<fptr FILEID=\"PNG', lpad(cast(e.seq as string), 5, '0'), '\"/>"
+        "<fptr FILEID=\"ALTO', lpad(cast(e.seq as string), 5, '0'), '\"/>"
+        "</div>')), '')"
+    )
+    single_grps = (
+        f"array_join(transform({singles}, e -> concat("
+        "'<fileGrp ID=\"', e.grp, 'GRP', cast(e.seq as string), "
+        "'\" USE=\"Text\">', e.frag, '</fileGrp>')), '')"
+    )
+    single_divs = (
+        f"array_join(transform({singles}, (e, i) -> concat("
+        "'<div ID=\"DIV', cast(i + 1 as string), '\" TYPE=\"CompleteObject\">"
+        "<fptr FILEID=\"', e.grp, lpad(cast(e.seq as string), 5, '0'), "
+        "'\"/></div>')), '')"
+    )
+    xml = F.concat(
+        F.lit(
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<mets xsi:schemaLocation='
+            '"http://www.loc.gov/standards/mets/version18/mets.xsd">'
+            '<metsHdr CREATEDATE="'
+        ),
+        F.date_format("creation", "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit(
+            '"><agent ROLE="CREATOR" TYPE="ORGANIZATION">'
+            "<name>INESC-ID LISBOA</name></agent></metsHdr>"
+            '<dmdSec ID="DM1"><mdWrap MDTYPE="MODS"><xmlData><mods>'
+            "<titleInfo><title>"
+        ),
+        _xml_escape(F.regexp_replace("doc_id", r"\.[^.]*$", "")),
+        F.lit(
+            "</title></titleInfo></mods></xmlData></mdWrap></dmdSec>"
+            f"<amdSec>{_METS_AMDSEC}</amdSec>"
+            '<fileSec><fileGrp ID="PNGGRP" USE="Images">'
+        ),
+        F.expr(f"array_join(transform({img}, e -> e.frag), '')"),
+        F.lit('</fileGrp><fileGrp ID="ALTOGRP" USE="Text">'),
+        F.expr(f"array_join(transform({alto}, e -> e.frag), '')"),
+        F.lit("</fileGrp>"),
+        F.expr(single_grps),
+        F.lit(
+            "</fileSec>"
+            '<structMap ID="SM1" LABEL="Physical Structure" TYPE="PHYSICAL">'
+            '<div TYPE="Document">'
+        ),
+        F.expr(page_divs),
+        F.lit(
+            "</div></structMap>"
+            '<structMap ID="SM2" LABEL="Logical Structure" TYPE="LOGICAL">'
+            "</structMap>"
+            '<structMap ID="SM3" LABEL="Single File Structure"'
+            ' TYPE="SINGLE_FILE">'
+        ),
+        F.expr(single_divs),
+        F.lit("</structMap></mets>"),
+    )
+    return agg.select("doc_id", xml.alias("mets_xml"))
 
 
 def _xml_escape(c: Column) -> Column:

@@ -1,0 +1,108 @@
+"""Incremental edit → re-derive (§3.3): only the edited docs' buckets are
+rewritten; edited content lands; untouched docs' rows are byte-identical;
+the manifest records the edit commit."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark import datagen
+from ocr_spark.jobs.edits import apply_edits
+from ocr_spark.jobs.extract_job import bucketed, run_extraction
+
+N_BUCKETS = 8
+
+
+def _bucket_files(output_path: str) -> dict[str, tuple]:
+    """bucket dir → sorted (filename, mtime_ns, size) tuple."""
+    out = {}
+    for d in os.listdir(output_path):
+        if not d.startswith("bucket="):
+            continue
+        full = os.path.join(output_path, d)
+        out[d] = tuple(
+            sorted(
+                (f, os.stat(os.path.join(full, f)).st_mtime_ns,
+                 os.stat(os.path.join(full, f)).st_size)
+                for f in os.listdir(full)
+                if not f.startswith(".")
+            )
+        )
+    return out
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edits")
+    src = os.path.join(d, "docs.parquet")
+    out = os.path.join(d, "spans_out")
+    man = os.path.join(d, "manifest")
+    datagen.generate_to_path(src, n_docs=120, seed=42, scramble=True)
+    st = run_extraction(
+        spark, src, out, man, run_id="base", n_buckets=N_BUCKETS
+    )
+    assert st["status"] == "ok"
+    return src, out, man
+
+
+def test_apply_edits_touches_only_edited_buckets(spark, pipeline):
+    src, out, man = pipeline
+    before = _bucket_files(out)
+    before_rows = {
+        r["doc_id"]: (r["doc_text"], r["n_words"])
+        for r in spark.read.parquet(out).select(
+            "doc_id", "doc_text", "n_words"
+        ).collect()
+    }
+
+    # edit two documents: uppercase every text span
+    docs = spark.read.parquet(src)
+    edit_ids = [r["doc_id"] for r in docs.select("doc_id").orderBy("doc_id").limit(2).collect()]
+    updates = docs.where(F.col("doc_id").isin(edit_ids)).select(
+        "doc_id",
+        F.expr(
+            "transform(spans, s -> struct(s.kind as kind, "
+            "upper(s.text) as text, s.media_ref as media_ref, "
+            "s.offset as offset))"
+        ).alias("spans"),
+        "meta",
+    )
+    st = apply_edits(
+        spark, updates, src, out, man, run_id="edit-1", n_buckets=N_BUCKETS
+    )
+    assert st["status"] == "ok" and st["edited_docs"] == 2
+    touched = {f"bucket={b}" for b in st["touched_buckets"]}
+    assert 1 <= len(touched) <= 2
+
+    # only touched bucket dirs rewrote
+    after = _bucket_files(out)
+    assert set(after) == set(before)
+    for b in before:
+        if b in touched:
+            assert after[b] != before[b], f"{b} should have been rewritten"
+        else:
+            assert after[b] == before[b], f"{b} rewritten unnecessarily"
+
+    # edited docs reflect the new content; every other doc is identical
+    after_rows = {
+        r["doc_id"]: (r["doc_text"], r["n_words"])
+        for r in spark.read.parquet(out).select(
+            "doc_id", "doc_text", "n_words"
+        ).collect()
+    }
+    assert set(after_rows) == set(before_rows)
+    for doc_id, (text, n) in after_rows.items():
+        if doc_id in edit_ids:
+            assert text == before_rows[doc_id][0].upper()
+            assert n == before_rows[doc_id][1]
+        else:
+            assert (text, n) == before_rows[doc_id]
+
+    # manifest gained exactly one 'edited' row per touched bucket
+    m = spark.read.parquet(man)
+    edited = m.where(F.col("run_id") == "edit-1").collect()
+    assert {r["bucket"] for r in edited} == set(st["touched_buckets"])
+    assert all(r["status"] == "edited" for r in edited)
