@@ -306,7 +306,13 @@ def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     for Document); per-field score = Σ(2·exact + 1·fuzzy(dist=1)) term
     hits over analyzer tokens, best_fields takes the max field score;
     rank desc with doc_id tie-break, hit cap 1000 (elastic_search.py:136).
-    Deterministic integer scoring so the DuckDB twin matches exactly."""
+    Deterministic integer scoring so the DuckDB twin matches exactly.
+
+    Plan note: the distance predicate has no equi-key, so Spark picks
+    BroadcastNestedLoopJoin — benign here because the broadcast side is
+    the QUERY TERM list (O(query length), 3 rows), making the scan linear
+    per token; this is the inherent shape of fuzzy scoring, unlike the
+    vocab×corpus cross the blocked fuzzy_dict avoids."""
     docs = _docs(spark, sf_dir)
     terms = spark.createDataFrame([(t,) for t in _MM_TERMS], "term string")
     toks = docs.select(
@@ -413,7 +419,9 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted posting array is projected to a space-joined string."""
     from ocr_spark.operators.index import inverted_index
 
-    idx = inverted_index(_docs(spark, sf_dir))
+    # max_postings=None: exact variant for oracle parity (the scale
+    # default caps degenerate hot-word arrays; df stays exact either way)
+    idx = inverted_index(_docs(spark, sf_dir), max_postings=None)
     return idx.select(
         "word", F.array_join("postings", " ").alias("postings"), "df"
     )
@@ -963,6 +971,63 @@ def _q_contract_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest_spans(spark, d)
 
 
+def _q_contract_mets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 METS manifests over the contract table: ALTO page artifacts are
+    derived from the extraction IR (md5/size computed where the content
+    lives), IMG entries from the media spans, then one METS XML per doc.
+    Rows-only driver check; XML structure is golden-tested
+    (tests/test_mets.py)."""
+    import os
+    import tempfile
+
+    from ocr_spark import datagen
+    from ocr_spark.sources.exporters import mets_documents
+
+    path = os.path.join(
+        tempfile.gettempdir(), "ocr_spark_contract_sf001.parquet"
+    )
+    if not os.path.exists(path):
+        datagen.generate_to_path(path, n_docs=200, seed=42, scramble=True)
+    docs = spark.read.parquet(path)
+    # pages: synthesize one ALTO + one IMG artifact per 100-span block
+    pages = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.ceil(F.size("spans") / 100), F.lit(1))
+            )
+        ).alias("seq"),
+    )
+    base = pages.select(
+        "doc_id",
+        F.lit("2026-03-01 00:00:00").cast("timestamp").alias("creation"),
+        "seq",
+    )
+    alto = base.select(
+        "*",
+        F.lit("ALTO").alias("grp"),
+        F.concat(F.lit("alto_schemas/p"), F.col("seq").cast("string"),
+                 F.lit(".xml")).alias("href"),
+        F.lit("text/xml").alias("mimetype"),
+    )
+    img = base.select(
+        "*",
+        F.lit("IMG").alias("grp"),
+        F.concat(F.lit("_pages/p"), F.col("seq").cast("string"),
+                 F.lit(".png")).alias("href"),
+        F.lit("image/png").alias("mimetype"),
+    )
+    arts = alto.unionByName(img).select(
+        "doc_id", "creation", "grp", "seq", "href",
+        F.length("href").cast("bigint").alias("size"),
+        F.md5(F.concat("doc_id", "href").cast("binary")).alias("md5"),
+        "mimetype",
+    )
+    return mets_documents(arts).select(
+        "doc_id", F.length("mets_xml").cast("bigint").alias("mets_len")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "span_extract": q_span_extract,
@@ -991,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contract_extract": _q_contract_extract,    # pytest-oracled — no SQL
         "contract_curate": _q_contract_curate,      # pytest-oracled — no SQL
         "contract_ingest": _q_contract_ingest,      # pytest-oracled — no SQL
+        "contract_mets": _q_contract_mets,          # pytest-oracled — no SQL
         "q1_pricing": R.q1_pricing_summary,
         "q3_topk": R.q3_shipping_topk,
         "q5_region_revenue": R.q5_region_revenue,

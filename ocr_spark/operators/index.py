@@ -31,8 +31,17 @@ def inverted_index(
     n_salts: int = 16,
     doc_col: str = "doc_id",
     text_col: str = "text",
+    max_postings: int | None = 100_000,
 ) -> DataFrame:
-    """word → sorted distinct posting list + document frequency."""
+    """word → sorted distinct posting list + document frequency.
+
+    ``max_postings`` bounds the materialized posting array of degenerate
+    hot words (stopwords appear in ~every document — at corpus scale an
+    uncapped final row would be corpus-sized even though the salted
+    two-stage agg keeps every SHUFFLE bounded).  ``df`` stays exact; only
+    the stored array truncates, flagged by ``truncated``.  Pass ``None``
+    for the exact (oracle-parity) variant at small scale.
+    """
     postings = (
         docs.select(
             doc_col, F.explode(norm_tokens(F.col(text_col))).alias("word")
@@ -43,14 +52,21 @@ def inverted_index(
     partial = postings.groupBy("word", "salt").agg(
         F.collect_list(doc_col).alias("part")
     )
-    return (
-        partial.groupBy("word")
-        .agg(F.flatten(F.collect_list("part")).alias("raw"))
-        .select(
+    out = partial.groupBy("word").agg(
+        F.flatten(F.collect_list("part")).alias("raw")
+    )
+    sorted_postings = F.array_sort("raw")
+    if max_postings is None:
+        return out.select(
             "word",
-            F.array_sort("raw").alias("postings"),
+            sorted_postings.alias("postings"),
             F.size("raw").cast("bigint").alias("df"),
         )
+    return out.select(
+        "word",
+        F.slice(sorted_postings, 1, max_postings).alias("postings"),
+        F.size("raw").cast("bigint").alias("df"),
+        (F.size("raw") > max_postings).alias("truncated"),
     )
 
 

@@ -27,6 +27,25 @@ def test_inverted_index_salting_is_invisible(spark):
         assert p == sorted(p) and df == len(p)
 
 
+def test_inverted_index_postings_cap(spark):
+    """max_postings bounds the stored hot-word array; df stays exact and
+    the row is flagged truncated."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    exact = {r["word"]: r for r in
+             inverted_index(docs, max_postings=None).collect()}
+    capped = {r["word"]: r for r in
+              inverted_index(docs, max_postings=3).collect()}
+    assert set(exact) == set(capped)
+    hot = 0
+    for w, r in capped.items():
+        e = exact[w]
+        assert r["df"] == e["df"] == len(e["postings"])
+        assert r["postings"] == e["postings"][:3]
+        assert r["truncated"] == (e["df"] > 3)
+        hot += r["truncated"]
+    assert hot > 0  # the corpus does have words with df > 3
+
+
 def test_inverted_index_two_stage_plan(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     q = inverted_index(docs, n_salts=16)

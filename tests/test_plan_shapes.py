@@ -56,6 +56,17 @@ def test_dim_joins_broadcast(spark):
     checks.assert_broadcast_join(q5_region_revenue(spark, SF), "q5")
 
 
+def test_fuzzy_dict_is_blocked_hash_join(spark):
+    """The fuzzy dictionary match must run as a length-band HASH join —
+    round 1 shipped a BroadcastNestedLoopJoin over |vocab| x |corpus|."""
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()["fuzzy_dict"](spark, SF)
+    plan = checks.physical_plan(q)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_scan_pushdown_and_pruning(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     q = li.where(F.col("l_shipdate") <= F.lit("1995-01-01")).select(
