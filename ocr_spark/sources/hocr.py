@@ -105,11 +105,15 @@ def _parse_batch_arrow(pdf: pd.DataFrame, segment_origin: bool) -> pa.Table:
     R = len(pdf)
     hocr = pdf["hocr"].fillna("")
     # pass 1: paragraphs per page  (MultiIndex: (row, par))
-    pars = hocr.str.extractall(_PAR_RE, flags=re.S)["body"]
+    pars = hocr.str.extractall(_PAR_RE, flags=re.S)["body"].fillna("")
     # pass 2: lines per paragraph  (MultiIndex: (row, par, line))
-    lines = pars.str.extractall(_LINE_RE, flags=re.S)
+    lines = pars.str.extractall(_LINE_RE, flags=re.S).fillna("")
     # pass 3: words per line       (MultiIndex: (row, par, line, word))
-    words = lines["body"].str.extractall(_WORD_RE, flags=re.S)
+    # (.fillna: pandas extractall yields NaN for EMPTY group matches —
+    # e.g. a word span with empty body — which must read as "", not
+    # float NaN; hypothesis found this, and the round-1 per-row parser
+    # had the same latent crash on empty-body words)
+    words = lines["body"].str.extractall(_WORD_RE, flags=re.S).fillna("")
 
     seg_dx = (
         pdf["seg_left"].to_numpy(dtype=np.float64)
