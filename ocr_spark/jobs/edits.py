@@ -40,12 +40,20 @@ def apply_edits(
     run_id: str,
     n_buckets: int = 32,
     order_by: str = "meta",
+    wave_size: int = 16,
 ) -> dict:
     """Apply edited documents and re-derive only their buckets.
 
     ``updates``: replacement rows ``(doc_id, spans, meta)`` — the edited
     nested content (the ``_ocr_results`` overwrite analog).  Returns
     stats including the touched bucket list.
+
+    Touched buckets are processed in waves of ``wave_size`` (the same
+    commit granularity as extract_job) — an edit batch whose doc_ids
+    spread across most buckets would otherwise re-derive the whole
+    corpus in one job and blow executor heap (measured: a 100-doc edit
+    over a 400k-doc/64-bucket table touches ~all buckets and OOM'd the
+    single-wave form; 16-bucket waves run it comfortably).
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     up = bucketed(updates, n_buckets)
@@ -54,17 +62,22 @@ def apply_edits(
     )
     t0 = time.perf_counter()
     src = bucketed(spark.read.parquet(input_path), n_buckets)
-    # MERGE INTO analog: co-resident unedited docs + edited overlay rows
-    base = (
-        src.where(F.col("bucket").isin(touched))
-        .join(updates.select("doc_id"), "doc_id", "left_anti")
-        .select("doc_id", "spans", "meta")
-    )
-    merged = base.unionByName(updates.select("doc_id", "spans", "meta"))
-    out = bucketed(extract_documents(merged, order_by=order_by), n_buckets)
-    # dynamic overwrite rewrites exactly the partition dirs present in
-    # `out` = the touched buckets; all other buckets' files stay put
-    out.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
+    for i in range(0, len(touched), wave_size):
+        wave = touched[i : i + wave_size]
+        # MERGE INTO analog: co-resident unedited docs + edited overlay
+        base = (
+            src.where(F.col("bucket").isin(wave))
+            .join(updates.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", "spans", "meta")
+        )
+        overlay = up.where(F.col("bucket").isin(wave)).select(
+            "doc_id", "spans", "meta"
+        )
+        merged = base.unionByName(overlay)
+        out = bucketed(extract_documents(merged, order_by=order_by), n_buckets)
+        # dynamic overwrite rewrites exactly the partition dirs present
+        # in `out` = this wave's buckets; all other buckets' files stay
+        out.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
     wall_ms = int((time.perf_counter() - t0) * 1000)
 
     stats = (

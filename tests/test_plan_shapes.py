@@ -56,6 +56,25 @@ def test_dim_joins_broadcast(spark):
     checks.assert_broadcast_join(q5_region_revenue(spark, SF), "q5")
 
 
+def test_no_accidental_nested_loop_joins_anywhere(spark):
+    """Whole-surface plan hygiene: no driver query may compile to a
+    CartesianProduct or BroadcastNestedLoopJoin — the quadratic shapes
+    that kill 100x scale-ups.  Sole allowed exception: multi_match, whose
+    BNLJ broadcasts the constant 3-row query-term list (linear per token,
+    documented in its docstring)."""
+    import __spark_entry__ as entry_mod
+
+    allowed_bnlj = {"multi_match"}
+    flagged = {}
+    for name, q in entry_mod.queries().items():
+        plan = checks.physical_plan(q(spark, SF))
+        if "CartesianProduct" in plan:
+            flagged[name] = "cartesian"
+        elif "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
+            flagged[name] = "bnlj"
+    assert not flagged, flagged
+
+
 def test_fuzzy_dict_is_blocked_hash_join(spark):
     """The fuzzy dictionary match must run as a length-band HASH join —
     round 1 shipped a BroadcastNestedLoopJoin over |vocab| x |corpus|."""
