@@ -296,6 +296,88 @@ def q_dict_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_export_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 export_csv string assembly (export.py:193-232) as an exact
+    cross-engine query: per-doc word index rows rendered
+    ``word, cnt, "p1, p2"`` with the reference header line, the blank
+    second row, and the ``lower(w)+w`` doubling sort for line numbers
+    (export.py:216-221); pages are 100-token blocks (flat-table analog,
+    as in word_pages_raw)."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    w = docs.select(
+        "doc_id", F.posexplode(T.norm_tokens(F.col("text"))).alias("i", "word")
+    ).withColumn("page", F.floor(F.col("i") / 100).cast("bigint"))
+    idx = w.groupBy("doc_id", "word").agg(
+        F.count("*").alias("cnt"),
+        F.array_sort(F.collect_set("page")).alias("pages"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.concat("word", "word"))
+    rows = idx.select(
+        "doc_id",
+        (F.row_number().over(win) + 1).cast("bigint").alias("line_no"),
+        F.concat(
+            F.col("word"), F.lit(", "), F.col("cnt").cast("string"),
+            F.lit(', "'),
+            F.array_join(
+                F.transform("pages", lambda p: p.cast("string")), ", "
+            ),
+            F.lit('"'),
+        ).alias("value"),
+    )
+    ids = docs.select("doc_id").distinct()
+    header = ids.select(
+        "doc_id", F.lit(0).cast("bigint").alias("line_no"),
+        F.lit("Palavra, Ocorrências, Páginas").alias("value"),
+    )
+    blank = ids.select(
+        "doc_id", F.lit(1).cast("bigint").alias("line_no"),
+        F.lit("").alias("value"),
+    )
+    return header.unionByName(blank).unionByName(rows)
+
+
+def q_export_txt_delim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/F2 delimited text assembly (export.py:149-187): per page
+    ``----- PAGE %04d -----\\n\\n<text>\\n\\n`` concatenated in page order
+    (pages = 100-token blocks on the flat table); exact cross-engine
+    string, incl. the %04d zero padding (export.py:183)."""
+    docs = _docs(spark, sf_dir)
+    w = docs.select(
+        "doc_id", F.posexplode(T.norm_tokens(F.col("text"))).alias("i", "word")
+    ).withColumn("page", F.floor(F.col("i") / 100).cast("bigint"))
+    pages = w.groupBy("doc_id", "page").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("page_text")
+    )
+    per_page = pages.select(
+        "doc_id", "page",
+        F.concat(
+            F.format_string("----- PAGE %04d -----", F.col("page") + 1),
+            F.lit("\n\n"), F.col("page_text"), F.lit("\n\n"),
+        ).alias("chunk"),
+    )
+    return (
+        per_page.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("page", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                "",
+            ).alias("txt")
+        )
+        .select("doc_id", "txt", F.length("txt").cast("bigint").alias("n_chars_t"))
+    )
+
+
 _MM_TERMS = ("fast", "merge", "src3")
 
 
@@ -658,6 +740,49 @@ with postings as (select distinct doc_id, unnest({_NT}) as word from documents)
 select word, array_to_string(list_sort(list(doc_id)), ' ') as postings,
        cast(count(*) as bigint) as df
 from postings group by word
+""",
+    "export_csv": f"""
+with t as (select doc_id, {_NT} as toks from documents),
+e as (select doc_id, toks, unnest(range(1, len(toks) + 1)) as i from t),
+w as (select doc_id, toks[i] as word,
+             cast(floor((i - 1) / 100) as bigint) as page
+      from e),
+idx as (select doc_id, word, count(*) as cnt,
+               list_sort(list(distinct page)) as pages
+        from w group by doc_id, word),
+rows as (select doc_id,
+                cast(row_number() over (partition by doc_id
+                                        order by word || word) + 1 as bigint)
+                    as line_no,
+                word || ', ' || cast(cnt as varchar) || ', "' ||
+                array_to_string(list_transform(pages, p -> cast(p as varchar)), ', ')
+                || '"' as value
+         from idx)
+select doc_id, cast(0 as bigint) as line_no,
+       'Palavra, Ocorrências, Páginas' as value from (select distinct doc_id from documents)
+union all
+select doc_id, cast(1 as bigint) as line_no, '' as value
+from (select distinct doc_id from documents)
+union all
+select * from rows
+""",
+    "export_txt_delim": f"""
+with t as (select doc_id, {_NT} as toks from documents),
+e as (select doc_id, toks, unnest(range(1, len(toks) + 1)) as i from t),
+w as (select doc_id, toks[i] as word,
+             cast(floor((i - 1) / 100) as bigint) as page, i
+      from e),
+pages as (select doc_id, page,
+                 array_to_string(list(word order by i), ' ') as page_text
+          from w group by doc_id, page),
+chunks as (select doc_id, page,
+                  printf('----- PAGE %04d -----', page + 1) || chr(10) || chr(10)
+                  || page_text || chr(10) || chr(10) as chunk
+           from pages)
+select doc_id,
+       string_agg(chunk, '' order by page) as txt,
+       cast(length(string_agg(chunk, '' order by page)) as bigint) as n_chars_t
+from chunks group by doc_id
 """,
     "dict_check": f"""
 with corpus as (select distinct unnest(string_split(lower(p_name), ' ')) as cw from part),
@@ -1069,6 +1194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dict": q_fuzzy_dict,
         "dict_check": q_dict_check,
         "multi_match": q_multi_match,
+        "export_csv": q_export_csv,
+        "export_txt_delim": q_export_txt_delim,
         "sessionize": R.sessionize_events,
         "above_cust_avg": R.orders_above_cust_avg,
     }
