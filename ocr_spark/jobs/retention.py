@@ -1,0 +1,102 @@
+"""Retention / expiry job — the Spark restatement of the reference's
+daily cleanup cron (SURVEY.md §2.11: redbeat crontab deletes private
+spaces older than ``MAX_PRIVATE_SPACE_AGE`` days,
+server/celery_app.py:1469-1505; the Iceberg analog is
+``expire_snapshots`` + a delete, SURVEY.md §2.11).
+
+On the parquet + manifest seam, deletion is a bucket rewrite: find the
+hash buckets that contain any expired row, rewrite exactly those buckets
+without the expired rows (dynamic partition overwrite, processed in
+waves like extract_job/apply_edits), and append ``status='retention'``
+manifest rows as the commit record.  Buckets with nothing to expire are
+never rewritten, and a re-run with the same predicate is a no-op (no
+matching buckets → no writes) — the job is idempotent.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def expire_where(
+    spark: SparkSession,
+    output_path: str,
+    manifest_path: str,
+    run_id: str,
+    predicate: Column,
+    wave_size: int = 16,
+) -> dict:
+    """Delete every row of the bucketed output table matching
+    ``predicate``, rewriting only the buckets that contain matches.
+
+    The table must be the extract_job layout (``bucket`` partition
+    column).  Returns stats: expired row count and touched buckets.
+
+    Self-overwrite note: each wave reads a bucket and dynamically
+    overwrites the same bucket; the staged-commit protocol makes this
+    safe within one job (all task reads finish before the commit swaps
+    files), but a crash exactly between a wave's commit and the manifest
+    append re-deletes idempotently on re-run (predicate matches nothing
+    the second time).  On Iceberg this whole job is a single
+    ``DELETE WHERE`` + ``expire_snapshots`` (SURVEY.md §2.11).
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    tbl = spark.read.parquet(output_path)
+    hits = tbl.where(predicate)
+    touched = sorted(
+        r["bucket"] for r in hits.select("bucket").distinct().collect()
+    )
+    n_expired = hits.count()
+    if not touched:
+        return {"status": "noop", "expired": 0, "touched_buckets": []}
+
+    t0 = time.perf_counter()
+    for i in range(0, len(touched), wave_size):
+        wave = touched[i : i + wave_size]
+        keep = tbl.where(F.col("bucket").isin(wave)).where(~predicate)
+        keep.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
+    wall_ms = int((time.perf_counter() - t0) * 1000)
+
+    stats = (
+        spark.read.parquet(output_path)
+        .where(F.col("bucket").isin(touched))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum(F.size("spans")).alias("span_count"),
+            F.sum("n_words").alias("word_count"),
+        )
+        .collect()
+    )
+    per_bucket = {r["bucket"]: r for r in stats}
+    rows = [
+        (
+            run_id,
+            b,
+            per_bucket[b]["doc_count"] if b in per_bucket else 0,
+            per_bucket[b]["span_count"] if b in per_bucket else 0,
+            per_bucket[b]["word_count"] if b in per_bucket else 0,
+            wall_ms // max(len(touched), 1),
+            "retention",
+        )
+        for b in touched
+    ]
+    (
+        spark.createDataFrame(
+            rows,
+            "run_id string, bucket int, doc_count bigint, span_count bigint, "
+            "word_count bigint, wall_ms bigint, status string",
+        )
+        .withColumn("committed_at", F.current_timestamp())
+        .write.mode("append")
+        .parquet(manifest_path)
+    )
+    return {
+        "status": "ok",
+        "expired": n_expired,
+        "touched_buckets": touched,
+        "wall_ms": wall_ms,
+    }
