@@ -342,7 +342,12 @@ def q_export_txt_delim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1/F2 delimited text assembly (export.py:149-187): per page
     ``----- PAGE %04d -----\\n\\n<text>\\n\\n`` concatenated in page order
     (pages = 100-token blocks on the flat table); exact cross-engine
-    string, incl. the %04d zero padding (export.py:183)."""
+    string, incl. the %04d zero padding (export.py:183).
+
+    This shuffle-assembled form exists for the DuckDB oracle; the
+    production path is the extraction kernel's zero-shuffle per-document
+    ``doc_text_delim`` (operators/extract.py), where assembly happens
+    inside the Arrow batch."""
     docs = _docs(spark, sf_dir)
     w = docs.select(
         "doc_id", F.posexplode(T.norm_tokens(F.col("text"))).alias("i", "word")

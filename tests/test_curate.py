@@ -16,8 +16,10 @@ from ocr_spark.jobs.curate import run_curation
 
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
-    """Generator corpus + a planted exact-duplicate pair: doc B is doc A
-    with identical spans under a different doc_id."""
+    """Generator corpus + a planted exact-duplicate pair (doc B = doc A
+    verbatim under a new doc_id) + a planted NEAR-duplicate (one word of
+    a large donor doc changed, Jaccard ≈ 1) so the near-dup stage
+    provably removes something."""
     d = tmp_path_factory.mktemp("curate")
     t = datagen.generate(n_docs=150, seed=42, scramble=True, mega_frac=0.0)
     # plant: duplicate row 0 with a new doc_id
@@ -29,7 +31,28 @@ def corpus(tmp_path_factory):
             "meta": dup.column("meta"),
         }
     )
-    t2 = pa.concat_tables([t, dup])
+    # plant: near-dup of a donor with >=30 non-empty text spans — append
+    # a char to its last real word so the fingerprint differs but all
+    # but ~3 shingles survive
+    rows = t.to_pylist()
+    donor = next(
+        r for r in rows
+        if sum(
+            1 for s in r["spans"]
+            if s["kind"] == "text" and s["text"] and s["text"].strip()
+        ) >= 30
+    )
+    near = {
+        "doc_id": "doc-zz-near",
+        "spans": [dict(s) for s in donor["spans"]],
+        "meta": donor["meta"],
+    }
+    for s in reversed(near["spans"]):
+        if s["kind"] == "text" and s["text"] and s["text"].strip():
+            s["text"] = s["text"] + "x"
+            break
+    near_t = pa.Table.from_pylist([near], schema=t.schema)
+    t2 = pa.concat_tables([t, dup, near_t])
     src = os.path.join(d, "docs.parquet")
     datagen.write_parquet(t2, src)
     return d, src
@@ -44,12 +67,16 @@ def test_curation_pipeline(spark, corpus):
              "after_near_dedup", "after_quality", "written"]
     vals = [stats[k] for k in order]
     assert vals == sorted(vals, reverse=True), stats
-    assert stats["input"] == 151
+    assert stats["input"] == 152
     # the planted exact duplicate died; the min-id original survived
     out = spark.read.parquet(out_path)
     ids = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert "doc-zz-dup" not in ids
     assert stats["after_exact_dedup"] <= stats["extracted_nonempty"] - 1
+    # the planted NEAR-duplicate died in the near-dup stage (its donor,
+    # with the smaller doc_id, survived) — the stage provably removes
+    assert "doc-zz-near" not in ids
+    assert stats["after_near_dedup"] <= stats["after_exact_dedup"] - 1
     # curated rows satisfy the quality predicates
     bad = out.where(F.col("n_tokens") < 5).count()
     assert bad == 0
