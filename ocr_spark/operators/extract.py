@@ -46,6 +46,12 @@ from pyspark.sql import functions as F
 
 PUNCT_CHARS = "«»“”.,;:!?()[]{}\"'"
 _PUNCT_TABLE = str.maketrans("", "", PUNCT_CHARS)
+# RE2 character class equivalent of _PUNCT_TABLE deletion, for the Arrow
+# C++ fast path (pc.replace_substring_regex) — semantics-identical to
+# str.translate: every listed code point is removed
+import re as _re
+
+_PUNCT_RE = "[" + "".join(_re.escape(c) for c in PUNCT_CHARS) + "]"
 
 _SPAN_T = pa.struct(
     [("kind", pa.string()), ("text", pa.string()),
@@ -129,13 +135,20 @@ def _extract_batch(
         order = np.lexsort((offset, docix))
 
     # ---- classification + filters (P2, P6, P9, G9, G10) --------------------
+    import pyarrow.compute as pc
+
     textish = (kind == "text") | (kind == "ocr_image")
-    nonempty = np.zeros(total, dtype=bool)
-    has_txt = text.notna().to_numpy()
-    if has_txt.any():
-        nonempty[has_txt] = (
-            text[has_txt].str.strip().str.len() > 0
-        ).to_numpy()
+    # Arrow C++ path for the empty-word test (str.strip().len() > 0 on
+    # object dtype is a per-element Python loop; trim+length is the same
+    # predicate — both strip the Unicode whitespace set)
+    trimmed_len = pc.utf8_length(
+        pc.utf8_trim_whitespace(flat_spans.field("text"))
+    )
+    nonempty = (
+        pc.fill_null(pc.greater(trimmed_len, 0), False)
+        .to_numpy(zero_copy_only=False)
+        .astype(bool)
+    )
     keep = np.where(
         textish,
         nonempty if conf_min is None else nonempty & (conf >= conf_min),
@@ -285,12 +298,24 @@ def _word_index(tdf: pd.DataFrame, n_docs: int) -> pa.ListArray:
     same_page_next = np.zeros(n, dtype=bool)
     same_page_next[:-1] = (d[1:] == d[:-1]) & (p[1:] == p[:-1])
 
+    import pyarrow.compute as pc
+
     consumed = np.zeros(n, dtype=bool)
     dec_d: list = []
     dec_p: list = []
     dec_w: list = []
+    # hyphen-final flags once via Arrow (C++); updated incrementally for
+    # merged rows only — the old per-iteration full-array
+    # txt.str.endswith rescan was the kernel's single hottest line
+    ends = (
+        pc.fill_null(
+            pc.ends_with(pa.array(txt.to_numpy(), type=pa.string()), pattern="-"),
+            False,
+        )
+        .to_numpy(zero_copy_only=False)
+        .astype(bool)
+    )
     while True:
-        ends = txt.str.endswith("-").to_numpy(dtype=bool, na_value=False)
         m = ends & line_final & same_page_next & ~consumed
         # top-down chains: defer a merge whose immediate predecessor is
         # itself a pending source ('a-' into 'b-' happens before the
@@ -312,16 +337,35 @@ def _word_index(tdf: pd.DataFrame, n_docs: int) -> pa.ListArray:
         merged = [tv[i].rstrip("-") + tv[i + 1] for i in src]
         txt.iloc[src + 1] = merged
         consumed[src] = True
+        for i, s in zip(src + 1, merged):
+            ends[i] = s.endswith("-")
 
-    # every row's (post-merge) text is counted — prefixes included
-    wdf = pd.DataFrame({"d": d, "p": p, "txt": txt})
-    toks = wdf["txt"].str.split().explode()
-    wdf = wdf.loc[toks.index]
-    norm = toks.str.strip().str.translate(_PUNCT_TABLE).str.lower()
+    # every row's (post-merge) text is counted — prefixes included.
+    # Tokenize + normalize on the Arrow C++ path: utf8_split_whitespace +
+    # RE2 punctuation strip + utf8_lower replace the pandas object-dtype
+    # split/strip/translate/lower chain (each a per-element Python loop;
+    # together they were ~half the kernel).  Python str.split() never
+    # emits empty tokens, so split artifacts ('' from leading/trailing
+    # whitespace) are masked out of the RAW tokens; a token that
+    # NORMALIZES to '' is kept, exactly as before.
+    arr = pa.array(txt.to_numpy(), type=pa.string())
+    tok_list = pc.utf8_split_whitespace(arr)
+    tok_counts = (
+        pc.list_value_length(tok_list).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    flat_raw = tok_list.flatten()
+    raw_np = flat_raw.to_numpy(zero_copy_only=False)
+    keep_tok = raw_np != ""
+    norm_np = (
+        pc.utf8_lower(pc.replace_substring_regex(flat_raw, _PUNCT_RE, ""))
+        .to_numpy(zero_copy_only=False)
+    )
+    wd = np.repeat(d, tok_counts)[keep_tok]
+    wp = np.repeat(p, tok_counts)[keep_tok]
     counts = pd.DataFrame(
-        {"d": wdf["d"].to_numpy(), "p": wdf["p"].to_numpy(),
-         "w": norm.to_numpy(),
-         "c": np.ones(len(wdf), dtype=np.int64)}
+        {"d": wd, "p": wp,
+         "w": norm_np[keep_tok],
+         "c": np.ones(int(keep_tok.sum()), dtype=np.int64)}
     )
     if dec_w:
         counts = pd.concat(
