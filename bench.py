@@ -67,6 +67,8 @@ def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
         "span_extract", "word_index", "dedup_exact", "dedup_minhash_lsh",
         "simhash", "ann_topk", "q1_pricing", "q3_topk", "q5_region_revenue",
         "asof_join", "events_windowed", "quality_score",
+        # round-2 additions tracked per round
+        "inverted_index", "word_pages_raw", "multi_match", "export_csv",
     ]
     timings: dict[str, float] = {}
     for name in headline:
