@@ -220,6 +220,25 @@ def q_tokenize_asciifold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filename_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 filename-analyzer half (ES pattern analyzer, \\W|_ split +
+    lowercase — elastic_search.py:14-18) over synthetic path-shaped doc
+    names; per-(doc, token) counts like an ES filename field index."""
+    docs = _docs(spark, sf_dir)
+    fname = F.concat(
+        F.lit("Files/"), F.col("source"), F.lit("/Doc_"),
+        F.col("doc_id").cast("string"), F.lit(".pdf"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(T.filename_tokens(fname)).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def q_fuzzy_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy dictionary match (F14 analog, elastic_search.py:158-189
     fuzziness=AUTO): distinct doc words within levenshtein distance 1-2 of
@@ -789,6 +808,19 @@ select doc_id,
        cast(length(string_agg(chunk, '' order by page)) as bigint) as n_chars_t
 from chunks group by doc_id
 """,
+    "filename_index": """
+with f as (select doc_id,
+                  'Files/' || source || '/Doc_' || cast(doc_id as varchar)
+                  || '.pdf' as fname
+           from documents),
+tok as (select doc_id,
+               unnest(list_filter(
+                   regexp_split_to_array(lower(fname), '\\W|_'),
+                   t -> t <> '')) as token
+        from f)
+select doc_id, token, count(*) as cnt
+from tok group by doc_id, token
+""",
     "dict_check": f"""
 with corpus as (select distinct unnest(string_split(lower(p_name), ' ')) as cw from part),
 sel as (select cw from corpus where cw < 'n'),
@@ -1196,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": R.events_windowed,
         "asof_join": R.asof_join_events_orders,
         "tokenize_asciifold": q_tokenize_asciifold,
+        "filename_index": q_filename_index,
         "fuzzy_dict": q_fuzzy_dict,
         "dict_check": q_dict_check,
         "multi_match": q_multi_match,

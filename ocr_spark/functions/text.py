@@ -131,6 +131,16 @@ def analyzer_tokens(text: Column) -> Column:
     )
 
 
+def filename_tokens(name: Column) -> Column:
+    """The ES *filename* analyzer (elastic_search.py:14-18): an ES
+    ``pattern`` analyzer — split on ``\\W|_``, lowercase, drop empty
+    tokens.  Distinct from the text analyzer: no stopword filter, no
+    asciifolding, and underscores/punctuation are the separators."""
+    return F.filter(
+        F.split(F.lower(name), r"\W|_"), lambda t: t != ""
+    )
+
+
 def bpe_token_count(text: Column) -> Column:
     """BPE-ish token count via regex matches (letter runs / digit runs /
     single symbols).  DuckDB: ``len(regexp_extract_all(text, RE))``."""
