@@ -1109,7 +1109,10 @@ def _q_contract_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = os.path.join(tempfile.gettempdir(), "ocr_spark_ingest_fixture")
     if not os.path.isdir(d):
-        os.makedirs(d, exist_ok=True)
+        # build in a temp dir, then atomic rename — the cached fixture
+        # persists across runs and a half-built dir would poison them
+        tmp = f"{d}.tmp-{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
         words = ["tribunal", "supremo", "acordam", "processo", "recurso"]
         for k in range(8):
             pages = []
@@ -1124,12 +1127,20 @@ def _q_contract_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]]
                 pages.append(render_hocr(ir, page_no=p).encode())
             if k % 2 == 0:
-                write_pdfx(os.path.join(d, f"doc{k}.pdfx"), pages)
+                write_pdfx(os.path.join(tmp, f"doc{k}.pdfx"), pages)
             else:
                 write_zip(
-                    os.path.join(d, f"doc{k}.zip"),
+                    os.path.join(tmp, f"doc{k}.zip"),
                     {f"page_{p}.png": pg for p, pg in enumerate(pages)},
                 )
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(d):
+                raise
     return ingest_spans(spark, d)
 
 

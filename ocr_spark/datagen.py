@@ -282,8 +282,27 @@ def generate_to_path(
     scramble: bool = False,
     n_files: int = 1,
 ) -> str:
-    write_parquet(
-        generate(n_docs=n_docs, seed=seed, scramble=scramble), path,
-        n_files=n_files,
-    )
+    """Generate and write atomically: callers cache generated tables by
+    ``os.path.exists(path)`` (bench/driver fixtures in /tmp persist
+    across runs), so a crash mid-write must not leave a half-written
+    table that poisons every later run — write to a sibling temp name,
+    then rename (atomic on POSIX for both files and directories)."""
+    import os
+    import shutil
+
+    tmp = f"{path}.tmp-{os.getpid()}"
+    try:
+        write_parquet(
+            generate(n_docs=n_docs, seed=seed, scramble=scramble), tmp,
+            n_files=n_files,
+        )
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if not os.path.exists(path):  # concurrent generator won, else real error
+                raise
+    finally:
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp, ignore_errors=True) if os.path.isdir(tmp) \
+                else os.unlink(tmp)
     return path
