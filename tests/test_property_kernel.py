@@ -20,7 +20,10 @@ from hypothesis import strategies as st
 from ocr_spark import oracle
 from ocr_spark.operators.extract import _extract_batch
 
-WORDS = ["ba", "c", "díx", "e«f»", "g h", " ", "", "Zu", "ação!", "k,"]
+WORDS = ["ba", "c", "díx", "e«f»", "g h", " ", "", "Zu", "ação!", "k,",
+         # exotic whitespace inside a span locks the Arrow-vs-Python
+         # split parity of the r2 kernel fast path (nbsp, tab)
+         "a\xa0b", "c\td"]
 
 span_st = st.fixed_dictionaries(
     {
