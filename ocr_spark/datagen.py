@@ -299,8 +299,21 @@ def generate_to_path(
         try:
             os.rename(tmp, path)
         except OSError:
-            if not os.path.exists(path):  # concurrent generator won, else real error
+            if not os.path.exists(path):
                 raise
+            # Destination exists and is a directory layout (rename over
+            # a non-empty dir fails).  The contract is REPLACE — never
+            # silently keep possibly-stale data generated with other
+            # parameters: swap the old table out, the new one in, then
+            # drop the old.  (Single-file destinations were replaced by
+            # the plain rename above.)
+            old = f"{path}.old-{os.getpid()}"
+            os.rename(path, old)
+            os.rename(tmp, path)
+            if os.path.isdir(old):
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.unlink(old)
     finally:
         if os.path.exists(tmp):
             shutil.rmtree(tmp, ignore_errors=True) if os.path.isdir(tmp) \

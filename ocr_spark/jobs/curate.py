@@ -39,6 +39,7 @@ def curate(
     min_tokens: int = 5,
     max_stop_ratio: float = 0.6,
     token_len_band: tuple[float, float] = (1.0, 20.0),
+    cache_registry: list | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full pipeline; returns (curated DataFrame, stage counts).
 
@@ -48,8 +49,11 @@ def curate(
     without the persist, each of the five downstream counts would replay
     extract → fingerprint from the source (tests assert the single
     execution via an executor-side accumulator).  The returned DataFrame
-    reads from the same cache; callers that materialize it to a table can
-    ``spark.catalog.clearCache()`` afterwards (run_curation does).
+    reads from the same cache; pass ``cache_registry`` (a list) to
+    receive the persisted handle so the caller can ``unpersist()``
+    exactly this pipeline's cache after materializing — never
+    ``spark.catalog.clearCache()``, which would evict every other cache
+    in the shared session (run_curation does the targeted release).
     """
     stats: dict[str, int] = {"input": docs.count()}
 
@@ -61,6 +65,8 @@ def curate(
         .withColumn("fp", doc_fingerprint(F.col("doc_text")))
         .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(text_df)
     stats["extracted_nonempty"] = text_df.count()
 
     # 2. exact dedup — min doc_id per fingerprint survives
@@ -113,8 +119,10 @@ def run_curation(
     spark: SparkSession, input_path: str, output_path: str, **kw
 ) -> dict[str, int]:
     docs = spark.read.parquet(input_path)
-    out, stats = curate(docs, **kw)
+    caches: list = []
+    out, stats = curate(docs, cache_registry=caches, **kw)
     out.write.mode("overwrite").parquet(output_path)
-    spark.catalog.clearCache()  # release the curate() stage cache
+    for df in caches:  # release exactly this pipeline's cache
+        df.unpersist()
     stats["written"] = spark.read.parquet(output_path).count()
     return stats

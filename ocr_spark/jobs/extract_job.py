@@ -41,10 +41,11 @@ from pyspark.sql import functions as F
 
 from ocr_spark.operators.extract import extract_documents
 
-MANIFEST_SCHEMA = (
+_MANIFEST_ROW_DDL = (
     "run_id string, bucket int, doc_count bigint, span_count bigint, "
-    "word_count bigint, wall_ms bigint, status string, committed_at timestamp"
+    "word_count bigint, wall_ms bigint, status string"
 )
+MANIFEST_SCHEMA = _MANIFEST_ROW_DDL + ", committed_at timestamp"
 
 
 def bucketed(df: DataFrame, n_buckets: int) -> DataFrame:
@@ -53,6 +54,90 @@ def bucketed(df: DataFrame, n_buckets: int) -> DataFrame:
     return df.withColumn(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
     )
+
+
+def edits_overlay_path(input_path: str) -> str:
+    return input_path.rstrip("/") + "_edits"
+
+
+def read_documents(spark: SparkSession, input_path: str) -> DataFrame:
+    """THE source-of-truth read seam: the base documents table with the
+    durable edit overlay applied (latest ``edit_seq`` per doc_id wins).
+
+    The reference's editor overwrites the ``_ocr_results`` page JSONs in
+    place (server/app.py:1057-1068) so every later regeneration sees the
+    edits; here the overlay table beside the input plays that role —
+    apply_edits appends to it BEFORE deriving, and every job that reads
+    the source (full extraction runs included) reads through this seam,
+    so re-deriving any bucket can never silently revert an edit.  On
+    Iceberg the overlay collapses into MERGE INTO + snapshots
+    (SURVEY.md §3.3); on the parquet seam, compact the overlay
+    periodically by rewriting base+overlay and truncating it.
+    """
+    base = spark.read.parquet(input_path).select("doc_id", "spans", "meta")
+    try:
+        ov = spark.read.parquet(edits_overlay_path(input_path))
+    except Exception:
+        return base
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("edit_seq"))
+    latest = (
+        ov.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "spans", "meta")
+    )
+    return (
+        base.join(latest.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(latest)
+    )
+
+
+def commit_manifest(
+    spark: SparkSession,
+    output_path: str,
+    manifest_path: str,
+    run_id: str,
+    buckets: list[int],
+    wall_ms: int,
+    status: str,
+) -> list:
+    """THE shared manifest-commit protocol: compute per-bucket stats from
+    the output table and append one row per bucket (MANIFEST_SCHEMA).
+    Every job that rewrites buckets (extract / edits / retention) commits
+    through here so the manifest schema cannot silently fork between job
+    types.  Returns the collected per-bucket stat rows."""
+    stats = (
+        spark.read.parquet(output_path)
+        .where(F.col("bucket").isin(buckets))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum(F.size("spans")).alias("span_count"),
+            F.sum("n_words").alias("word_count"),
+        )
+        .collect()
+    )
+    per_bucket = {r["bucket"]: r for r in stats}
+    rows = [
+        (
+            run_id,
+            b,
+            per_bucket[b]["doc_count"] if b in per_bucket else 0,
+            per_bucket[b]["span_count"] if b in per_bucket else 0,
+            per_bucket[b]["word_count"] if b in per_bucket else 0,
+            wall_ms // max(len(buckets), 1),
+            status,
+        )
+        for b in buckets
+    ]
+    (
+        spark.createDataFrame(rows, _MANIFEST_ROW_DDL)
+        .withColumn("committed_at", F.current_timestamp())
+        .write.mode("append")
+        .parquet(manifest_path)
+    )
+    return stats
 
 
 def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
@@ -100,7 +185,7 @@ def run_extraction(
     if wave_size is None:
         wave_size = max(len(todo), 1)
 
-    src = bucketed(spark.read.parquet(input_path), n_buckets)
+    src = bucketed(read_documents(spark, input_path), n_buckets)
     waves = [todo[i:i + wave_size] for i in range(0, len(todo), wave_size)]
     processed = 0
     totals = {"doc_count": 0, "span_count": 0, "word_count": 0}
@@ -119,39 +204,8 @@ def run_extraction(
         )
         out.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
         wall_ms = int((time.perf_counter() - t0) * 1000)
-        stats = (
-            spark.read.parquet(output_path)
-            .where(F.col("bucket").isin(wave))
-            .groupBy("bucket")
-            .agg(
-                F.count("*").alias("doc_count"),
-                F.sum(F.size("spans")).alias("span_count"),
-                F.sum("n_words").alias("word_count"),
-            )
-            .collect()
-        )
-        per_bucket = {r["bucket"]: r for r in stats}
-        rows = [
-            (
-                run_id,
-                b,
-                per_bucket[b]["doc_count"] if b in per_bucket else 0,
-                per_bucket[b]["span_count"] if b in per_bucket else 0,
-                per_bucket[b]["word_count"] if b in per_bucket else 0,
-                wall_ms // max(len(wave), 1),
-                "ok",
-            )
-            for b in wave
-        ]
-        (
-            spark.createDataFrame(
-                rows,
-                "run_id string, bucket int, doc_count bigint, span_count bigint, "
-                "word_count bigint, wall_ms bigint, status string",
-            )
-            .withColumn("committed_at", F.current_timestamp())
-            .write.mode("append")
-            .parquet(manifest_path)
+        stats = commit_manifest(
+            spark, output_path, manifest_path, run_id, wave, wall_ms, "ok"
         )
         processed += len(wave)
         for r in stats:

@@ -45,7 +45,12 @@ def expire_where(
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     tbl = spark.read.parquet(output_path)
-    hits = tbl.where(predicate)
+    # three-valued logic made explicit: NULL predicate = NOT expired.
+    # Without the coalesce, rows where the predicate evaluates NULL fall
+    # out of BOTH hits (where p) and keep (where ~p) — silently deleted
+    # and never counted.
+    pred = F.coalesce(predicate, F.lit(False))
+    hits = tbl.where(pred)
     touched = sorted(
         r["bucket"] for r in hits.select("bucket").distinct().collect()
     )
@@ -54,45 +59,37 @@ def expire_where(
         return {"status": "noop", "expired": 0, "touched_buckets": []}
 
     t0 = time.perf_counter()
+    emptied: list[int] = []
     for i in range(0, len(touched), wave_size):
         wave = touched[i : i + wave_size]
-        keep = tbl.where(F.col("bucket").isin(wave)).where(~predicate)
+        keep = tbl.where(F.col("bucket").isin(wave)).where(~pred)
+        # Dynamic overwrite only rewrites partitions PRESENT in the
+        # output: a bucket whose every row expired yields no partition,
+        # so its old directory would silently survive.  Detect those
+        # BEFORE the write (collecting from `keep` afterwards would
+        # re-execute the plan over the just-replaced source files) and
+        # delete them explicitly after (Hadoop FS API — any filesystem).
+        kept_buckets = {
+            r["bucket"]
+            for r in keep.select("bucket").distinct().collect()
+        }
         keep.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
+        emptied.extend(b for b in wave if b not in kept_buckets)
+    if emptied:
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        conf = jsc.hadoopConfiguration()
+        for b in emptied:
+            p = jvm.org.apache.hadoop.fs.Path(f"{output_path}/bucket={b}")
+            fs = p.getFileSystem(conf)
+            fs.delete(p, True)
     wall_ms = int((time.perf_counter() - t0) * 1000)
 
-    stats = (
-        spark.read.parquet(output_path)
-        .where(F.col("bucket").isin(touched))
-        .groupBy("bucket")
-        .agg(
-            F.count("*").alias("doc_count"),
-            F.sum(F.size("spans")).alias("span_count"),
-            F.sum("n_words").alias("word_count"),
-        )
-        .collect()
-    )
-    per_bucket = {r["bucket"]: r for r in stats}
-    rows = [
-        (
-            run_id,
-            b,
-            per_bucket[b]["doc_count"] if b in per_bucket else 0,
-            per_bucket[b]["span_count"] if b in per_bucket else 0,
-            per_bucket[b]["word_count"] if b in per_bucket else 0,
-            wall_ms // max(len(touched), 1),
-            "retention",
-        )
-        for b in touched
-    ]
-    (
-        spark.createDataFrame(
-            rows,
-            "run_id string, bucket int, doc_count bigint, span_count bigint, "
-            "word_count bigint, wall_ms bigint, status string",
-        )
-        .withColumn("committed_at", F.current_timestamp())
-        .write.mode("append")
-        .parquet(manifest_path)
+    from ocr_spark.jobs.extract_job import commit_manifest
+
+    commit_manifest(
+        spark, output_path, manifest_path, run_id, touched, wall_ms,
+        "retention",
     )
     return {
         "status": "ok",

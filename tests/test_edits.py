@@ -106,3 +106,53 @@ def test_apply_edits_touches_only_edited_buckets(spark, pipeline):
     edited = m.where(F.col("run_id") == "edit-1").collect()
     assert {r["bucket"] for r in edited} == set(st["touched_buckets"])
     assert all(r["status"] == "edited" for r in edited)
+
+
+def test_edits_survive_later_rederivations(spark, tmp_path):
+    """Edits are durable source-of-truth updates: a later edit of a
+    CO-RESIDENT doc must not revert them (the overlay, not a transient
+    union, feeds derivation), and a full fresh extraction run over the
+    same input reproduces the edited content."""
+    import os as _os
+
+    from ocr_spark.jobs.extract_job import run_extraction as _run
+
+    src = _os.path.join(tmp_path, "docs.parquet")
+    out = _os.path.join(tmp_path, "out")
+    man = _os.path.join(tmp_path, "man")
+    datagen.generate_to_path(src, n_docs=60, seed=43, scramble=True)
+    _run(spark, src, out, man, run_id="base", n_buckets=2)
+
+    docs = spark.read.parquet(src)
+
+    def upperize(ids):
+        return docs.where(F.col("doc_id").isin(ids)).select(
+            "doc_id",
+            F.expr(
+                "transform(spans, s -> struct(s.kind as kind, "
+                "upper(s.text) as text, s.media_ref as media_ref, "
+                "s.offset as offset))"
+            ).alias("spans"),
+            "meta",
+        )
+
+    a, b = [r["doc_id"] for r in docs.select("doc_id").orderBy("doc_id").limit(2).collect()]
+    apply_edits(spark, upperize([a]), src, out, man, run_id="e1", n_buckets=2)
+    text_a = spark.read.parquet(out).where(F.col("doc_id") == a).first()["doc_text"]
+    assert text_a == text_a.upper() and text_a.strip()
+
+    # second edit touching a co-resident doc (2 buckets → likely same);
+    # doc a's edit must survive the bucket re-derivation
+    apply_edits(spark, upperize([b]), src, out, man, run_id="e2", n_buckets=2)
+    t = spark.read.parquet(out)
+    assert t.where(F.col("doc_id") == a).first()["doc_text"] == text_a
+    tb = t.where(F.col("doc_id") == b).first()["doc_text"]
+    assert tb == tb.upper()
+
+    # a FULL fresh derivation over the same input (new output+manifest)
+    # reads through the overlay seam and reproduces the edits
+    out2, man2 = _os.path.join(tmp_path, "out2"), _os.path.join(tmp_path, "man2")
+    _run(spark, src, out2, man2, run_id="re", n_buckets=2)
+    t2 = spark.read.parquet(out2)
+    assert t2.where(F.col("doc_id") == a).first()["doc_text"] == text_a
+    assert t2.count() == 60

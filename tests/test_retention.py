@@ -79,6 +79,54 @@ def test_expire_where_rewrites_only_touched_buckets(spark, tmp_path):
     assert _bucket_files(out) == snap
 
 
+def test_expire_whole_bucket_actually_deletes(spark, tmp_path):
+    """A bucket whose EVERY row expires must vanish — dynamic overwrite
+    alone never rewrites a partition absent from the output, so the old
+    directory (and its rows) would silently survive without the explicit
+    empty-bucket delete."""
+    src = os.path.join(tmp_path, "docs.parquet")
+    out = os.path.join(tmp_path, "out")
+    man = os.path.join(tmp_path, "man")
+    datagen.generate_to_path(src, n_docs=60, seed=42, scramble=True)
+    run_extraction(spark, src, out, man, run_id="base", n_buckets=4)
+
+    tbl = spark.read.parquet(out)
+    victim = tbl.select("bucket").first()["bucket"]
+    n_victim = tbl.where(F.col("bucket") == victim).count()
+    st = expire_where(spark, out, man, "ret-all", F.col("bucket") == victim)
+    assert st["expired"] == n_victim and st["touched_buckets"] == [victim]
+    after = spark.read.parquet(out)
+    assert after.where(F.col("bucket") == victim).count() == 0
+    assert not os.path.exists(os.path.join(out, f"bucket={victim}"))
+    assert after.count() > 0  # other buckets intact
+
+
+def test_expire_null_predicate_rows_survive(spark, tmp_path):
+    """Three-valued logic: rows where the predicate evaluates NULL are
+    NOT expired (they must neither be counted nor silently dropped from
+    the rewritten buckets)."""
+    src = os.path.join(tmp_path, "docs.parquet")
+    out = os.path.join(tmp_path, "out")
+    man = os.path.join(tmp_path, "man")
+    datagen.generate_to_path(src, n_docs=40, seed=42, scramble=True)
+    run_extraction(spark, src, out, man, run_id="base", n_buckets=4)
+    tbl = spark.read.parquet(out)
+    n0 = tbl.count()
+    ids = sorted(r["doc_id"] for r in tbl.select("doc_id").collect())
+    # predicate NULL for the first doc, TRUE for the second, FALSE rest
+    pred = (
+        F.when(F.col("doc_id") == ids[0], F.lit(None).cast("boolean"))
+        .when(F.col("doc_id") == ids[1], F.lit(True))
+        .otherwise(F.lit(False))
+    )
+    st = expire_where(spark, out, man, "ret-null", pred)
+    assert st["expired"] == 1
+    remaining = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert ids[0] in remaining          # NULL row survived
+    assert ids[1] not in remaining      # TRUE row expired
+    assert len(remaining) == n0 - 1
+
+
 def test_kernel_tolerates_null_and_empty_spans(spark):
     from ocr_spark.operators.extract import extract_documents
 
