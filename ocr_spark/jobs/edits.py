@@ -42,6 +42,7 @@ from ocr_spark.jobs.extract_job import (
     bucketed,
     commit_manifest,
     edits_overlay_path,
+    overlay_merge,
     read_documents,
 )
 from ocr_spark.operators.extract import extract_documents
@@ -77,6 +78,7 @@ def apply_edits(
     (
         updates.select("doc_id", "spans", "meta")
         .withColumn("edit_seq", F.lit(time.time_ns()))
+        .withColumn("deleted", F.lit(False))
         .write.mode("append")
         .parquet(edits_overlay_path(input_path))
     )
@@ -105,3 +107,115 @@ def apply_edits(
         "touched_buckets": touched,
         "wall_ms": wall_ms,
     }
+
+
+def delete_documents(
+    spark: SparkSession, doc_ids: DataFrame, input_path: str
+) -> int:
+    """Append tombstones for ``doc_ids`` to the durable edit overlay —
+    the source-of-truth half of deletion (the Iceberg ``DELETE WHERE``
+    analog on the parquet seam).
+
+    Without this, removing rows from the derived table alone is not a
+    delete: any later re-derivation of the doc's bucket (an edit of a
+    co-resident doc, a resume, a fresh run) reads the source seam and
+    resurrects it.  read_documents filters tombstoned docs out of every
+    derivation, and compact_overlay applies them to the base
+    permanently.  Returns the number of documents tombstoned."""
+    base = spark.read.parquet(input_path)
+    tomb = (
+        doc_ids.select("doc_id").distinct()
+        .withColumn("spans", F.lit(None).cast(base.schema["spans"].dataType))
+        .withColumn("meta", F.lit(None).cast(base.schema["meta"].dataType))
+        .withColumn("edit_seq", F.lit(time.time_ns()))
+        .withColumn("deleted", F.lit(True))
+    )
+    n = tomb.count()
+    if n:
+        tomb.write.mode("append").parquet(edits_overlay_path(input_path))
+    return n
+
+
+def _fs(spark, path_str: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    return jvm, p.getFileSystem(conf), p
+
+
+def compact_overlay(
+    spark: SparkSession, input_path: str, n_files: int | None = None
+) -> dict:
+    """Fold the durable edit overlay into the base documents table.
+
+    The overlay grows by one append per edit batch forever; at scale the
+    per-read latest-wins window over it stops being free, so this is the
+    maintenance job (the Iceberg analog is snapshot compaction /
+    ``rewrite_data_files``; on the parquet seam it is explicit).
+    Protocol, concurrent-edit-safe where it can be and documented where
+    the seam cannot:
+
+    1. **Snapshot** the overlay's file list first and read exactly those
+       files — an edit batch appended while compaction runs is neither
+       folded in nor deleted, and still wins afterwards (overlay rows
+       beat base rows by construction, independent of what was folded).
+    2. Write base ⊕ latest-overlay to a ``_compacting`` temp dir
+       (crash here: orphan temp, overwritten next run).
+    3. Swap: base → ``_precompact``, temp → base, delete old.  The two
+       renames are the seam's non-atomic window (Iceberg makes this one
+       snapshot commit); a crash between them is healed by the recovery
+       step below on the next call.
+    4. Delete only the snapshotted overlay files.  A crash mid-delete
+       leaves rows whose content was already folded — re-applying them
+       over the compacted base is a no-op (idempotent; a re-applied
+       tombstone deletes a doc that is already gone).
+
+    Folding applies tombstones permanently: a doc whose latest overlay
+    row is a delete is absent from the rewritten base.
+    """
+    jvm, fs, base_p = _fs(spark, input_path)
+    old_p = jvm.org.apache.hadoop.fs.Path(input_path + "_precompact")
+    tmp_s = input_path + "_compacting"
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp_s)
+
+    # recovery: a crash between the two swap renames left no base table
+    if not fs.exists(base_p) and fs.exists(old_p):
+        if not fs.rename(old_p, base_p):
+            raise IOError(f"recovery rename failed: {old_p} -> {base_p}")
+
+    ov_s = edits_overlay_path(input_path)
+    _, _, ov_p = _fs(spark, ov_s)
+    if not fs.exists(ov_p):
+        return {"status": "noop", "folded_edit_rows": 0}
+    snapshot = [
+        f.getPath() for f in fs.listStatus(ov_p) if f.isFile()
+    ]
+    data_files = [p.toString() for p in snapshot if p.getName().endswith(".parquet")]
+    if not data_files:
+        return {"status": "noop", "folded_edit_rows": 0}
+
+    ov = spark.read.option("mergeSchema", "true").parquet(*data_files)
+    if "deleted" not in ov.columns:
+        ov = ov.withColumn("deleted", F.lit(False))
+    ov = ov.withColumn("deleted", F.coalesce("deleted", F.lit(False)))
+    n_rows = ov.count()
+    base = spark.read.parquet(input_path).select("doc_id", "spans", "meta")
+    merged = overlay_merge(base, ov)
+    if n_files is not None:
+        merged = merged.coalesce(n_files)
+    fs.delete(tmp_p, True)
+    merged.write.mode("overwrite").parquet(tmp_s)
+    n_docs = spark.read.parquet(tmp_s).count()
+
+    fs.delete(old_p, True)
+    if not fs.rename(base_p, old_p):
+        raise IOError(f"swap rename failed: {base_p} -> {old_p}")
+    if not fs.rename(tmp_p, base_p):
+        raise IOError(f"swap rename failed: {tmp_p} -> {base_p}")
+    fs.delete(old_p, True)
+    for p in snapshot:
+        fs.delete(p, False)
+    # drop the overlay dir only if no edit arrived during compaction
+    if not [f for f in fs.listStatus(ov_p) if f.isFile()]:
+        fs.delete(ov_p, True)
+    return {"status": "ok", "folded_edit_rows": n_rows, "docs": n_docs}

@@ -60,36 +60,69 @@ def edits_overlay_path(input_path: str) -> str:
     return input_path.rstrip("/") + "_edits"
 
 
+def read_overlay(spark: SparkSession, input_path: str) -> DataFrame:
+    """Read the edit overlay with its schema normalized: rows are
+    (doc_id, spans, meta, edit_seq, deleted).  ``deleted`` marks a
+    tombstone (the Iceberg delete-vector analog — retention writes these
+    so an expired document cannot be resurrected by a later bucket
+    re-derivation); overlay files written before tombstones existed lack
+    the column, so the read merges schemas and defaults it to false."""
+    ov = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(edits_overlay_path(input_path))
+    )
+    if "deleted" not in ov.columns:
+        ov = ov.withColumn("deleted", F.lit(False))
+    return ov.withColumn("deleted", F.coalesce("deleted", F.lit(False)))
+
+
 def read_documents(spark: SparkSession, input_path: str) -> DataFrame:
     """THE source-of-truth read seam: the base documents table with the
-    durable edit overlay applied (latest ``edit_seq`` per doc_id wins).
+    durable edit overlay applied (latest ``edit_seq`` per doc_id wins;
+    a latest row that is a tombstone removes the document entirely).
 
     The reference's editor overwrites the ``_ocr_results`` page JSONs in
     place (server/app.py:1057-1068) so every later regeneration sees the
     edits; here the overlay table beside the input plays that role —
     apply_edits appends to it BEFORE deriving, and every job that reads
     the source (full extraction runs included) reads through this seam,
-    so re-deriving any bucket can never silently revert an edit.  On
-    Iceberg the overlay collapses into MERGE INTO + snapshots
-    (SURVEY.md §3.3); on the parquet seam, compact the overlay
-    periodically by rewriting base+overlay and truncating it.
+    so re-deriving any bucket can never silently revert an edit or
+    resurrect a deleted document.  On Iceberg the overlay collapses into
+    MERGE INTO / DELETE + snapshots (SURVEY.md §3.3); on the parquet
+    seam, jobs.edits.compact_overlay folds it into the base and
+    truncates it.
     """
     base = spark.read.parquet(input_path).select("doc_id", "spans", "meta")
     try:
-        ov = spark.read.parquet(edits_overlay_path(input_path))
+        ov = read_overlay(spark, input_path)
     except Exception:
         return base
+    return overlay_merge(base, ov)
+
+
+def latest_edits(ov: DataFrame) -> DataFrame:
+    """Collapse an overlay (doc_id, spans, meta, edit_seq, deleted) to
+    the latest row per doc_id — tombstones compete in the same ordering
+    (a delete after an edit wins; a re-add after a delete wins)."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("doc_id").orderBy(F.desc("edit_seq"))
-    latest = (
+    return (
         ov.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .select("doc_id", "spans", "meta")
+        .select("doc_id", "spans", "meta", "deleted")
     )
+
+
+def overlay_merge(base: DataFrame, ov: DataFrame) -> DataFrame:
+    """base ⊕ latest-overlay: overlay rows replace base rows by doc_id;
+    a winning tombstone suppresses the document from the view."""
+    latest = latest_edits(ov)
     return (
         base.join(latest.select("doc_id"), "doc_id", "left_anti")
-        .unionByName(latest)
+        .unionByName(
+            latest.where(~F.col("deleted")).select("doc_id", "spans", "meta")
+        )
     )
 
 

@@ -28,12 +28,21 @@ def expire_where(
     run_id: str,
     predicate: Column,
     wave_size: int = 16,
+    input_path: str | None = None,
 ) -> dict:
     """Delete every row of the bucketed output table matching
     ``predicate``, rewriting only the buckets that contain matches.
 
     The table must be the extract_job layout (``bucket`` partition
     column).  Returns stats: expired row count and touched buckets.
+
+    Pass ``input_path`` (the source documents table) to make the delete
+    durable: tombstones for the expired doc_ids are appended to the
+    source's edit overlay BEFORE the derived rewrite, so no later bucket
+    re-derivation (edit, resume, fresh run) can resurrect them — the
+    reference cron deletes the whole private space, source included
+    (celery_app.py:1469-1505).  Without it only the derived table is
+    cleaned and the delete is NOT durable against re-derivation.
 
     Self-overwrite note: each wave reads a bucket and dynamically
     overwrites the same bucket; the staged-commit protocol makes this
@@ -57,6 +66,15 @@ def expire_where(
     n_expired = hits.count()
     if not touched:
         return {"status": "noop", "expired": 0, "touched_buckets": []}
+
+    if input_path is not None:
+        # durable half first (source-of-truth ordering, same as
+        # apply_edits): tombstone the source overlay BEFORE the derived
+        # rewrite so a crash in between leaves the delete pending in the
+        # seam, not silently reverted
+        from ocr_spark.jobs.edits import delete_documents
+
+        delete_documents(spark, hits.select("doc_id"), input_path)
 
     t0 = time.perf_counter()
     emptied: list[int] = []

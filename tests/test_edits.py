@@ -10,7 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ocr_spark import datagen
-from ocr_spark.jobs.edits import apply_edits
+from ocr_spark.jobs.edits import apply_edits, compact_overlay
 from ocr_spark.jobs.extract_job import bucketed, run_extraction
 
 N_BUCKETS = 8
@@ -156,3 +156,129 @@ def test_edits_survive_later_rederivations(spark, tmp_path):
     t2 = spark.read.parquet(out2)
     assert t2.where(F.col("doc_id") == a).first()["doc_text"] == text_a
     assert t2.count() == 60
+
+
+def test_compact_overlay_folds_edits_into_base(spark, tmp_path):
+    """Compaction folds the durable overlay into the base table (latest
+    edit per doc wins), removes the overlay, and is idempotent; a fresh
+    derivation over the compacted base reproduces the edited content
+    without any overlay present."""
+    from ocr_spark.jobs.extract_job import (
+        edits_overlay_path, read_documents, run_extraction as _run,
+    )
+
+    src = os.path.join(tmp_path, "docs.parquet")
+    out = os.path.join(tmp_path, "out")
+    man = os.path.join(tmp_path, "man")
+    datagen.generate_to_path(src, n_docs=50, seed=44, scramble=True)
+    _run(spark, src, out, man, run_id="base", n_buckets=2)
+
+    docs = spark.read.parquet(src)
+
+    def rewrite(ids, fn):
+        return docs.where(F.col("doc_id").isin(ids)).select(
+            "doc_id",
+            F.expr(
+                f"transform(spans, s -> struct(s.kind as kind, "
+                f"{fn}(s.text) as text, s.media_ref as media_ref, "
+                f"s.offset as offset))"
+            ).alias("spans"),
+            "meta",
+        )
+
+    a, b = [r["doc_id"] for r in docs.select("doc_id").orderBy("doc_id").limit(2).collect()]
+    # two batches; the second RE-edits doc a — compaction must keep the
+    # latest (lower) version, not the first (upper)
+    apply_edits(spark, rewrite([a, b], "upper"), src, out, man, run_id="e1", n_buckets=2)
+    apply_edits(spark, rewrite([a], "lower"), src, out, man, run_id="e2", n_buckets=2)
+    expected = {
+        r["doc_id"]: r["doc_text"]
+        for r in spark.read.parquet(out).select("doc_id", "doc_text").collect()
+    }
+
+    st = compact_overlay(spark, src)
+    assert st["status"] == "ok" and st["folded_edit_rows"] == 3
+    assert st["docs"] == 50
+    assert not os.path.exists(edits_overlay_path(src))
+    assert not os.path.exists(src + "_compacting")
+    assert not os.path.exists(src + "_precompact")
+
+    # the base table itself now carries the edits
+    base_a = spark.read.parquet(src).where(F.col("doc_id") == a).first()
+    assert all(s["text"] == s["text"].lower() for s in base_a["spans"] if s["text"] is not None)
+
+    # read seam unchanged; fresh derivation reproduces identical output
+    assert read_documents(spark, src).count() == 50
+    out2, man2 = os.path.join(tmp_path, "out2"), os.path.join(tmp_path, "man2")
+    _run(spark, src, out2, man2, run_id="re", n_buckets=2)
+    got = {
+        r["doc_id"]: r["doc_text"]
+        for r in spark.read.parquet(out2).select("doc_id", "doc_text").collect()
+    }
+    assert got == expected
+
+    # idempotent: nothing left to fold
+    assert compact_overlay(spark, src)["status"] == "noop"
+
+
+def test_compact_overlay_recovers_from_swap_crash(spark, tmp_path):
+    """A crash between the two swap renames leaves `<base>_precompact`
+    and no base — the next compact_overlay call must restore it."""
+    src = os.path.join(tmp_path, "docs.parquet")
+    datagen.generate_to_path(src, n_docs=10, seed=45, scramble=True)
+    n0 = spark.read.parquet(src).count()
+    os.rename(src, src + "_precompact")  # simulate the crash window
+    st = compact_overlay(spark, src)
+    assert st["status"] == "noop"  # no overlay — recovery only
+    assert os.path.exists(src) and not os.path.exists(src + "_precompact")
+    assert spark.read.parquet(src).count() == n0
+
+
+def test_delete_then_reedit_follows_latest_wins(spark, tmp_path):
+    """Tombstone ordering: edit→delete removes the doc; delete→re-edit
+    restores it with the new content.  Compaction applies a winning
+    tombstone permanently (doc absent from the rewritten base)."""
+    from ocr_spark.jobs.edits import delete_documents
+    from ocr_spark.jobs.extract_job import read_documents
+
+    src = os.path.join(tmp_path, "docs.parquet")
+    out = os.path.join(tmp_path, "out")
+    man = os.path.join(tmp_path, "man")
+    datagen.generate_to_path(src, n_docs=40, seed=47, scramble=True)
+    run_extraction(spark, src, out, man, run_id="base", n_buckets=2)
+
+    docs = spark.read.parquet(src)
+    a, b = [r["doc_id"] for r in docs.select("doc_id").orderBy("doc_id").limit(2).collect()]
+
+    def upperize(ids):
+        return docs.where(F.col("doc_id").isin(ids)).select(
+            "doc_id",
+            F.expr(
+                "transform(spans, s -> struct(s.kind as kind, "
+                "upper(s.text) as text, s.media_ref as media_ref, "
+                "s.offset as offset))"
+            ).alias("spans"),
+            "meta",
+        )
+
+    # edit a then delete a → gone from the seam
+    apply_edits(spark, upperize([a]), src, out, man, run_id="e1", n_buckets=2)
+    assert delete_documents(spark, docs.where(F.col("doc_id") == a), src) == 1
+    assert read_documents(spark, src).where(F.col("doc_id") == a).count() == 0
+
+    # delete b then re-edit b → present with the re-edited content
+    delete_documents(spark, docs.where(F.col("doc_id") == b), src)
+    apply_edits(spark, upperize([b]), src, out, man, run_id="e2", n_buckets=2)
+    seam_b = read_documents(spark, src).where(F.col("doc_id") == b).first()
+    assert seam_b is not None
+    assert all(s["text"] == s["text"].upper() for s in seam_b["spans"] if s["text"] is not None)
+    tb = spark.read.parquet(out).where(F.col("doc_id") == b).first()["doc_text"]
+    assert tb == tb.upper()
+
+    # compaction applies a's tombstone permanently and keeps b's edit
+    st = compact_overlay(spark, src)
+    assert st["status"] == "ok" and st["docs"] == 39
+    base = spark.read.parquet(src)
+    assert base.where(F.col("doc_id") == a).count() == 0
+    base_b = base.where(F.col("doc_id") == b).first()
+    assert all(s["text"] == s["text"].upper() for s in base_b["spans"] if s["text"] is not None)

@@ -146,3 +146,52 @@ def test_kernel_tolerates_null_and_empty_spans(spark):
     assert rows["d1"]["n_words"] == 0 and rows["d1"]["doc_text"] == ""
     assert rows["d2"]["n_words"] == 0
     assert rows["d3"]["n_words"] == 1 and rows["d3"]["doc_text"].strip() == "hello"
+
+
+def test_expire_with_input_path_survives_rederivation(spark, tmp_path):
+    """A durable delete (input_path given) tombstones the source overlay,
+    so neither a co-resident edit nor a fresh full derivation resurrects
+    the expired documents.  Without the tombstone, re-deriving the
+    bucket from the source would bring them straight back."""
+    from ocr_spark.jobs.edits import apply_edits
+    from ocr_spark.jobs.extract_job import read_documents
+
+    src = os.path.join(tmp_path, "docs.parquet")
+    out = os.path.join(tmp_path, "out")
+    man = os.path.join(tmp_path, "man")
+    datagen.generate_to_path(src, n_docs=60, seed=46, scramble=True)
+    run_extraction(spark, src, out, man, run_id="base", n_buckets=2)
+
+    docs = spark.read.parquet(src)
+    dead, live = [
+        r["doc_id"]
+        for r in docs.select("doc_id").orderBy("doc_id").limit(2).collect()
+    ]
+    st = expire_where(
+        spark, out, man, "gdpr", F.col("doc_id") == dead, input_path=src
+    )
+    assert st["expired"] == 1
+    assert spark.read.parquet(out).where(F.col("doc_id") == dead).count() == 0
+    assert read_documents(spark, src).where(F.col("doc_id") == dead).count() == 0
+
+    # co-resident edit re-derives the dead doc's bucket (2 buckets → the
+    # edited doc is in the same or the other; edit BOTH docs' neighbors
+    # by editing `live` and forcing both buckets via a second doc)
+    updates = docs.where(F.col("doc_id") == live).select(
+        "doc_id",
+        F.expr(
+            "transform(spans, s -> struct(s.kind as kind, "
+            "upper(s.text) as text, s.media_ref as media_ref, "
+            "s.offset as offset))"
+        ).alias("spans"),
+        "meta",
+    )
+    apply_edits(spark, updates, src, out, man, run_id="e1", n_buckets=2)
+    assert spark.read.parquet(out).where(F.col("doc_id") == dead).count() == 0
+
+    # a fresh full derivation over the source seam also excludes it
+    out2, man2 = os.path.join(tmp_path, "out2"), os.path.join(tmp_path, "man2")
+    run_extraction(spark, src, out2, man2, run_id="re", n_buckets=2)
+    t2 = spark.read.parquet(out2)
+    assert t2.where(F.col("doc_id") == dead).count() == 0
+    assert t2.count() == 59
