@@ -48,6 +48,21 @@ from ocr_spark.jobs.extract_job import (
 from ocr_spark.operators.extract import extract_documents
 
 
+def append_edits(updates: DataFrame, input_path: str) -> None:
+    """THE durable overlay write: append replacement rows
+    ``(doc_id, spans, meta)`` with a strictly increasing ``edit_seq`` so
+    the latest edit of a doc wins in read_documents.  Shared by
+    apply_edits (content rows) — delete_documents writes the tombstone
+    variant."""
+    (
+        updates.select("doc_id", "spans", "meta")
+        .withColumn("edit_seq", F.lit(time.time_ns()))
+        .withColumn("deleted", F.lit(False))
+        .write.mode("append")
+        .parquet(edits_overlay_path(input_path))
+    )
+
+
 def apply_edits(
     spark: SparkSession,
     updates: DataFrame,
@@ -75,13 +90,7 @@ def apply_edits(
     # 1. durable source-of-truth update (the _ocr_results overwrite
     #    analog): append to the overlay with a strictly increasing seq
     #    so the latest edit of a doc wins in read_documents
-    (
-        updates.select("doc_id", "spans", "meta")
-        .withColumn("edit_seq", F.lit(time.time_ns()))
-        .withColumn("deleted", F.lit(False))
-        .write.mode("append")
-        .parquet(edits_overlay_path(input_path))
-    )
+    append_edits(updates, input_path)
 
     # 2. re-derive the touched buckets from the merged view, in waves
     t0 = time.perf_counter()
