@@ -79,6 +79,63 @@ def run_extraction_stream(
     return q
 
 
+def run_edits_stream(
+    spark: SparkSession,
+    edits_path: str,
+    input_path: str,
+    output_path: str,
+    manifest_path: str,
+    checkpoint_path: str,
+    n_buckets: int = 32,
+    order_by: str = "meta",
+    await_termination: bool = True,
+):
+    """Streaming edit ingestion — §3.3's submit-text loop as a stream
+    (the reference editor POSTs one correction at a time; at fleet scale
+    those arrive continuously).  Editor-submitted replacement rows
+    ``(doc_id, spans, meta)`` land as parquet files under
+    ``edits_path``; each micro-batch goes through the SAME durable
+    ``apply_edits`` path as batch edits: overlay append first, then
+    touched-bucket re-derivation — one code path, two drivers.
+
+    Exactly-once end state without an idempotent overlay append: a batch
+    replayed after a crash re-appends its rows with a LATER edit_seq and
+    identical content, so latest-wins makes the replay semantically a
+    no-op, and the bucket re-derivation is a deterministic overwrite.
+    The overlay may hold duplicate rows until compact_overlay folds it;
+    the derived table never does."""
+    from ocr_spark.jobs.edits import apply_edits
+
+    schema = spark.read.parquet(input_path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(edits_path)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        apply_edits(
+            batch_df.sparkSession,
+            batch_df,
+            input_path,
+            output_path,
+            manifest_path,
+            run_id=f"stream-edit-{batch_id}",
+            n_buckets=n_buckets,
+            order_by=order_by,
+        )
+
+    q = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
 def streaming_span_stats(
     events: DataFrame,
     watermark: str = "10 minutes",

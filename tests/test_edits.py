@@ -282,3 +282,72 @@ def test_delete_then_reedit_follows_latest_wins(spark, tmp_path):
     assert base.where(F.col("doc_id") == a).count() == 0
     base_b = base.where(F.col("doc_id") == b).first()
     assert all(s["text"] == s["text"].upper() for s in base_b["spans"] if s["text"] is not None)
+
+
+def test_edits_stream_applies_batches_exactly_once(spark, tmp_path):
+    """Streaming edit ingestion: queued edit files apply through the
+    durable path in arrival order; a restarted stream with the same
+    checkpoint reprocesses nothing; newly arriving edits are picked up
+    incrementally."""
+    from ocr_spark.streaming.pipeline import run_edits_stream
+
+    src = os.path.join(tmp_path, "docs.parquet")
+    out = os.path.join(tmp_path, "out")
+    man = os.path.join(tmp_path, "man")
+    edits_dir = os.path.join(tmp_path, "edits_in")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    datagen.generate_to_path(src, n_docs=40, seed=49, scramble=True)
+    run_extraction(spark, src, out, man, run_id="base", n_buckets=2)
+
+    docs = spark.read.parquet(src)
+    a, b, c = [
+        r["doc_id"]
+        for r in docs.select("doc_id").orderBy("doc_id").limit(3).collect()
+    ]
+
+    def edit_file(doc_id, fn):
+        (
+            docs.where(F.col("doc_id") == doc_id)
+            .select(
+                "doc_id",
+                F.expr(
+                    f"transform(spans, s -> struct(s.kind as kind, "
+                    f"{fn}(s.text) as text, s.media_ref as media_ref, "
+                    f"s.offset as offset))"
+                ).alias("spans"),
+                "meta",
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(edits_dir)
+        )
+
+    edit_file(a, "upper")
+    edit_file(b, "upper")
+    run_edits_stream(spark, edits_dir, src, out, man, ckpt, n_buckets=2)
+
+    t = spark.read.parquet(out)
+    for d in (a, b):
+        txt = t.where(F.col("doc_id") == d).first()["doc_text"]
+        assert txt == txt.upper() and txt.strip()
+    m = spark.read.parquet(man)
+    n_stream_rows = m.where(F.col("run_id").startswith("stream-edit-")).count()
+    assert n_stream_rows >= 1
+
+    # restart with the same checkpoint: backlog already processed → the
+    # manifest gains no new stream-edit commits
+    run_edits_stream(spark, edits_dir, src, out, man, ckpt, n_buckets=2)
+    m2 = spark.read.parquet(man)
+    assert (
+        m2.where(F.col("run_id").startswith("stream-edit-")).count()
+        == n_stream_rows
+    )
+
+    # a new edit arrives → only it is processed
+    edit_file(c, "lower")
+    run_edits_stream(spark, edits_dir, src, out, man, ckpt, n_buckets=2)
+    t3 = spark.read.parquet(out)
+    tc = t3.where(F.col("doc_id") == c).first()["doc_text"]
+    assert tc == tc.lower()
+    ta = t3.where(F.col("doc_id") == a).first()["doc_text"]
+    assert ta == ta.upper()  # earlier edit intact
