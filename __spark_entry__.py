@@ -565,6 +565,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_ivf(emb, emb, k=5)
 
 
+def q_ann_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probing every cell is EXACT top-k (the inverted file merely
+    partitions the index), so unlike ann_ivf it carries a SQL oracle —
+    the correctness gate for the whole IVF machinery (distributed cell
+    assignment, cell-local join, windowed re-rank), not just its recall."""
+    emb = _emb(spark, sf_dir)
+    return S.cosine_topk_ivf(emb, emb, k=5, n_centroids=16, n_probe=16)
+
+
 # ---------------------------------------------------------------------------
 # SQL twins
 # ---------------------------------------------------------------------------
@@ -1045,6 +1054,9 @@ select event_id, o_orderkey, o_orderdate from best where rn = 1
 """,
 }
 
+# full-probe IVF is exact top-k — same oracle as the brute-force query
+_ORACLES["ann_ivf_fullprobe"] = _ORACLES["ann_topk"]
+
 
 # ---------------------------------------------------------------------------
 # contract entry points
@@ -1226,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,                       # approximate — no oracle
         "ann_ivf": q_ann_ivf,                       # approximate — no oracle
+        "ann_ivf_fullprobe": q_ann_ivf_fullprobe,   # exact at n_probe=n_centroids
         "contract_extract": _q_contract_extract,    # pytest-oracled — no SQL
         "contract_curate": _q_contract_curate,      # pytest-oracled — no SQL
         "contract_ingest": _q_contract_ingest,      # pytest-oracled — no SQL
