@@ -555,6 +555,14 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_neardup_exact(_emb(spark, sf_dir), threshold=0.5)
 
 
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path of embedding_neardup: LSH-blocked pair generation, no
+    index broadcast.  Approximate in recall only (pytest measures it and
+    proves the no-false-positive subset property vs the exact operator),
+    so rows-only at the driver gate."""
+    return S.embedding_neardup_lsh(_emb(spark, sf_dir), threshold=0.5)
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return S.cosine_topk_lsh(emb, emb, k=5)
@@ -1236,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_pages_raw": q_word_pages_raw,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,  # approximate — no oracle
         "ann_lsh": q_ann_lsh,                       # approximate — no oracle
         "ann_ivf": q_ann_ivf,                       # approximate — no oracle
         "ann_ivf_fullprobe": q_ann_ivf_fullprobe,   # exact at n_probe=n_centroids

@@ -132,6 +132,102 @@ def embedding_neardup_exact(
     return embeddings.mapInPandas(fn, "a bigint, b bigint, sim double")
 
 
+def embedding_neardup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs (a < b, cosine ≥ threshold) via LSH
+    blocking — the 100 TB shape of embedding_neardup_exact: no index
+    broadcast, both copies of the table shuffle on (table, bucket) only,
+    pair generation is bucket-local, AQE splits hot buckets.  Same
+    output schema and scoring (4 dp round, float64) as the exact
+    operator; approximate only in RECALL — a pair hashed apart in every
+    table is missed (never a false positive: every candidate is
+    re-checked exactly).  Recall is tunable: fewer planes / more tables
+    → higher recall at larger candidate volume.  High-threshold pairs —
+    the dedup regime — are the ones random hyperplanes are least likely
+    to split, so recall rises with the threshold."""
+    spark = embeddings.sparkSession
+    dim = len(embeddings.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    b_planes = spark.sparkContext.broadcast(planes)
+
+    left = _lsh_bucketize(
+        embeddings, b_planes, n_tables, n_planes, id_col, vec_col
+    )
+    right = left.selectExpr("id as nid", "table", "bucket", "vec as nvec")
+    cand = left.join(right, ["table", "bucket"]).where(
+        F.col("id") < F.col("nid")
+    )
+
+    dot = F.expr(
+        "aggregate(zip_with(vec, nvec, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    norm = lambda c: F.sqrt(
+        F.expr(
+            f"aggregate(transform({c}, x -> cast(x as double) * cast(x as double)), "
+            "cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+    )
+    return (
+        cand.select(
+            F.col("id").alias("a"),
+            F.col("nid").alias("b"),
+            F.round(dot / (norm("vec") * norm("nvec")), 4).alias("sim"),
+        )
+        .where(F.col("sim") >= float(threshold))
+        .groupBy("a", "b")
+        .agg(F.max("sim").alias("sim"))
+    )
+
+
+def _lsh_bucketize(
+    df: DataFrame,
+    b_planes,
+    n_tables: int,
+    n_planes: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Random-hyperplane sign-pattern bucketing: each row lands in one
+    bucket per table → rows (id, table, bucket, vec).  Shared by the LSH
+    top-k and LSH near-dup operators."""
+
+    def bucketize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P = b_planes.value
+        pows = (1 << np.arange(n_planes)).astype(np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out = []
+            for t in range(n_tables):
+                signs = (v @ P[t].T) > 0                  # (B, planes)
+                bucket = signs.astype(np.int64) @ pows
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id": pdf[id_col].to_numpy(dtype=np.int64),
+                            "table": t,
+                            "bucket": bucket,
+                            "vec": pdf[vec_col],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return df.mapInPandas(
+        bucketize, "id bigint, table int, bucket bigint, vec array<float>"
+    )
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     index: DataFrame,
@@ -162,32 +258,8 @@ def cosine_topk_lsh(
     planes = rng.standard_normal((n_tables, n_planes, dim))
     b_planes = spark.sparkContext.broadcast(planes)
 
-    def bucketize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        P = b_planes.value
-        pows = (1 << np.arange(n_planes)).astype(np.int64)
-        for pdf in it:
-            if not len(pdf):
-                continue
-            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            out = []
-            for t in range(n_tables):
-                signs = (v @ P[t].T) > 0                  # (B, planes)
-                bucket = signs.astype(np.int64) @ pows
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "id": pdf[id_col].to_numpy(dtype=np.int64),
-                            "table": t,
-                            "bucket": bucket,
-                            "vec": pdf[vec_col],
-                        }
-                    )
-                )
-            yield pd.concat(out, ignore_index=True)
-
-    schema = f"id bigint, table int, bucket bigint, vec array<float>"
-    qb = queries.mapInPandas(bucketize, schema)
-    xb = index.mapInPandas(bucketize, schema).selectExpr(
+    qb = _lsh_bucketize(queries, b_planes, n_tables, n_planes, id_col, vec_col)
+    xb = _lsh_bucketize(index, b_planes, n_tables, n_planes, id_col, vec_col).selectExpr(
         "id as nid", "table", "bucket", "vec as nvec"
     )
     cand = qb.join(xb, ["table", "bucket"]).where(F.col("id") != F.col("nid"))

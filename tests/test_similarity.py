@@ -74,3 +74,37 @@ def test_lsh_recall(spark, emb):
     lsh = _topk_map(cosine_topk_lsh(emb, emb, k=5))
     r = _recall(lsh, exact)
     assert r >= 0.6, f"LSH recall too low: {r:.3f}"
+
+
+def test_neardup_lsh_subset_and_recall(spark, emb):
+    """LSH-blocked near-dup: (1) NO false positives — every emitted pair
+    is in the exact pair set with the identical rounded sim (candidates
+    are re-checked exactly); (2) recall vs the exact operator is usable
+    at the default tuning; (3) deterministic across runs."""
+    from ocr_spark.operators.similarity import (
+        embedding_neardup_exact,
+        embedding_neardup_lsh,
+    )
+
+    # sf0.001's near-uniform embeddings have no pairs above 0.5; 0.35
+    # yields ~260 true pairs with per-pair collision prob ≈0.84 at the
+    # default 4-plane/12-table tuning
+    thr = 0.35
+    exact = {
+        (r["a"], r["b"]): r["sim"]
+        for r in embedding_neardup_exact(emb, threshold=thr).collect()
+    }
+    got1 = {
+        (r["a"], r["b"]): r["sim"]
+        for r in embedding_neardup_lsh(emb, threshold=thr).collect()
+    }
+    got2 = {
+        (r["a"], r["b"]): r["sim"]
+        for r in embedding_neardup_lsh(emb, threshold=thr).collect()
+    }
+    assert got1 == got2, "LSH near-dup must be deterministic"
+    assert exact, "fixture must contain near-dup pairs at this threshold"
+    for pair, sim in got1.items():
+        assert pair in exact and exact[pair] == sim, pair
+    recall = len(got1) / len(exact)
+    assert recall >= 0.6, f"recall {recall:.3f} too low at default tuning"
