@@ -76,10 +76,19 @@ def read_overlay(spark: SparkSession, input_path: str) -> DataFrame:
     return ov.withColumn("deleted", F.coalesce("deleted", F.lit(False)))
 
 
-def read_documents(spark: SparkSession, input_path: str) -> DataFrame:
+def read_documents(
+    spark: SparkSession, input_path: str, as_of_seq: int | None = None
+) -> DataFrame:
     """THE source-of-truth read seam: the base documents table with the
     durable edit overlay applied (latest ``edit_seq`` per doc_id wins;
     a latest row that is a tombstone removes the document entirely).
+
+    ``as_of_seq`` is the snapshot-read analog (Iceberg
+    ``VERSION AS OF``): only overlay commits with ``edit_seq ≤
+    as_of_seq`` are applied, reproducing the table exactly as any
+    earlier derivation saw it — until compact_overlay folds the history
+    away (the ``expire_snapshots`` analog).  ``overlay_versions`` lists
+    the available commit points.
 
     The reference's editor overwrites the ``_ocr_results`` page JSONs in
     place (server/app.py:1057-1068) so every later regeneration sees the
@@ -97,7 +106,29 @@ def read_documents(spark: SparkSession, input_path: str) -> DataFrame:
         ov = read_overlay(spark, input_path)
     except Exception:
         return base
+    if as_of_seq is not None:
+        ov = ov.where(F.col("edit_seq") <= as_of_seq)
     return overlay_merge(base, ov)
+
+
+def overlay_versions(spark: SparkSession, input_path: str) -> DataFrame:
+    """The snapshot-list analog: one row per overlay commit point
+    ``(edit_seq, n_rows, n_deletes)``, ascending — each ``edit_seq`` is
+    a valid ``as_of_seq`` for read_documents.  Empty if no overlay."""
+    try:
+        ov = read_overlay(spark, input_path)
+    except Exception:
+        return spark.createDataFrame(
+            [], "edit_seq bigint, n_rows bigint, n_deletes bigint"
+        )
+    return (
+        ov.groupBy("edit_seq")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("deleted").cast("long")).alias("n_deletes"),
+        )
+        .orderBy("edit_seq")
+    )
 
 
 def latest_edits(ov: DataFrame) -> DataFrame:

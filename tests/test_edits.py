@@ -351,3 +351,52 @@ def test_edits_stream_applies_batches_exactly_once(spark, tmp_path):
     assert tc == tc.lower()
     ta = t3.where(F.col("doc_id") == a).first()["doc_text"]
     assert ta == ta.upper()  # earlier edit intact
+
+
+def test_read_documents_as_of_travels_the_overlay(spark, tmp_path):
+    """Snapshot-read analog: as_of_seq replays the seam at any earlier
+    overlay commit — v0 (base), v1 (first edit), v2 (delete) are all
+    reconstructible until compaction folds the history away."""
+    from ocr_spark.jobs.edits import delete_documents
+    from ocr_spark.jobs.extract_job import (
+        overlay_versions, read_documents,
+    )
+
+    src = os.path.join(tmp_path, "docs.parquet")
+    datagen.generate_to_path(src, n_docs=12, seed=50, scramble=True)
+    docs = spark.read.parquet(src)
+    a = docs.select("doc_id").orderBy("doc_id").first()["doc_id"]
+
+    def first_text(df):
+        r = df.where(F.col("doc_id") == a).first()
+        if r is None:
+            return None
+        return next(s["text"] for s in r["spans"] if s["text"] is not None)
+
+    v0_text = first_text(docs)
+    from ocr_spark.jobs.edits import append_edits
+
+    upd = docs.where(F.col("doc_id") == a).select(
+        "doc_id",
+        F.expr(
+            "transform(spans, s -> struct(s.kind as kind, "
+            "upper(s.text) as text, s.media_ref as media_ref, "
+            "s.offset as offset))"
+        ).alias("spans"),
+        "meta",
+    )
+    append_edits(upd, src)
+    delete_documents(spark, docs.where(F.col("doc_id") == a), src)
+
+    vers = [r["edit_seq"] for r in overlay_versions(spark, src).collect()]
+    assert len(vers) == 2 and vers == sorted(vers)
+    seq_edit, seq_del = vers
+
+    assert first_text(read_documents(spark, src, as_of_seq=seq_edit - 1)) == v0_text
+    assert first_text(read_documents(spark, src, as_of_seq=seq_edit)) == v0_text.upper()
+    assert first_text(read_documents(spark, src, as_of_seq=seq_del)) is None
+    assert first_text(read_documents(spark, src)) is None  # latest = deleted
+
+    # version listing carries the delete marker
+    rows = overlay_versions(spark, src).collect()
+    assert rows[0]["n_deletes"] == 0 and rows[1]["n_deletes"] == 1
