@@ -69,6 +69,7 @@ def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
         "asof_join", "events_windowed", "quality_score",
         # round-2 additions tracked per round
         "inverted_index", "word_pages_raw", "multi_match", "export_csv",
+        "ann_ivf_fullprobe", "embedding_neardup_lsh",
     ]
     timings: dict[str, float] = {}
     for name in headline:
