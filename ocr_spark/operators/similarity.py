@@ -140,6 +140,7 @@ def embedding_neardup_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    chunk: int = 2048,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b, cosine ≥ threshold) via LSH
     blocking — the 100 TB shape of embedding_neardup_exact: no index
@@ -181,11 +182,27 @@ def embedding_neardup_lsh(
         n = np.linalg.norm(V, axis=1, keepdims=True)
         n[n == 0] = 1.0
         Vn = V / n
-        S = np.round(Vn @ Vn.T, 4)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        m = S[iu, ju] >= thr
+        # chunked upper triangle: the pairwise matrix is bounded at
+        # CHUNK·B doubles, so a degenerate hot bucket cannot OOM a task
+        CHUNK = chunk
+        out_a: list = []
+        out_b: list = []
+        out_s: list = []
+        for c0 in range(0, len(ids), CHUNK):
+            c1 = min(c0 + CHUNK, len(ids))
+            S = np.round(Vn[c0:c1] @ Vn[c0:].T, 4)
+            ri, cj = np.nonzero(S >= thr)
+            keep = (cj + c0) > (ri + c0)  # strict upper triangle only
+            ri, cj = ri[keep], cj[keep]
+            out_a.extend(ids[ri + c0].tolist())
+            out_b.extend(ids[cj + c0].tolist())
+            out_s.extend(S[ri, cj].tolist())
         return pd.DataFrame(
-            {"a": ids[iu[m]], "b": ids[ju[m]], "sim": S[iu, ju][m]}
+            {
+                "a": np.array(out_a, dtype=np.int64),
+                "b": np.array(out_b, dtype=np.int64),
+                "sim": np.array(out_s, dtype=np.float64),
+            }
         )
 
     pairs = bucketed.groupBy("table", "bucket").applyInPandas(
@@ -247,7 +264,7 @@ def _empty_topk() -> pd.DataFrame:
 
 
 def _group_score_topk(
-    tagged: DataFrame, group_cols: list[str], k: int
+    tagged: DataFrame, group_cols: list[str], k: int, chunk: int = 2048
 ) -> DataFrame:
     """Per-group exact candidate scoring, Arrow-batched: ``tagged`` rows
     (group_cols…, id, vec, is_q) → one float64 matmul per group of its
@@ -259,35 +276,51 @@ def _group_score_topk(
     group.  This replaces per-pair JVM HOF cosine expressions (measured
     ~100× slower than the whole-group BLAS matmul at sf0.1)."""
 
+    CHUNK = chunk  # bounds the similarity matrix at |Q|·CHUNK doubles —
+    # a degenerate hot bucket costs time, never memory (the group's ROWS
+    # are O(B·dim); only the pairwise matrix is quadratic)
+
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         q = pdf[pdf["is_q"] == 1]
         x = pdf[pdf["is_q"] == 0]
         if not len(q) or not len(x):
             return _empty_topk()
         Q = np.stack(q["vec"].to_numpy()).astype(np.float64)
-        X = np.stack(x["vec"].to_numpy()).astype(np.float64)
         qn = np.linalg.norm(Q, axis=1, keepdims=True)
         qn[qn == 0] = 1.0
-        xn = np.linalg.norm(X, axis=1, keepdims=True)
-        xn[xn == 0] = 1.0
-        S = np.round((Q / qn) @ (X / xn).T, 4)
+        Qn = Q / qn
         qids = q["id"].to_numpy(dtype=np.int64)
-        xids = x["id"].to_numpy(dtype=np.int64)
-        xo = np.argsort(xids)
-        xids, S = xids[xo], S[:, xo]
+        xids_all = x["id"].to_numpy(dtype=np.int64)
+        xo = np.argsort(xids_all)
+        x = x.iloc[xo]
+        xids_all = xids_all[xo]
+        # running per-query top-k across index chunks: exact, memory-
+        # bounded (merge of per-chunk winners under the same ordering)
+        best_n = [np.array([], dtype=np.int64) for _ in range(len(qids))]
+        best_s = [np.array([], dtype=np.float64) for _ in range(len(qids))]
+        for c0 in range(0, len(xids_all), CHUNK):
+            xc = x.iloc[c0 : c0 + CHUNK]
+            X = np.stack(xc["vec"].to_numpy()).astype(np.float64)
+            xn = np.linalg.norm(X, axis=1, keepdims=True)
+            xn[xn == 0] = 1.0
+            S = np.round(Qn @ (X / xn).T, 4)
+            xids = xids_all[c0 : c0 + CHUNK]
+            for i in range(len(qids)):
+                row = S[i]
+                cand = np.nonzero(xids != qids[i])[0]
+                if not len(cand):
+                    continue
+                n_all = np.concatenate((best_n[i], xids[cand]))
+                s_all = np.concatenate((best_s[i], row[cand]))
+                order = np.lexsort((n_all, -s_all))[:k]
+                best_n[i], best_s[i] = n_all[order], s_all[order]
         out_q: list = []
         out_n: list = []
         out_s: list = []
         for i in range(len(qids)):
-            row = S[i]
-            cand = np.nonzero(xids != qids[i])[0]
-            if not len(cand):
-                continue
-            order = np.lexsort((xids[cand], -row[cand]))[:k]
-            sel = cand[order]
-            out_q.extend([qids[i]] * len(sel))
-            out_n.extend(xids[sel].tolist())
-            out_s.extend(row[sel].tolist())
+            out_q.extend([qids[i]] * len(best_n[i]))
+            out_n.extend(best_n[i].tolist())
+            out_s.extend(best_s[i].tolist())
         return pd.DataFrame(
             {"vec_id": out_q, "neighbor_id": out_n, "sim": out_s}
         )
@@ -324,6 +357,7 @@ def cosine_topk_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    chunk: int = 2048,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH (sign-pattern buckets,
     ``n_tables`` independent tables for recall), bucket-local exact
@@ -352,7 +386,9 @@ def cosine_topk_lsh(
     xb = _lsh_bucketize(
         index, b_planes, n_tables, n_planes, id_col, vec_col
     ).withColumn("is_q", F.lit(0))
-    per_group = _group_score_topk(qb.unionByName(xb), ["table", "bucket"], k)
+    per_group = _group_score_topk(
+        qb.unionByName(xb), ["table", "bucket"], k, chunk=chunk
+    )
     return _merge_group_topk(per_group, k)
 
 
@@ -410,6 +446,7 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_sample: int = 100_000,
+    chunk: int = 2048,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a coarse k-means quantizer
     partitions the index into ``n_centroids`` cells; each query probes its
@@ -471,5 +508,5 @@ def cosine_topk_ivf(
     ).withColumn("is_q", F.lit(1))
     # cell-local exact scoring in one Arrow-batched matmul per cell,
     # then the lossless global merge — same kernel as the LSH path
-    per_cell = _group_score_topk(qs.unionByName(inv), ["cell"], k)
+    per_cell = _group_score_topk(qs.unionByName(inv), ["cell"], k, chunk=chunk)
     return _merge_group_topk(per_cell, k)

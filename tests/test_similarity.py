@@ -108,3 +108,28 @@ def test_neardup_lsh_subset_and_recall(spark, emb):
         assert pair in exact and exact[pair] == sim, pair
     recall = len(got1) / len(exact)
     assert recall >= 0.6, f"recall {recall:.3f} too low at default tuning"
+
+
+def test_chunked_scoring_is_exact(spark, emb):
+    """The memory-bounding chunk merge inside the group scorers is
+    exact: a tiny chunk size (forcing many merge rounds) must reproduce
+    the default single-chunk results bit-for-bit for both the top-k and
+    the near-dup kernels."""
+    from ocr_spark.operators.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+        embedding_neardup_lsh,
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(cosine_topk_lsh(emb, emb, k=5, chunk=3)) == rows(
+        cosine_topk_lsh(emb, emb, k=5)
+    )
+    assert rows(
+        cosine_topk_ivf(emb, emb, k=5, n_centroids=8, n_probe=8, chunk=3)
+    ) == rows(cosine_topk_ivf(emb, emb, k=5, n_centroids=8, n_probe=8))
+    assert rows(embedding_neardup_lsh(emb, threshold=0.35, chunk=3)) == rows(
+        embedding_neardup_lsh(emb, threshold=0.35)
+    )
