@@ -79,6 +79,90 @@ def run_extraction_stream(
     return q
 
 
+def fold_stream_output(
+    spark: SparkSession,
+    stream_output_path: str,
+    output_path: str,
+    manifest_path: str,
+    run_id: str,
+    n_buckets: int = 32,
+) -> dict:
+    """Fold the streaming extraction's ``batch_id=`` partitions into the
+    batch job's bucketed table — one table, two drivers.
+
+    The stream lands per-micro-batch directories (idempotent overwrite
+    per batch id); the batch job's readers, edit/retention jobs and
+    manifest all speak the ``bucket=`` layout.  This maintenance job
+    merges the accumulated stream rows in (latest batch_id wins per
+    doc), rewrites only the touched buckets via dynamic partition
+    overwrite, commits ``status='stream-fold'`` manifest rows through
+    the shared protocol, and deletes exactly the batch directories it
+    folded (snapshot-first, so micro-batches landing DURING the fold
+    survive to the next one; a crash after the bucket write re-folds
+    identical rows — idempotent)."""
+    from pyspark.sql.window import Window
+
+    from ocr_spark.jobs.extract_job import bucketed, commit_manifest
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(stream_output_path)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return {"status": "noop", "folded_docs": 0, "touched_buckets": []}
+    snapshot = [
+        f.getPath()
+        for f in fs.listStatus(root)
+        if f.isDirectory() and f.getPath().getName().startswith("batch_id=")
+    ]
+    if not snapshot:
+        return {"status": "noop", "folded_docs": 0, "touched_buckets": []}
+
+    inc = spark.read.option("basePath", stream_output_path).parquet(
+        *[p.toString() for p in snapshot]
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("batch_id"))
+    latest = (
+        inc.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "batch_id")
+    )
+    up = bucketed(latest, n_buckets)
+    touched = sorted(
+        r["bucket"] for r in up.select("bucket").distinct().collect()
+    )
+    n_docs = up.count()
+
+    import time as _time
+
+    t0 = _time.perf_counter()
+    try:
+        existing = spark.read.parquet(output_path).where(
+            F.col("bucket").isin(touched)
+        )
+        keep = existing.join(up.select("doc_id"), "doc_id", "left_anti")
+        merged = keep.unionByName(up)
+    except Exception:  # first fold into an empty table
+        merged = up
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
+    wall_ms = int((_time.perf_counter() - t0) * 1000)
+
+    commit_manifest(
+        spark, output_path, manifest_path, run_id, touched, wall_ms,
+        "stream-fold",
+    )
+    for p in snapshot:
+        fs.delete(p, True)
+    return {
+        "status": "ok",
+        "folded_docs": n_docs,
+        "folded_batches": len(snapshot),
+        "touched_buckets": touched,
+        "wall_ms": wall_ms,
+    }
+
+
 def run_edits_stream(
     spark: SparkSession,
     edits_path: str,

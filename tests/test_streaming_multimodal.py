@@ -185,3 +185,72 @@ def test_stateful_streaming_dedup(spark, tmp_path):
     assert both["d"]["doc_id"] == "d7"
     # a/b/c rows unchanged — no duplicate emission
     assert both["c"]["doc_id"] == "d3"
+
+
+def test_fold_stream_output_into_bucketed_table(spark, tmp_path):
+    """The stream's batch_id= layout folds into the batch job's bucket=
+    table: contents equal a batch extraction, manifest gains
+    'stream-fold' commits, folded batch dirs are deleted, and a later
+    re-extraction of changed docs replaces rows (latest batch wins)."""
+    from ocr_spark.streaming.pipeline import fold_stream_output
+
+    src_dir = os.path.join(tmp_path, "in")
+    os.makedirs(src_dir)
+    # one table split into two files -> disjoint doc_ids per micro-batch
+    datagen.generate_to_path(
+        os.path.join(src_dir, "docs"), n_docs=80, seed=42, scramble=True,
+        n_files=2,
+    )
+    sout = os.path.join(tmp_path, "sout")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    out = os.path.join(tmp_path, "out")
+    man = os.path.join(tmp_path, "man")
+    run_extraction_stream(
+        spark, os.path.join(src_dir, "docs"), sout, ckpt, order_by="meta"
+    )
+
+    st = fold_stream_output(spark, sout, out, man, run_id="fold1", n_buckets=4)
+    assert st["status"] == "ok" and st["folded_docs"] == 80
+    assert st["folded_batches"] >= 1
+
+    batch = extract_documents(
+        spark.read.parquet(os.path.join(src_dir, "docs")), order_by="meta"
+    ).select("doc_id", "doc_text")
+    got = spark.read.parquet(out).select("doc_id", "doc_text")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    m = spark.read.parquet(man)
+    folds = m.where(F.col("run_id") == "fold1").collect()
+    assert folds and all(r["status"] == "stream-fold" for r in folds)
+    assert not [
+        d for d in os.listdir(sout) if d.startswith("batch_id=")
+    ], "folded batch dirs must be deleted"
+
+    # a changed doc re-streams (new source file) and replaces its row
+    docs = spark.read.parquet(os.path.join(src_dir, "docs"))
+    a = docs.select("doc_id").orderBy("doc_id").first()["doc_id"]
+    (
+        docs.where(F.col("doc_id") == a)
+        .selectExpr(
+            "doc_id",
+            "transform(spans, s -> struct(s.kind as kind, upper(s.text) as "
+            "text, s.media_ref as media_ref, s.offset as offset)) as spans",
+            "meta",
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(os.path.join(src_dir, "docs"))
+    )
+    run_extraction_stream(
+        spark, os.path.join(src_dir, "docs"), sout, ckpt, order_by="meta"
+    )
+    st2 = fold_stream_output(spark, sout, out, man, run_id="fold2", n_buckets=4)
+    assert st2["status"] == "ok" and st2["folded_docs"] == 1
+    t = spark.read.parquet(out)
+    ta = t.where(F.col("doc_id") == a).first()["doc_text"]
+    assert ta == ta.upper()
+    assert t.count() == 80  # replaced, not appended
+
+    # idempotent when nothing is pending
+    assert fold_stream_output(spark, sout, out, man, "fold3")["status"] == "noop"
