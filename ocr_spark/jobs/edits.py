@@ -29,6 +29,17 @@ edit batch touching k docs recomputes ≤ k/4096 of the corpus.  Touched
 buckets are processed in waves of ``wave_size`` (measured: a 100-doc
 edit over a 400k-doc/64-bucket table touches ~all buckets and OOM'd the
 single-wave form; 16-bucket waves run it comfortably).
+
+Module map (the Iceberg mapping of each piece, parquet-seam degraded):
+
+* ``append_edits``     — MERGE INTO content rows (latest edit_seq wins)
+* ``delete_documents`` — DELETE WHERE via tombstone rows
+* ``apply_edits``      — the §3.3 submit-text loop: durable write first,
+  then touched-bucket re-derivation (streaming twin:
+  streaming/pipeline.run_edits_stream)
+* ``compact_overlay``  — snapshot compaction / expire_snapshots: folds
+  base ⊕ overlay into a rewritten base and truncates the history that
+  ``read_documents(as_of_seq=…)`` time-travels over
 """
 
 from __future__ import annotations
