@@ -53,21 +53,55 @@ from ocr_spark.jobs.extract_job import (
     bucketed,
     commit_manifest,
     edits_overlay_path,
+    hadoop_fs,
+    normalize_overlay,
+    overlay_data_files,
     overlay_merge,
     read_documents,
 )
 from ocr_spark.operators.extract import extract_documents
 
 
+def _next_edit_seq(spark: SparkSession, input_path: str) -> int:
+    """A strictly increasing per-table commit sequence: wall clock,
+    floored at (existing max + 1) so cross-driver clock skew can never
+    order a later commit before an earlier one — without the floor, a
+    retention driver whose clock lags the edit driver's by ordinary NTP
+    skew would write a tombstone that LOSES latest-wins to the earlier
+    edit, and the delete would silently never take effect.  Remaining
+    precondition (documented, not enforced): appends to one table do not
+    overlap in wall-clock time; on Iceberg, snapshot sequence numbers
+    replace this entirely."""
+    seq = time.time_ns()
+    files = overlay_data_files(spark, input_path)
+    if files:
+        prev = (
+            spark.read.option("mergeSchema", "true").parquet(*files)
+            .agg(F.max("edit_seq"))
+            .first()[0]
+        )
+        if prev is not None and prev >= seq:
+            seq = prev + 1
+    return seq
+
+
 def append_edits(updates: DataFrame, input_path: str) -> None:
     """THE durable overlay write: append replacement rows
-    ``(doc_id, spans, meta)`` with a strictly increasing ``edit_seq`` so
-    the latest edit of a doc wins in read_documents.  Shared by
-    apply_edits (content rows) — delete_documents writes the tombstone
-    variant."""
+    ``(doc_id, spans, meta)`` with a strictly increasing ``edit_seq``
+    (see _next_edit_seq) so the latest edit of a doc wins in
+    read_documents.  A batch containing several rows for ONE doc is
+    collapsed to a single row before the write — all rows of a batch
+    share one edit_seq, and materializing a same-seq tie would let every
+    later read break it differently (unstable table content across
+    re-derivations).  Shared by apply_edits (content rows) —
+    delete_documents writes the tombstone variant."""
     (
         updates.select("doc_id", "spans", "meta")
-        .withColumn("edit_seq", F.lit(time.time_ns()))
+        .dropDuplicates(["doc_id"])
+        .withColumn(
+            "edit_seq",
+            F.lit(_next_edit_seq(updates.sparkSession, input_path)),
+        )
         .withColumn("deleted", F.lit(False))
         .write.mode("append")
         .parquet(edits_overlay_path(input_path))
@@ -147,20 +181,13 @@ def delete_documents(
         doc_ids.select("doc_id").distinct()
         .withColumn("spans", F.lit(None).cast(base.schema["spans"].dataType))
         .withColumn("meta", F.lit(None).cast(base.schema["meta"].dataType))
-        .withColumn("edit_seq", F.lit(time.time_ns()))
+        .withColumn("edit_seq", F.lit(_next_edit_seq(spark, input_path)))
         .withColumn("deleted", F.lit(True))
     )
     n = tomb.count()
     if n:
         tomb.write.mode("append").parquet(edits_overlay_path(input_path))
     return n
-
-
-def _fs(spark, path_str: str):
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path_str)
-    return jvm, p.getFileSystem(conf), p
 
 
 def compact_overlay(
@@ -185,15 +212,19 @@ def compact_overlay(
        renames are the seam's non-atomic window (Iceberg makes this one
        snapshot commit); a crash between them is healed by the recovery
        step below on the next call.
-    4. Delete only the snapshotted overlay files.  A crash mid-delete
-       leaves rows whose content was already folded — re-applying them
-       over the compacted base is a no-op (idempotent; a re-applied
-       tombstone deletes a doc that is already gone).
+    4. Delete only the snapshotted overlay FILES — never the overlay
+       directory.  A dir-level delete would race a concurrent append
+       (its in-flight ``_temporary`` subtree is invisible to a file
+       listing, so "the dir looks empty" proves nothing) and could
+       destroy a durable edit; the empty directory is harmless.  A crash
+       mid-delete leaves rows whose content was already folded —
+       re-applying them over the compacted base is a no-op (idempotent;
+       a re-applied tombstone deletes a doc that is already gone).
 
     Folding applies tombstones permanently: a doc whose latest overlay
     row is a delete is absent from the rewritten base.
     """
-    jvm, fs, base_p = _fs(spark, input_path)
+    jvm, fs, base_p = hadoop_fs(spark, input_path)
     old_p = jvm.org.apache.hadoop.fs.Path(input_path + "_precompact")
     tmp_s = input_path + "_compacting"
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp_s)
@@ -203,21 +234,13 @@ def compact_overlay(
         if not fs.rename(old_p, base_p):
             raise IOError(f"recovery rename failed: {old_p} -> {base_p}")
 
-    ov_s = edits_overlay_path(input_path)
-    _, _, ov_p = _fs(spark, ov_s)
-    if not fs.exists(ov_p):
-        return {"status": "noop", "folded_edit_rows": 0}
-    snapshot = [
-        f.getPath() for f in fs.listStatus(ov_p) if f.isFile()
-    ]
-    data_files = [p.toString() for p in snapshot if p.getName().endswith(".parquet")]
+    data_files = overlay_data_files(spark, input_path)
     if not data_files:
         return {"status": "noop", "folded_edit_rows": 0}
 
-    ov = spark.read.option("mergeSchema", "true").parquet(*data_files)
-    if "deleted" not in ov.columns:
-        ov = ov.withColumn("deleted", F.lit(False))
-    ov = ov.withColumn("deleted", F.coalesce("deleted", F.lit(False)))
+    ov = normalize_overlay(
+        spark.read.option("mergeSchema", "true").parquet(*data_files)
+    )
     n_rows = ov.count()
     base = spark.read.parquet(input_path).select("doc_id", "spans", "meta")
     merged = overlay_merge(base, ov)
@@ -233,9 +256,6 @@ def compact_overlay(
     if not fs.rename(tmp_p, base_p):
         raise IOError(f"swap rename failed: {tmp_p} -> {base_p}")
     fs.delete(old_p, True)
-    for p in snapshot:
-        fs.delete(p, False)
-    # drop the overlay dir only if no edit arrived during compaction
-    if not [f for f in fs.listStatus(ov_p) if f.isFile()]:
-        fs.delete(ov_p, True)
+    for f in data_files:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
     return {"status": "ok", "folded_edit_rows": n_rows, "docs": n_docs}

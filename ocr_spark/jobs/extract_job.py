@@ -60,20 +60,56 @@ def edits_overlay_path(input_path: str) -> str:
     return input_path.rstrip("/") + "_edits"
 
 
-def read_overlay(spark: SparkSession, input_path: str) -> DataFrame:
-    """Read the edit overlay with its schema normalized: rows are
-    (doc_id, spans, meta, edit_seq, deleted).  ``deleted`` marks a
-    tombstone (the Iceberg delete-vector analog — retention writes these
-    so an expired document cannot be resurrected by a later bucket
-    re-derivation); overlay files written before tombstones existed lack
-    the column, so the read merges schemas and defaults it to false."""
-    ov = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(edits_overlay_path(input_path))
-    )
+def hadoop_fs(spark: SparkSession, path_str: str):
+    """(jvm, FileSystem, Path) for a path string — works on any Hadoop
+    filesystem, not just local."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    return jvm, p.getFileSystem(conf), p
+
+
+def overlay_data_files(spark: SparkSession, input_path: str) -> list[str]:
+    """Committed parquet files of the edit overlay (empty list if the
+    overlay doesn't exist or holds no data yet).  Top-level files only —
+    an in-flight append's ``_temporary`` subtree is invisible here, so
+    callers that snapshot this list never touch uncommitted writes."""
+    _, fs, p = hadoop_fs(spark, edits_overlay_path(input_path))
+    if not fs.exists(p):
+        return []
+    return [
+        f.getPath().toString()
+        for f in fs.listStatus(p)
+        if f.isFile() and f.getPath().getName().endswith(".parquet")
+    ]
+
+
+def normalize_overlay(ov: DataFrame) -> DataFrame:
+    """Normalize overlay rows to (…, edit_seq, deleted): files written
+    before tombstones existed lack the ``deleted`` column, so reads
+    merge schemas and default it to false."""
     if "deleted" not in ov.columns:
         ov = ov.withColumn("deleted", F.lit(False))
     return ov.withColumn("deleted", F.coalesce("deleted", F.lit(False)))
+
+
+def read_overlay(spark: SparkSession, input_path: str) -> DataFrame | None:
+    """Read the edit overlay: rows (doc_id, spans, meta, edit_seq,
+    deleted).  ``deleted`` marks a tombstone (the Iceberg delete-vector
+    analog — retention writes these so an expired document cannot be
+    resurrected by a later bucket re-derivation).
+
+    Returns ``None`` when no overlay data exists — checked EXPLICITLY,
+    never by swallowing read errors: a transient failure reading an
+    overlay that does exist must raise, because proceeding with the bare
+    base would silently revert edits and resurrect deleted documents in
+    whatever buckets the caller derives."""
+    files = overlay_data_files(spark, input_path)
+    if not files:
+        return None
+    return normalize_overlay(
+        spark.read.option("mergeSchema", "true").parquet(*files)
+    )
 
 
 def read_documents(
@@ -102,9 +138,8 @@ def read_documents(
     truncates it.
     """
     base = spark.read.parquet(input_path).select("doc_id", "spans", "meta")
-    try:
-        ov = read_overlay(spark, input_path)
-    except Exception:
+    ov = read_overlay(spark, input_path)
+    if ov is None:
         return base
     if as_of_seq is not None:
         ov = ov.where(F.col("edit_seq") <= as_of_seq)
@@ -115,9 +150,8 @@ def overlay_versions(spark: SparkSession, input_path: str) -> DataFrame:
     """The snapshot-list analog: one row per overlay commit point
     ``(edit_seq, n_rows, n_deletes)``, ascending — each ``edit_seq`` is
     a valid ``as_of_seq`` for read_documents.  Empty if no overlay."""
-    try:
-        ov = read_overlay(spark, input_path)
-    except Exception:
+    ov = read_overlay(spark, input_path)
+    if ov is None:
         return spark.createDataFrame(
             [], "edit_seq bigint, n_rows bigint, n_deletes bigint"
         )

@@ -86,6 +86,7 @@ def fold_stream_output(
     manifest_path: str,
     run_id: str,
     n_buckets: int = 32,
+    input_path: str | None = None,
 ) -> dict:
     """Fold the streaming extraction's ``batch_id=`` partitions into the
     batch job's bucketed table — one table, two drivers.
@@ -99,16 +100,22 @@ def fold_stream_output(
     the shared protocol, and deletes exactly the batch directories it
     folded (snapshot-first, so micro-batches landing DURING the fold
     survive to the next one; a crash after the bucket write re-folds
-    identical rows — idempotent)."""
+    identical rows — idempotent).
+
+    Pass ``input_path`` whenever the source has an edit overlay: the
+    stream extracts RAW input files, never the overlay seam, so a stream
+    row for any overlay-touched doc is stale by construction — folding
+    it would resurrect a tombstoned doc or revert an edit whose bucket
+    apply_edits already re-derived.  Those rows are dropped here (their
+    correct state is already in the table, or legitimately absent)."""
     from pyspark.sql.window import Window
 
-    from ocr_spark.jobs.extract_job import bucketed, commit_manifest
+    from ocr_spark.jobs.extract_job import (
+        bucketed, commit_manifest, hadoop_fs, read_overlay,
+    )
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    root = jvm.org.apache.hadoop.fs.Path(stream_output_path)
-    fs = root.getFileSystem(conf)
+    jvm, fs, root = hadoop_fs(spark, stream_output_path)
     if not fs.exists(root):
         return {"status": "noop", "folded_docs": 0, "touched_buckets": []}
     snapshot = [
@@ -128,24 +135,39 @@ def fold_stream_output(
         .where(F.col("_rn") == 1)
         .drop("_rn", "batch_id")
     )
-    up = bucketed(latest, n_buckets)
+    if input_path is not None:
+        ov = read_overlay(spark, input_path)
+        if ov is not None:
+            latest = latest.join(
+                ov.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+    up = bucketed(latest, n_buckets).persist()
     touched = sorted(
         r["bucket"] for r in up.select("bucket").distinct().collect()
     )
     n_docs = up.count()
+    if not touched:
+        up.unpersist()
+        for p in snapshot:
+            fs.delete(p, True)  # everything pending was overlay-stale
+        return {"status": "noop", "folded_docs": 0, "touched_buckets": []}
 
     import time as _time
 
     t0 = _time.perf_counter()
-    try:
+    _, out_fs, out_p = hadoop_fs(spark, output_path)
+    if out_fs.exists(out_p):
+        # existence checked explicitly — a transient READ error here must
+        # raise, not silently drop co-resident rows from touched buckets
         existing = spark.read.parquet(output_path).where(
             F.col("bucket").isin(touched)
         )
         keep = existing.join(up.select("doc_id"), "doc_id", "left_anti")
         merged = keep.unionByName(up)
-    except Exception:  # first fold into an empty table
+    else:
         merged = up
     merged.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
+    up.unpersist()
     wall_ms = int((_time.perf_counter() - t0) * 1000)
 
     commit_manifest(

@@ -199,7 +199,13 @@ def test_compact_overlay_folds_edits_into_base(spark, tmp_path):
     st = compact_overlay(spark, src)
     assert st["status"] == "ok" and st["folded_edit_rows"] == 3
     assert st["docs"] == 50
-    assert not os.path.exists(edits_overlay_path(src))
+    # folded data files are gone; the (possibly empty) dir itself is
+    # deliberately kept — deleting it would race a concurrent append
+    ov_dir = edits_overlay_path(src)
+    assert not (
+        os.path.isdir(ov_dir)
+        and any(f.endswith(".parquet") for f in os.listdir(ov_dir))
+    )
     assert not os.path.exists(src + "_compacting")
     assert not os.path.exists(src + "_precompact")
 

@@ -254,3 +254,67 @@ def test_fold_stream_output_into_bucketed_table(spark, tmp_path):
 
     # idempotent when nothing is pending
     assert fold_stream_output(spark, sout, out, man, "fold3")["status"] == "noop"
+
+
+def test_fold_respects_overlay_tombstones_and_edits(spark, tmp_path):
+    """A stream extraction pending in the fold queue must not resurrect
+    a doc deleted through the seam, nor revert a seam edit — stream rows
+    read RAW input and are stale by construction for any overlay-touched
+    doc, so fold drops them when given the input path."""
+    from ocr_spark.jobs.edits import apply_edits, delete_documents
+    from ocr_spark.jobs.retention import expire_where
+    from ocr_spark.streaming.pipeline import fold_stream_output
+
+    src = os.path.join(tmp_path, "docs")
+    datagen.generate_to_path(src, n_docs=40, seed=42, scramble=True, n_files=2)
+    sout = os.path.join(tmp_path, "sout")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    out = os.path.join(tmp_path, "out")
+    man = os.path.join(tmp_path, "man")
+
+    # first fold establishes the table
+    run_extraction_stream(spark, src, sout, ckpt, order_by="meta")
+    fold_stream_output(
+        spark, sout, out, man, run_id="f1", n_buckets=4, input_path=src
+    )
+    docs = spark.read.parquet(src)
+    dead, edited = [
+        r["doc_id"]
+        for r in docs.select("doc_id").orderBy("doc_id").limit(2).collect()
+    ]
+
+    # durable delete + seam edit land AFTER the stream extracted
+    expire_where(
+        spark, out, man, "gdpr", F.col("doc_id") == dead, input_path=src
+    )
+    upd = docs.where(F.col("doc_id") == edited).selectExpr(
+        "doc_id",
+        "transform(spans, s -> struct(s.kind as kind, upper(s.text) as "
+        "text, s.media_ref as media_ref, s.offset as offset)) as spans",
+        "meta",
+    )
+    apply_edits(spark, upd, src, out, man, run_id="e1", n_buckets=4)
+    text_e = spark.read.parquet(out).where(
+        F.col("doc_id") == edited
+    ).first()["doc_text"]
+    assert text_e == text_e.upper()
+
+    # a stale stream re-extraction of BOTH docs arrives (raw input —
+    # no overlay applied) and gets folded
+    (
+        docs.where(F.col("doc_id").isin([dead, edited]))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(src)
+    )
+    run_extraction_stream(spark, src, sout, ckpt, order_by="meta")
+    st = fold_stream_output(
+        spark, sout, out, man, run_id="f2", n_buckets=4, input_path=src
+    )
+    assert st["folded_docs"] == 0  # both rows were overlay-stale
+
+    t = spark.read.parquet(out)
+    assert t.where(F.col("doc_id") == dead).count() == 0, "resurrected!"
+    assert (
+        t.where(F.col("doc_id") == edited).first()["doc_text"] == text_e
+    ), "edit reverted!"
