@@ -259,3 +259,63 @@ def compact_overlay(
     for f in data_files:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
     return {"status": "ok", "folded_edit_rows": n_rows, "docs": n_docs}
+
+
+def main(argv: list | None = None, spark: SparkSession | None = None):
+    """spark-submit entry for the edit-lifecycle jobs::
+
+        spark-submit --py-files ocr_spark.zip -m ocr_spark.jobs.edits \\
+            apply   --updates s3://…/edits.parquet --input … --output … \\
+                    --manifest … [--run-id …] [--buckets N] [--wave-size N]
+        spark-submit … delete  --doc-ids s3://…/ids.parquet --input …
+        spark-submit … compact --input … [--n-files N]
+    """
+    import argparse
+    import uuid
+
+    from ocr_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="edit lifecycle jobs")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    a = sub.add_parser("apply", help="durable edit batch + bucket re-derive")
+    a.add_argument("--updates", required=True)
+    a.add_argument("--input", required=True)
+    a.add_argument("--output", required=True)
+    a.add_argument("--manifest", required=True)
+    a.add_argument("--run-id", default=f"edit-{uuid.uuid4().hex[:8]}")
+    a.add_argument("--buckets", type=int, default=64)
+    a.add_argument("--wave-size", type=int, default=16)
+    a.add_argument("--order-by", choices=["meta", "offset"], default="meta")
+    d = sub.add_parser("delete", help="durable delete (source tombstones)")
+    d.add_argument("--doc-ids", required=True,
+                   help="parquet path with a doc_id column")
+    d.add_argument("--input", required=True)
+    c = sub.add_parser("compact", help="fold the overlay into the base")
+    c.add_argument("--input", required=True)
+    c.add_argument("--n-files", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    own = spark is None
+    spark = spark or get_spark("ocr-edits")
+    if args.cmd == "apply":
+        out = apply_edits(
+            spark, spark.read.parquet(args.updates), args.input, args.output,
+            args.manifest, args.run_id, n_buckets=args.buckets,
+            order_by=args.order_by, wave_size=args.wave_size,
+        )
+    elif args.cmd == "delete":
+        out = {
+            "deleted": delete_documents(
+                spark, spark.read.parquet(args.doc_ids), args.input
+            )
+        }
+    else:
+        out = compact_overlay(spark, args.input, n_files=args.n_files)
+    print(out)
+    if own:
+        spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    main()

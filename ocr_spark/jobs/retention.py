@@ -115,3 +115,43 @@ def expire_where(
         "touched_buckets": touched,
         "wall_ms": wall_ms,
     }
+
+
+def main(argv: list | None = None, spark: SparkSession | None = None):
+    """spark-submit entry for the retention cron::
+
+        spark-submit --py-files ocr_spark.zip -m ocr_spark.jobs.retention \\
+            --output s3://…/spans_out --manifest s3://…/_manifests \\
+            --where "doc_text like '%DRAFT%'" [--input s3://…/documents]
+
+    ``--where`` is a SQL predicate over the derived table; pass
+    ``--input`` to make the delete durable (source tombstones).
+    """
+    import argparse
+    import uuid
+
+    from ocr_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="retention / expiry job")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--manifest", required=True)
+    ap.add_argument("--where", required=True)
+    ap.add_argument("--input", default=None)
+    ap.add_argument("--run-id", default=f"ret-{uuid.uuid4().hex[:8]}")
+    ap.add_argument("--wave-size", type=int, default=16)
+    args = ap.parse_args(argv)
+
+    own = spark is None
+    spark = spark or get_spark("ocr-retention")
+    out = expire_where(
+        spark, args.output, args.manifest, args.run_id, F.expr(args.where),
+        wave_size=args.wave_size, input_path=args.input,
+    )
+    print(out)
+    if own:
+        spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    main()
