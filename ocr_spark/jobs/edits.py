@@ -223,6 +223,11 @@ def compact_overlay(
 
     Folding applies tombstones permanently: a doc whose latest overlay
     row is a delete is absent from the rewritten base.
+
+    Caller caveat: DataFrames created over ``input_path`` BEFORE
+    compaction hold the pre-rewrite file list and fail with
+    FILE_NOT_EXIST afterwards — re-read the path (Iceberg's snapshot
+    isolation is what removes this hazard on the real seam).
     """
     jvm, fs, base_p = hadoop_fs(spark, input_path)
     old_p = jvm.org.apache.hadoop.fs.Path(input_path + "_precompact")

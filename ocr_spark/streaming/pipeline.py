@@ -263,3 +263,75 @@ def streaming_span_stats(
             "sum_value",
         )
     )
+
+
+def main(argv: list | None = None, spark: SparkSession | None = None):
+    """spark-submit entry for the streaming surfaces::
+
+        spark-submit … -m ocr_spark.streaming.pipeline \\
+            extract --input … --output … --checkpoint …
+        spark-submit … edits   --edits …  --input … --output … \\
+                               --manifest … --checkpoint … [--buckets N]
+        spark-submit … fold    --stream-output … --output … --manifest … \\
+                               [--input …] [--buckets N]
+
+    ``extract``/``edits`` run availableNow triggers (drain the backlog,
+    then stop — the cron-friendly shape); ``fold`` merges the stream's
+    batch_id= layout into the bucketed table (pass --input whenever the
+    source has an edit overlay, see fold_stream_output).
+    """
+    import argparse
+    import uuid
+
+    from ocr_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="streaming jobs")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    x = sub.add_parser("extract")
+    x.add_argument("--input", required=True)
+    x.add_argument("--output", required=True)
+    x.add_argument("--checkpoint", required=True)
+    x.add_argument("--order-by", choices=["meta", "offset"], default="meta")
+    e = sub.add_parser("edits")
+    e.add_argument("--edits", required=True)
+    e.add_argument("--input", required=True)
+    e.add_argument("--output", required=True)
+    e.add_argument("--manifest", required=True)
+    e.add_argument("--checkpoint", required=True)
+    e.add_argument("--buckets", type=int, default=64)
+    f = sub.add_parser("fold")
+    f.add_argument("--stream-output", required=True)
+    f.add_argument("--output", required=True)
+    f.add_argument("--manifest", required=True)
+    f.add_argument("--input", default=None)
+    f.add_argument("--buckets", type=int, default=64)
+    f.add_argument("--run-id", default=f"fold-{uuid.uuid4().hex[:8]}")
+    args = ap.parse_args(argv)
+
+    own = spark is None
+    spark = spark or get_spark("ocr-streaming")
+    if args.cmd == "extract":
+        run_extraction_stream(
+            spark, args.input, args.output, args.checkpoint,
+            order_by=args.order_by,
+        )
+        out = {"status": "drained"}
+    elif args.cmd == "edits":
+        run_edits_stream(
+            spark, args.edits, args.input, args.output, args.manifest,
+            args.checkpoint, n_buckets=args.buckets,
+        )
+        out = {"status": "drained"}
+    else:
+        out = fold_stream_output(
+            spark, args.stream_output, args.output, args.manifest,
+            args.run_id, n_buckets=args.buckets, input_path=args.input,
+        )
+    print(out)
+    if own:
+        spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -73,3 +73,27 @@ def test_lifecycle_clis_dispatch(spark, tmp_path):
     from ocr_spark.jobs.extract_job import read_documents
 
     assert read_documents(spark, src).count() == 28
+
+
+def test_streaming_cli_dispatch(spark, tmp_path):
+    from ocr_spark.streaming import pipeline as stream_cli
+
+    src = os.path.join(tmp_path, "docs")
+    datagen.generate_to_path(src, n_docs=20, seed=54, scramble=True, n_files=2)
+    sout = os.path.join(tmp_path, "sout")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    out = os.path.join(tmp_path, "out")
+    man = os.path.join(tmp_path, "man")
+
+    st = stream_cli.main(
+        ["extract", "--input", src, "--output", sout, "--checkpoint", ckpt],
+        spark=spark,
+    )
+    assert st["status"] == "drained"
+    st = stream_cli.main(
+        ["fold", "--stream-output", sout, "--output", out, "--manifest", man,
+         "--input", src, "--buckets", "2"],
+        spark=spark,
+    )
+    assert st["status"] == "ok" and st["folded_docs"] == 20
+    assert spark.read.parquet(out).count() == 20

@@ -406,3 +406,55 @@ def test_read_documents_as_of_travels_the_overlay(spark, tmp_path):
     # version listing carries the delete marker
     rows = overlay_versions(spark, src).collect()
     assert rows[0]["n_deletes"] == 0 and rows[1]["n_deletes"] == 1
+
+
+def test_overlay_snapshot_ignores_inflight_writes(spark, tmp_path):
+    """overlay_data_files must list only committed top-level data files:
+    an in-flight append's _temporary subtree (and stray non-parquet
+    files) are invisible — this is what makes compaction's
+    snapshot-then-delete safe against concurrent edits."""
+    from ocr_spark.jobs.edits import append_edits
+    from ocr_spark.jobs.extract_job import overlay_data_files
+
+    src = os.path.join(tmp_path, "docs.parquet")
+    datagen.generate_to_path(src, n_docs=10, seed=52, scramble=True)
+    docs = spark.read.parquet(src)
+    append_edits(docs.limit(1), src)
+
+    ov = src + "_edits"
+    before = set(overlay_data_files(spark, src))
+    assert before and all(f.endswith(".parquet") for f in before)
+    # simulate an in-flight concurrent append + a marker file
+    tmp = os.path.join(ov, "_temporary", "0", "task_1")
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-inflight.parquet"), "w") as f:
+        f.write("not yet committed")
+    assert set(overlay_data_files(spark, src)) == before
+
+
+def test_delete_wins_despite_clock_skew(spark, tmp_path, monkeypatch):
+    """The edit_seq floor (existing max + 1): a tombstone written by a
+    driver whose wall clock LAGS the edit driver's must still order
+    after the edit — otherwise the durable delete silently never takes
+    effect."""
+    from ocr_spark.jobs import edits as edits_mod
+    from ocr_spark.jobs.extract_job import read_documents
+
+    src = os.path.join(tmp_path, "docs.parquet")
+    datagen.generate_to_path(src, n_docs=10, seed=53, scramble=True)
+    docs = spark.read.parquet(src)
+    a = docs.select("doc_id").orderBy("doc_id").first()["doc_id"]
+
+    edits_mod.append_edits(docs.where(F.col("doc_id") == a), src)
+
+    # the deleting driver's clock is 1 hour behind
+    import time as _time
+
+    real = _time.time_ns()
+    monkeypatch.setattr(
+        edits_mod.time, "time_ns", lambda: real - 3_600_000_000_000
+    )
+    edits_mod.delete_documents(spark, docs.where(F.col("doc_id") == a), src)
+    assert (
+        read_documents(spark, src).where(F.col("doc_id") == a).count() == 0
+    ), "skewed-clock tombstone lost latest-wins"
