@@ -118,7 +118,12 @@ def curate(
 def run_curation(
     spark: SparkSession, input_path: str, output_path: str, **kw
 ) -> dict[str, int]:
-    docs = spark.read.parquet(input_path)
+    # the source seam, not a raw read: a curation run after edits or
+    # durable deletes must see the edited content and must not curate
+    # tombstoned documents back in
+    from ocr_spark.jobs.extract_job import read_documents
+
+    docs = read_documents(spark, input_path)
     caches: list = []
     out, stats = curate(docs, cache_registry=caches, **kw)
     out.write.mode("overwrite").parquet(output_path)
