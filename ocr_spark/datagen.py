@@ -82,8 +82,11 @@ def generate(
     seed: int = SEED,
     scramble: bool = False,
     mega_frac: float = 0.001,
+    id_offset: int = 0,
 ) -> pa.Table:
-    """Build the contract table (+ meta sidecar) as one Arrow table."""
+    """Build the contract table (+ meta sidecar) as one Arrow table.
+    ``id_offset`` shifts the doc-id range so chunked parallel generation
+    (generate_to_path ``processes``) yields globally unique ids."""
     rng = np.random.default_rng(seed)
     vocab = _vocab()
     v = len(vocab)
@@ -244,7 +247,10 @@ def generate(
     list_offsets = pa.array(np.concatenate(([0], np.cumsum(n_spans))), type=pa.int32())
     spans_col = pa.ListArray.from_arrays(list_offsets, spans_struct)
     meta_col = pa.ListArray.from_arrays(list_offsets, meta_struct)
-    doc_ids = pa.array([f"doc-{i:08d}" for i in range(n_docs)], type=pa.string())
+    doc_ids = pa.array(
+        [f"doc-{i:08d}" for i in range(id_offset, id_offset + n_docs)],
+        type=pa.string(),
+    )
 
     return pa.table({"doc_id": doc_ids, "spans": spans_col, "meta": meta_col})
 
@@ -275,27 +281,81 @@ def write_parquet(
             )
 
 
+def _generate_chunk(args: tuple) -> None:
+    """Worker for parallel generation: build one id-offset chunk and
+    write its part files straight into the shared temp dir (chunk index
+    namespaces the file names, so writers never collide)."""
+    tmp, n_docs, seed, scramble, chunk_ix, id_offset, files = args
+    import os
+
+    table = generate(
+        n_docs=n_docs, seed=seed, scramble=scramble, id_offset=id_offset
+    )
+    step = (n_docs + files - 1) // files
+    for j in range(files):
+        part = table.slice(j * step, step)
+        if part.num_rows:
+            pq.write_table(
+                part,
+                os.path.join(tmp, f"part-{chunk_ix:03d}-{j:04d}.parquet"),
+                row_group_size=256,
+            )
+
+
 def generate_to_path(
     path: str,
     n_docs: int = 500,
     seed: int = SEED,
     scramble: bool = False,
     n_files: int = 1,
+    processes: int | None = None,
 ) -> str:
     """Generate and write atomically: callers cache generated tables by
     ``os.path.exists(path)`` (bench/driver fixtures in /tmp persist
     across runs), so a crash mid-write must not leave a half-written
     table that poisons every later run — write to a sibling temp name,
-    then rename (atomic on POSIX for both files and directories)."""
+    then rename (atomic on POSIX for both files and directories).
+
+    ``processes > 1`` generates in parallel chunks (each worker a
+    disjoint doc-id range with its own derived seed) — single-threaded
+    generation is only ~400 docs/s (the string-array ops dominate),
+    which makes multi-hundred-k soak tables impractically slow to
+    build; 8 workers measure ~3k docs/s.  Chunked output is deterministic for a
+    fixed (seed, n_docs, processes) but NOT byte-identical to the
+    single-process layout of the same seed — keep ``processes=None``
+    for the contract fixtures whose content tests pin."""
     import os
     import shutil
 
     tmp = f"{path}.tmp-{os.getpid()}"
     try:
-        write_parquet(
-            generate(n_docs=n_docs, seed=seed, scramble=scramble), tmp,
-            n_files=n_files,
-        )
+        if processes and processes > 1:
+            import multiprocessing as mp
+
+            os.makedirs(tmp, exist_ok=True)
+            n_chunks = min(processes, max(1, n_docs))
+            step = (n_docs + n_chunks - 1) // n_chunks
+            files_per_chunk = max(1, (n_files + n_chunks - 1) // n_chunks)
+            jobs = [
+                (
+                    tmp,
+                    min(step, n_docs - c * step),
+                    seed * 1_000_003 + c,
+                    scramble,
+                    c,
+                    c * step,
+                    files_per_chunk,
+                )
+                for c in range(n_chunks)
+                if c * step < n_docs
+            ]
+            with mp.get_context("fork").Pool(len(jobs)) as pool:
+                pool.map(_generate_chunk, jobs)
+        else:
+            write_parquet(
+                generate(n_docs=n_docs, seed=seed, scramble=scramble), tmp,
+                n_files=n_files,
+            )
         try:
             os.rename(tmp, path)
         except OSError:

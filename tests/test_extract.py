@@ -92,3 +92,32 @@ def test_expr_variant_matches_kernel(spark, small_tables):
         assert _spans_tuples(expr[doc["doc_id"]]["spans"]) == _spans_tuples(
             kernel[doc["doc_id"]]["spans"]
         )
+
+
+def test_parallel_datagen_contract(tmp_path):
+    """Chunked parallel generation keeps the contract: exact doc count,
+    globally unique contiguous ids, the mega-doc skew tail present, and
+    the kernel processes it identically to any other input."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ocr_spark import datagen
+
+    p = os.path.join(tmp_path, "pgen")
+    datagen.generate_to_path(
+        p, n_docs=4000, seed=78, scramble=True, n_files=8, processes=4
+    )
+    t = pq.read_table(p)
+    ids = t.column("doc_id").to_pylist()
+    assert len(ids) == 4000 and len(set(ids)) == 4000
+    assert min(ids) == "doc-00000000" and max(ids) == "doc-00003999"
+    sizes = [len(s) for s in t.column("spans").to_pylist()]
+    assert max(sizes) >= 50_000, "mega-doc tail missing from chunked gen"
+    # deterministic for fixed (seed, n_docs, processes)
+    p2 = os.path.join(tmp_path, "pgen2")
+    datagen.generate_to_path(
+        p2, n_docs=4000, seed=78, scramble=True, n_files=8, processes=4
+    )
+    t2 = pq.read_table(p2)
+    assert t.equals(t2)
