@@ -83,10 +83,16 @@ def generate(
     scramble: bool = False,
     mega_frac: float = 0.001,
     id_offset: int = 0,
+    n_mega: int | None = None,
 ) -> pa.Table:
     """Build the contract table (+ meta sidecar) as one Arrow table.
     ``id_offset`` shifts the doc-id range so chunked parallel generation
-    (generate_to_path ``processes``) yields globally unique ids."""
+    (generate_to_path ``processes``) yields globally unique ids;
+    ``n_mega`` overrides the per-call mega-doc count so the PARALLEL
+    path can apportion the GLOBAL tail across chunks — per-chunk
+    rounding of ``mega_frac`` would delete the skew tail entirely for
+    small chunks (round(417·0.001)=0 in every chunk) or inflate it for
+    chunks just past .5."""
     rng = np.random.default_rng(seed)
     vocab = _vocab()
     v = len(vocab)
@@ -95,7 +101,8 @@ def generate(
     n_spans = np.clip(
         rng.lognormal(3.5, 1.0, n_docs).astype(np.int64), 1, 2000
     )
-    n_mega = int(round(n_docs * mega_frac))
+    if n_mega is None:
+        n_mega = int(round(n_docs * mega_frac))
     if n_mega > 0:
         mega_idx = rng.choice(n_docs, n_mega, replace=False)
         n_spans[mega_idx] = rng.integers(50_000, 200_001, n_mega)
@@ -285,11 +292,12 @@ def _generate_chunk(args: tuple) -> None:
     """Worker for parallel generation: build one id-offset chunk and
     write its part files straight into the shared temp dir (chunk index
     namespaces the file names, so writers never collide)."""
-    tmp, n_docs, seed, scramble, chunk_ix, id_offset, files = args
+    tmp, n_docs, seed, scramble, chunk_ix, id_offset, files, n_mega = args
     import os
 
     table = generate(
-        n_docs=n_docs, seed=seed, scramble=scramble, id_offset=id_offset
+        n_docs=n_docs, seed=seed, scramble=scramble, id_offset=id_offset,
+        n_mega=n_mega,
     )
     step = (n_docs + files - 1) // files
     for j in range(files):
@@ -336,6 +344,10 @@ def generate_to_path(
             n_chunks = min(processes, max(1, n_docs))
             step = (n_docs + n_chunks - 1) // n_chunks
             files_per_chunk = max(1, (n_files + n_chunks - 1) // n_chunks)
+            # the mega-doc skew tail is apportioned GLOBALLY: chunk c
+            # gets its fair integer share of round(n_docs·0.001), never
+            # a per-chunk rounding of its own fraction
+            total_mega = int(round(n_docs * 0.001))
             jobs = [
                 (
                     tmp,
@@ -345,12 +357,18 @@ def generate_to_path(
                     c,
                     c * step,
                     files_per_chunk,
+                    (total_mega * (c + 1)) // n_chunks
+                    - (total_mega * c) // n_chunks,
                 )
                 for c in range(n_chunks)
                 if c * step < n_docs
             ]
-            with mp.get_context("fork").Pool(len(jobs)) as pool:
-                pool.map(_generate_chunk, jobs)
+            if not jobs:  # n_docs == 0 — same contract as single-process
+                write_parquet(generate(n_docs=0, seed=seed), tmp,
+                              n_files=n_files)
+            else:
+                with mp.get_context("fork").Pool(len(jobs)) as pool:
+                    pool.map(_generate_chunk, jobs)
         else:
             write_parquet(
                 generate(n_docs=n_docs, seed=seed, scramble=scramble), tmp,

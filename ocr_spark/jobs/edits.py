@@ -74,14 +74,39 @@ def _next_edit_seq(spark: SparkSession, input_path: str) -> int:
     replace this entirely."""
     seq = time.time_ns()
     files = overlay_data_files(spark, input_path)
+    prev = None
     if files:
-        prev = (
-            spark.read.option("mergeSchema", "true").parquet(*files)
-            .agg(F.max("edit_seq"))
-            .first()[0]
-        )
-        if prev is not None and prev >= seq:
-            seq = prev + 1
+        try:
+            # parquet footer statistics — no Spark job, no row scan
+            # (a per-append full-overlay scan would make streaming edit
+            # ingestion quadratic in total overlay rows)
+            import pyarrow.parquet as pq
+
+            for f in files:
+                local = f[5:] if f.startswith("file:") else f
+                md = pq.ParquetFile(local).metadata
+                cols = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }
+                if "edit_seq" not in cols:
+                    continue
+                ci = cols["edit_seq"]
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is not None and st.has_min_max:
+                        m = st.max
+                        if prev is None or m > prev:
+                            prev = m
+        except OSError:
+            # non-local filesystem — fall back to a Spark aggregation
+            prev = (
+                spark.read.option("mergeSchema", "true").parquet(*files)
+                .agg(F.max("edit_seq"))
+                .first()[0]
+            )
+    if prev is not None and prev >= seq:
+        seq = prev + 1
     return seq
 
 
@@ -89,15 +114,29 @@ def append_edits(updates: DataFrame, input_path: str) -> None:
     """THE durable overlay write: append replacement rows
     ``(doc_id, spans, meta)`` with a strictly increasing ``edit_seq``
     (see _next_edit_seq) so the latest edit of a doc wins in
-    read_documents.  A batch containing several rows for ONE doc is
-    collapsed to a single row before the write — all rows of a batch
-    share one edit_seq, and materializing a same-seq tie would let every
-    later read break it differently (unstable table content across
-    re-derivations).  Shared by apply_edits (content rows) —
-    delete_documents writes the tombstone variant."""
+    read_documents.
+
+    A batch with several rows for ONE doc is REJECTED: all rows of a
+    batch share one edit_seq, a DataFrame has no intrinsic row order to
+    arbitrate "which edit is newer", and both silently materializing a
+    same-seq tie (every later read breaks it differently) and silently
+    keeping an arbitrary row (a correction durably lost with no error)
+    are wrong.  Sequential edits of one doc belong in sequential batches
+    — exactly what run_edits_stream's per-file micro-batches provide."""
+    rows = updates.select("doc_id", "spans", "meta")
+    dupes = [
+        r["doc_id"]
+        for r in rows.groupBy("doc_id").count().where("count > 1")
+        .limit(5).collect()
+    ]
+    if dupes:
+        raise ValueError(
+            f"edit batch contains multiple rows for doc(s) {dupes}: "
+            "a batch is unordered, so 'which edit wins' would be "
+            "arbitrary — submit sequential edits as separate batches"
+        )
     (
-        updates.select("doc_id", "spans", "meta")
-        .dropDuplicates(["doc_id"])
+        rows
         .withColumn(
             "edit_seq",
             F.lit(_next_edit_seq(updates.sparkSession, input_path)),

@@ -85,8 +85,8 @@ def fold_stream_output(
     output_path: str,
     manifest_path: str,
     run_id: str,
+    input_path: str | None,
     n_buckets: int = 32,
-    input_path: str | None = None,
 ) -> dict:
     """Fold the streaming extraction's ``batch_id=`` partitions into the
     batch job's bucketed table — one table, two drivers.
@@ -102,12 +102,15 @@ def fold_stream_output(
     survive to the next one; a crash after the bucket write re-folds
     identical rows — idempotent).
 
-    Pass ``input_path`` whenever the source has an edit overlay: the
-    stream extracts RAW input files, never the overlay seam, so a stream
-    row for any overlay-touched doc is stale by construction — folding
-    it would resurrect a tombstoned doc or revert an edit whose bucket
-    apply_edits already re-derived.  Those rows are dropped here (their
-    correct state is already in the table, or legitimately absent)."""
+    ``input_path`` is REQUIRED (no default) because forgetting it is a
+    silent correctness bug, not a tuning choice: the stream extracts RAW
+    input files, never the overlay seam, so a stream row for any
+    overlay-touched doc is stale by construction — folding it would
+    resurrect a tombstoned doc or revert an edit whose bucket
+    apply_edits already re-derived.  Those rows are dropped (their
+    correct state is already in the table, or legitimately absent).
+    Pass ``None`` explicitly only when the source genuinely has no edit
+    overlay."""
     from pyspark.sql.window import Window
 
     from ocr_spark.jobs.extract_job import (
@@ -155,25 +158,30 @@ def fold_stream_output(
     import time as _time
 
     t0 = _time.perf_counter()
-    _, out_fs, out_p = hadoop_fs(spark, output_path)
-    if out_fs.exists(out_p):
-        # existence checked explicitly — a transient READ error here must
-        # raise, not silently drop co-resident rows from touched buckets
-        existing = spark.read.parquet(output_path).where(
-            F.col("bucket").isin(touched)
+    try:
+        _, out_fs, out_p = hadoop_fs(spark, output_path)
+        if out_fs.exists(out_p):
+            # existence checked explicitly — a transient READ error here
+            # must raise, not silently drop co-resident rows from
+            # touched buckets
+            existing = spark.read.parquet(output_path).where(
+                F.col("bucket").isin(touched)
+            )
+            keep = existing.join(up.select("doc_id"), "doc_id", "left_anti")
+            merged = keep.unionByName(up)
+        else:
+            merged = up
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(
+            output_path
         )
-        keep = existing.join(up.select("doc_id"), "doc_id", "left_anti")
-        merged = keep.unionByName(up)
-    else:
-        merged = up
-    merged.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
-    up.unpersist()
-    wall_ms = int((_time.perf_counter() - t0) * 1000)
+        wall_ms = int((_time.perf_counter() - t0) * 1000)
 
-    commit_manifest(
-        spark, output_path, manifest_path, run_id, touched, wall_ms,
-        "stream-fold",
-    )
+        commit_manifest(
+            spark, output_path, manifest_path, run_id, touched, wall_ms,
+            "stream-fold",
+        )
+    finally:
+        up.unpersist()
     for p in snapshot:
         fs.delete(p, True)
     return {
@@ -303,7 +311,12 @@ def main(argv: list | None = None, spark: SparkSession | None = None):
     f.add_argument("--stream-output", required=True)
     f.add_argument("--output", required=True)
     f.add_argument("--manifest", required=True)
-    f.add_argument("--input", default=None)
+    g = f.add_mutually_exclusive_group(required=True)
+    g.add_argument("--input", default=None,
+                   help="source documents table (its edit overlay makes "
+                        "pending stale stream rows droppable)")
+    g.add_argument("--no-overlay", action="store_true",
+                   help="assert the source has no edit overlay")
     f.add_argument("--buckets", type=int, default=64)
     f.add_argument("--run-id", default=f"fold-{uuid.uuid4().hex[:8]}")
     args = ap.parse_args(argv)
@@ -325,7 +338,7 @@ def main(argv: list | None = None, spark: SparkSession | None = None):
     else:
         out = fold_stream_output(
             spark, args.stream_output, args.output, args.manifest,
-            args.run_id, n_buckets=args.buckets, input_path=args.input,
+            args.run_id, args.input, n_buckets=args.buckets,
         )
     print(out)
     if own:

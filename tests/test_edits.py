@@ -458,3 +458,21 @@ def test_delete_wins_despite_clock_skew(spark, tmp_path, monkeypatch):
     assert (
         read_documents(spark, src).where(F.col("doc_id") == a).count() == 0
     ), "skewed-clock tombstone lost latest-wins"
+
+
+def test_append_edits_rejects_same_doc_twice_in_one_batch(spark, tmp_path):
+    """A batch is unordered — two edits of one doc in a single batch
+    have no defined winner, so the write must fail loudly instead of
+    durably keeping an arbitrary row."""
+    from ocr_spark.jobs.edits import append_edits
+
+    src = os.path.join(tmp_path, "docs.parquet")
+    datagen.generate_to_path(src, n_docs=10, seed=56, scramble=True)
+    docs = spark.read.parquet(src)
+    a = docs.select("doc_id").orderBy("doc_id").first()["doc_id"]
+    doubled = docs.where(F.col("doc_id") == a).unionAll(
+        docs.where(F.col("doc_id") == a)
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        append_edits(doubled, src)
+    assert not os.path.exists(src + "_edits")  # nothing was written

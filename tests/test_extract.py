@@ -121,3 +121,24 @@ def test_parallel_datagen_contract(tmp_path):
     )
     t2 = pq.read_table(p2)
     assert t.equals(t2)
+
+
+def test_parallel_datagen_mega_tail_survives_small_chunks(tmp_path):
+    """The mega-doc skew tail is apportioned globally: with chunks small
+    enough that per-chunk rounding of 0.1% would yield zero, the table
+    must still carry its full tail."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ocr_spark import datagen
+
+    p = os.path.join(tmp_path, "pgen_small_chunks")
+    # 24 chunks of ~167 docs: round(0.167) == 0 in every chunk
+    datagen.generate_to_path(
+        p, n_docs=4000, seed=79, scramble=True, n_files=24, processes=24
+    )
+    t = pq.read_table(p)
+    sizes = [len(s) for s in t.column("spans").to_pylist()]
+    n_mega = sum(1 for s in sizes if s >= 50_000)
+    assert n_mega == 4, f"expected the global tail of 4 mega docs, got {n_mega}"

@@ -201,15 +201,14 @@ def test_fold_stream_output_into_bucketed_table(spark, tmp_path):
         os.path.join(src_dir, "docs"), n_docs=80, seed=42, scramble=True,
         n_files=2,
     )
+    src = os.path.join(src_dir, "docs")
     sout = os.path.join(tmp_path, "sout")
     ckpt = os.path.join(tmp_path, "ckpt")
     out = os.path.join(tmp_path, "out")
     man = os.path.join(tmp_path, "man")
-    run_extraction_stream(
-        spark, os.path.join(src_dir, "docs"), sout, ckpt, order_by="meta"
-    )
+    run_extraction_stream(spark, src, sout, ckpt, order_by="meta")
 
-    st = fold_stream_output(spark, sout, out, man, run_id="fold1", n_buckets=4)
+    st = fold_stream_output(spark, sout, out, man, "fold1", src, n_buckets=4)
     assert st["status"] == "ok" and st["folded_docs"] == 80
     assert st["folded_batches"] >= 1
 
@@ -245,7 +244,7 @@ def test_fold_stream_output_into_bucketed_table(spark, tmp_path):
     run_extraction_stream(
         spark, os.path.join(src_dir, "docs"), sout, ckpt, order_by="meta"
     )
-    st2 = fold_stream_output(spark, sout, out, man, run_id="fold2", n_buckets=4)
+    st2 = fold_stream_output(spark, sout, out, man, "fold2", src, n_buckets=4)
     assert st2["status"] == "ok" and st2["folded_docs"] == 1
     t = spark.read.parquet(out)
     ta = t.where(F.col("doc_id") == a).first()["doc_text"]
@@ -253,7 +252,7 @@ def test_fold_stream_output_into_bucketed_table(spark, tmp_path):
     assert t.count() == 80  # replaced, not appended
 
     # idempotent when nothing is pending
-    assert fold_stream_output(spark, sout, out, man, "fold3")["status"] == "noop"
+    assert fold_stream_output(spark, sout, out, man, "fold3", src)["status"] == "noop"
 
 
 def test_fold_respects_overlay_tombstones_and_edits(spark, tmp_path):
@@ -274,9 +273,7 @@ def test_fold_respects_overlay_tombstones_and_edits(spark, tmp_path):
 
     # first fold establishes the table
     run_extraction_stream(spark, src, sout, ckpt, order_by="meta")
-    fold_stream_output(
-        spark, sout, out, man, run_id="f1", n_buckets=4, input_path=src
-    )
+    fold_stream_output(spark, sout, out, man, "f1", src, n_buckets=4)
     docs = spark.read.parquet(src)
     dead, edited = [
         r["doc_id"]
@@ -308,9 +305,7 @@ def test_fold_respects_overlay_tombstones_and_edits(spark, tmp_path):
         .parquet(src)
     )
     run_extraction_stream(spark, src, sout, ckpt, order_by="meta")
-    st = fold_stream_output(
-        spark, sout, out, man, run_id="f2", n_buckets=4, input_path=src
-    )
+    st = fold_stream_output(spark, sout, out, man, "f2", src, n_buckets=4)
     assert st["folded_docs"] == 0  # both rows were overlay-stale
 
     t = spark.read.parquet(out)
