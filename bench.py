@@ -26,6 +26,28 @@ import tempfile
 import time
 
 
+def _cpu_control() -> float:
+    """Fixed-work raw-CPU spin (32 procs × 20M-iter loop), reported in the
+    bench JSON as ``cpu_control_sec`` so every recorded BENCH_r{N}.json
+    carries its own host-health calibration: ~2.5-4 s on this host when
+    healthy.  Needed because shared-tenancy noise windows reach ~3.7×
+    (BENCH/BASELINE.md §1) — a Spark number recorded inside one is
+    meaningless without this stamp."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    with mp.get_context("fork").Pool(32) as pool:
+        pool.map(_spin, range(32))
+    return round(time.perf_counter() - t0, 2)
+
+
+def _spin(_: int) -> int:
+    x = 0
+    for i in range(20_000_000):
+        x += i * i
+    return x
+
+
 def _contract_path(n_docs: int, seed: int = 42) -> str:
     """Generate (once, cached) the contract spans table for the bench."""
     path = os.path.join(
@@ -98,6 +120,7 @@ def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
         "cpus": cpus,
         "contract_docs": n,
         "total_sec": round(sum(timings.values()), 3),
+        "cpu_control_sec": _cpu_control(),
     }
 
 
@@ -165,6 +188,7 @@ def run_scaling(n_small: int, n_docs: int) -> dict:
         },
         "sf": f"contract table n_docs={n_docs}",
         "contract_docs": n_docs,
+        "cpu_control_sec": _cpu_control(),
     }
 
 
