@@ -1076,21 +1076,32 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_span_extract(spark, "/root/testdata/sf0.001")
 
 
-def _q_contract_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The real Arrow extraction kernel on the contract spans table
-    (generated deterministically; rows-only driver check — the strong
-    oracle for this op is the pandas-oracle pytest suite)."""
+def _contract_fixture() -> str:
+    """Path of the deterministic 200-doc contract spans table shared by the
+    contract_* driver queries AND their DuckDB oracles (the oracle SQL
+    reads it via read_parquet, so oracle_sql() also materializes it —
+    whichever side the driver runs first finds the table)."""
     import os
     import tempfile
-
-    from ocr_spark import datagen
-    from ocr_spark.operators.extract import extract_documents
 
     path = os.path.join(
         tempfile.gettempdir(), "ocr_spark_contract_sf001.parquet"
     )
     if not os.path.exists(path):
+        from ocr_spark import datagen
+
         datagen.generate_to_path(path, n_docs=200, seed=42, scramble=True)
+    return path
+
+
+def _q_contract_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real Arrow extraction kernel on the contract spans table,
+    exploded back to the BASELINE.json span-sequence-equality projection
+    (kind, text, media_ref, offset).  Exact DuckDB twin: the
+    contract_extract entry of oracle_sql()."""
+    from ocr_spark.operators.extract import extract_documents
+
+    path = _contract_fixture()
     out = extract_documents(spark.read.parquet(path), order_by="meta")
     return out.select(
         "doc_id", F.posexplode("spans").alias("i", "s")
@@ -1098,21 +1109,14 @@ def _q_contract_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_contract_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed curation pipeline (extract → dedup → near-dup → quality →
-    tokenize) on the deterministic contract table; rows-only driver check —
-    stage semantics are pytest-verified (tests/test_curate.py)."""
-    import os
-    import tempfile
-
-    from ocr_spark import datagen
+    """Composed curation pipeline (extract → fingerprint → exact dedup →
+    minhash-LSH near-dup removal → quality gate) on the deterministic
+    contract table.  Exact DuckDB twin: the contract_curate entry of
+    oracle_sql(); stage semantics additionally pytest-verified
+    (tests/test_curate.py)."""
     from ocr_spark.jobs.curate import curate
 
-    path = os.path.join(
-        tempfile.gettempdir(), "ocr_spark_contract_sf001.parquet"
-    )
-    if not os.path.exists(path):
-        datagen.generate_to_path(path, n_docs=200, seed=42, scramble=True)
-    out, _ = curate(spark.read.parquet(path))
+    out, _ = curate(spark.read.parquet(_contract_fixture()))
     return out.select("doc_id", "fp", "n_words", "n_tokens")
 
 
@@ -1170,18 +1174,9 @@ def _q_contract_mets(spark: SparkSession, sf_dir: str) -> DataFrame:
     lives), IMG entries from the media spans, then one METS XML per doc.
     Rows-only driver check; XML structure is golden-tested
     (tests/test_mets.py)."""
-    import os
-    import tempfile
-
-    from ocr_spark import datagen
     from ocr_spark.sources.exporters import mets_documents
 
-    path = os.path.join(
-        tempfile.gettempdir(), "ocr_spark_contract_sf001.parquet"
-    )
-    if not os.path.exists(path):
-        datagen.generate_to_path(path, n_docs=200, seed=42, scramble=True)
-    docs = spark.read.parquet(path)
+    docs = spark.read.parquet(_contract_fixture())
     # pages: synthesize one ALTO + one IMG artifact per 100-span block
     pages = docs.select(
         "doc_id",
@@ -1248,9 +1243,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,                       # approximate — no oracle
         "ann_ivf": q_ann_ivf,                       # approximate — no oracle
         "ann_ivf_fullprobe": q_ann_ivf_fullprobe,   # exact at n_probe=n_centroids
-        "contract_extract": _q_contract_extract,    # pytest-oracled — no SQL
-        "contract_curate": _q_contract_curate,      # pytest-oracled — no SQL
-        "contract_ingest": _q_contract_ingest,      # pytest-oracled — no SQL
+        "contract_extract": _q_contract_extract,    # exact SQL twin + pytest
+        "contract_curate": _q_contract_curate,      # exact SQL twin + pytest
+        "contract_ingest": _q_contract_ingest,      # pytest-oracled — binary input, no SQL
         "contract_mets": _q_contract_mets,          # pytest-oracled — no SQL
         "q1_pricing": R.q1_pricing_summary,
         "q3_topk": R.q3_shipping_topk,
@@ -1272,5 +1267,184 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Python str.strip() whitespace — the Arrow kernel strips full whitespace
+# when testing span emptiness and page text, while Catalyst F.trim (and the
+# _NT/_RT fragments mirroring it) strips spaces only.  The contract oracles
+# must keep both behaviors distinct.
+_PY_WS = " \t\n\r\x0b\x0c"
+
+
+def _contract_extract_sql(path: str) -> str:
+    """Exact DuckDB twin of the full extraction kernel's span projection
+    (operators/extract.py::extract_documents, order_by='meta'): zip spans
+    with the meta sidecar, drop boilerplate and empty text spans
+    (parse_hocr.py:67-69 analog), ocr_image → text, reconstruct reading
+    order from the layout keys (O1-O5) and re-rank offsets densely."""
+    return f"""
+with z as (
+  select doc_id, unnest(spans) as s, unnest(meta) as m
+  from read_parquet('{path}')
+),
+f as (
+  select doc_id,
+         s.kind as k0, s.text as t0, s.media_ref as mr,
+         m.page_no as pg, m.segment_pos as sg, m.para_pos as pa,
+         m.line_pos as ln, m.word_pos as wd, s.offset as orig_off
+  from z
+  where s.kind <> 'boilerplate'
+    and (s.kind not in ('text', 'ocr_image')
+         or (s.text is not null and trim(s.text, '{_PY_WS}') <> ''))
+)
+select doc_id,
+       case when k0 in ('text', 'ocr_image') then 'text'
+            else 'media_ref' end as kind,
+       case when k0 in ('text', 'ocr_image') then t0 end as text,
+       case when k0 in ('text', 'ocr_image') then cast(null as varchar)
+            else mr end as media_ref,
+       cast(row_number() over (partition by doc_id
+            order by pg, sg, pa, ln, wd, orig_off) - 1 as int) as offset
+from f
+"""
+
+
+def _contract_curate_sql(
+    path: str,
+    jaccard_threshold: float = 0.5,
+    min_tokens: int = 5,
+    max_stop_ratio: float = 0.6,
+    token_len_band: tuple[float, float] = (1.0, 20.0),
+    k: int = 16,
+    bands: int = 8,
+    max_bucket: int = 1000,
+) -> str:
+    """Exact DuckDB twin of jobs/curate.py::curate over the contract table:
+
+    1. doc_text assembly exactly as the kernel/pandas-oracle defines it
+       (words ' ' by word_pos, lines '\\n' by line_pos, paragraphs '\\n\\n'
+       by (segment_pos, para_pos), per-page strip + trailing '\\n\\n',
+       pages 1..max(page_no) — absent pages contribute a bare '\\n\\n');
+    2. n_words = kept text-path spans (file.py:536-549 analog);
+    3. fp = md5 of space-joined normalized tokens; exact dedup keeps the
+       min doc_id per fp;
+    4. minhash-LSH near-dup removal (same signature/banding scheme as the
+       dedup_minhash_lsh oracle, incl. the 2..max_bucket degenerate-bucket
+       guard) — the larger doc_id of each verified >= threshold pair drops;
+    5. quality gate on analyzer tokens: n_tokens >= {min_tokens},
+       stop_ratio <= {max_stop_ratio}, avg token length in band.
+
+    n_raw deliberately uses the UNfiltered whitespace split of the
+    space-only-trimmed text (Catalyst F.split(F.trim(x))): doc_text always
+    ends '\\n\\n', so the split carries a trailing empty token — the Spark
+    pipeline counts it in n_raw and so must the oracle."""
+    rows = k // bands
+    band_key = " || '|' || ".join(
+        f"sig[band * {rows} + {r + 1}]" for r in range(rows)
+    )
+    an = _analyzer_sql()
+    lo, hi = token_len_band
+    return f"""
+with z as (
+  select doc_id, unnest(spans) as s, unnest(meta) as m
+  from read_parquet('{path}')
+),
+w as (
+  select doc_id, m.page_no as pg, m.segment_pos as sg, m.para_pos as pa,
+         m.line_pos as ln, m.word_pos as wd, s.offset as o, s.text as wt
+  from z
+  where s.kind in ('text', 'ocr_image') and s.text is not null
+        and trim(s.text, '{_PY_WS}') <> ''
+),
+nw as (select doc_id, count(*) as n_words from w group by doc_id),
+npg as (select doc_id, max(m.page_no) as n_pages from z group by doc_id),
+lines as (select doc_id, pg, sg, pa, ln,
+                 string_agg(wt, ' ' order by wd, o) as lt
+          from w group by doc_id, pg, sg, pa, ln),
+paras as (select doc_id, pg, sg, pa,
+                 string_agg(lt, chr(10) order by ln) as pt
+          from lines group by doc_id, pg, sg, pa),
+pagetxt as (select doc_id, pg,
+                   string_agg(pt, chr(10) || chr(10) order by sg, pa) as gt
+            from paras group by doc_id, pg),
+allpages as (select doc_id, unnest(range(1, n_pages + 1)) as p from npg),
+assembled as (
+  select ap.doc_id,
+         string_agg(coalesce(trim(pt2.gt, '{_PY_WS}'), '')
+                    || chr(10) || chr(10), '' order by ap.p) as text
+  from allpages ap
+  left join pagetxt pt2 on pt2.doc_id = ap.doc_id and pt2.pg = ap.p
+  group by ap.doc_id
+),
+fpt as (
+  select a.doc_id, a.text, cast(nw.n_words as bigint) as n_words,
+         md5(array_to_string({_NT}, ' ')) as fp
+  from assembled a join nw using (doc_id)
+  where nw.n_words > 0
+),
+reps as (select fp, min(doc_id) as rep from fpt group by fp),
+exact as (select f.* from fpt f
+          join reps r on f.fp = r.fp and f.doc_id = r.rep),
+toks as (select doc_id, {_NT} as t from exact),
+sh as (select doc_id,
+              list_distinct(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) as shingles
+       from toks where len(t) >= 3),
+sig as (select doc_id,
+               list_transform(range(0, {k}),
+                   h -> list_min(list_transform(shingles,
+                        s2 -> md5(cast(h as varchar) || ':' || s2)))) as sig
+        from sh),
+banded as (select doc_id, unnest(range(0, {bands})) as band, sig from sig),
+bk as (select doc_id, band, md5({band_key}) as band_key from banded),
+bksz as (select band, band_key, count(*) as n
+         from bk group by band, band_key),
+bkok as (select bk.doc_id, bk.band, bk.band_key
+         from bk join bksz using (band, band_key)
+         where bksz.n between 2 and {max_bucket}),
+cand as (select distinct x.doc_id as a, y.doc_id as b
+         from bkok x join bkok y
+           on x.band = y.band and x.band_key = y.band_key
+         where x.doc_id < y.doc_id),
+shingle as (select doc_id, unnest(shingles) as shingle from sh),
+sizes as (select doc_id, count(*) as n_sh from shingle group by doc_id),
+inter as (select p.a, p.b, count(*) as inter
+          from cand p
+          join shingle s1 on s1.doc_id = p.a
+          join shingle s2 on s2.doc_id = p.b and s2.shingle = s1.shingle
+          group by p.a, p.b),
+losers as (select distinct i.b as doc_id
+           from inter i
+           join sizes sa on sa.doc_id = i.a
+           join sizes sb on sb.doc_id = i.b
+           where cast(i.inter as double) / (sa.n_sh + sb.n_sh - i.inter)
+                 >= {jaccard_threshold}),
+surv as (select ex.* from exact ex
+         left join losers l using (doc_id) where l.doc_id is null),
+q as (select doc_id, fp, n_words,
+             {an} as toks2,
+             len(regexp_split_to_array(trim(text), '\\s+')) as n_raw
+      from surv),
+q2 as (select doc_id, fp, n_words,
+              cast(len(toks2) as int) as n_tokens,
+              cast(n_raw - len(toks2) as double)
+                  / greatest(n_raw, 1) as stop_ratio,
+              case when len(toks2) > 0
+                   then cast(list_sum(list_transform(toks2,
+                            t -> length(t))) as double) / len(toks2)
+                   else 0.0 end as avg_len
+       from q)
+select doc_id, fp, n_words, n_tokens
+from q2
+where n_tokens >= {min_tokens} and stop_ratio <= {max_stop_ratio}
+      and avg_len between {lo} and {hi}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    # the contract oracles read the fixture directly from disk, so fetching
+    # the oracle map materializes it — the driver may run either side first
+    path = _contract_fixture()
+    return {
+        **_ORACLES,
+        "contract_extract": _contract_extract_sql(path),
+        "contract_curate": _contract_curate_sql(path),
+    }
