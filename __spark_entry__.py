@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ocr_spark.functions import text as T
 from ocr_spark.operators import dedup as D
+from ocr_spark.operators import graph as GR
 from ocr_spark.operators import relational as R
 from ocr_spark.operators import similarity as S
 
@@ -204,6 +205,71 @@ def q_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_docs"))
         .orderBy("bucket")
+    )
+
+
+def q_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-distinct aggregation (§2.5 distinct-agg; corpus-level A7
+    terms-agg analog): per source, exact distinct vocabulary / language /
+    document counts plus total token volume.
+
+    The exact form shuffles every distinct (source, word) pair — correct at
+    any scale but O(distinct tokens) network.  ``vocab_hll`` below is the
+    fixed-memory sketch twin; this pair documents the exact-vs-sketch
+    trade at 100 TB."""
+    docs = _docs(spark, sf_dir)
+    ex = docs.select(
+        "source", "lang", "doc_id",
+        F.explode(T.norm_tokens(F.col("text"))).alias("word"),
+    )
+    return (
+        ex.groupBy("source")
+        .agg(
+            F.countDistinct("word").alias("n_vocab"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_vocab_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-vocabulary sketch per source (rows-only driver
+    check; tests/test_sketches.py bounds the error against the exact
+    ``distinct_stats``).  The 100 TB shape for distinct counting: a
+    kilobyte-scale sketch per group, merged map-side, vs the exact form's
+    shuffle of every distinct (source, word) pair.  Deterministic (HLL++
+    over xxhash64 — no randomness), so the driver's rows-only check is
+    stable across runs."""
+    docs = _docs(spark, sf_dir)
+    ex = docs.select(
+        "source", F.explode(T.norm_tokens(F.col("text"))).alias("word")
+    )
+    return (
+        ex.groupBy("source")
+        .agg(F.approx_count_distinct("word", rsd=0.02).alias("n_vocab_hll"))
+        .orderBy("source")
+    )
+
+
+def q_doclen_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna quantile sketch (``percentile_approx``) of document
+    length per language (rows-only; tests/test_sketches.py bounds the rank
+    error against exact percentiles).  At scale the exact per-group
+    percentile needs a full sort of each group; the GK sketch is mergeable
+    and bounded-memory — the same trade as ``vocab_hll``."""
+    docs = _docs(spark, sf_dir)
+    pct = F.percentile_approx("n_chars", [0.5, 0.9, 0.99], 10000)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            pct[0].cast("bigint").alias("p50"),
+            pct[1].cast("bigint").alias("p90"),
+            pct[2].cast("bigint").alias("p99"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
     )
 
 
@@ -519,6 +585,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_signature(_docs(spark, sf_dir))
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: the dedup_minhash_lsh pair set (same
+    tuning) fed through large-star/small-star connected components
+    (operators/graph.py) → per-doc cluster representative + size.  The
+    iterative-graph-algorithm gate: its DuckDB twin closes the same pair
+    set with a recursive CTE."""
+    pairs = D.minhash_lsh_dedup(_docs(spark, sf_dir), threshold=0.0)
+    return GR.neardup_clusters(pairs)
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-stage inverted index.  The driver canonicalizer hashes
     scalar columns only (pandas sort_values dies on list cells), so the
@@ -580,6 +656,24 @@ def q_ann_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, cell-local join, windowed re-rank), not just its recall."""
     emb = _emb(spark, sf_dir)
     return S.cosine_topk_ivf(emb, emb, k=5, n_centroids=16, n_probe=16)
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (compressed-codes broadcast + ADC shortlist
+    + exact re-rank).  Approximate in recall only — reported sims are true
+    cosines (pytest proves both); rows-only at the driver gate."""
+    emb = _emb(spark, sf_dir)
+    return S.cosine_topk_pq(emb, emb, k=5)
+
+
+def q_ann_pq_fullrefine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A full-length ADC shortlist makes PQ + exact refine EXACT top-k
+    (every candidate reaches the true-cosine re-rank), so like
+    ann_ivf_fullprobe this row carries the brute-force SQL oracle — it
+    gates the whole PQ machinery (sampled codebook training, distributed
+    encode, ADC scan, shortlist join, group re-rank), not just recall."""
+    emb = _emb(spark, sf_dir)
+    return S.cosine_topk_pq(emb, emb, k=5, shortlist=emb.count())
 
 
 # ---------------------------------------------------------------------------
@@ -776,6 +870,15 @@ from events group by event_type order by event_type
 select cast(floor(n_chars / 100) as bigint) as bucket, count(*) as n_docs
 from documents group by bucket order by bucket
 """,
+    "distinct_stats": f"""
+with w as (select source, lang, doc_id, unnest({_NT}) as word from documents)
+select source,
+       cast(count(distinct word) as bigint) as n_vocab,
+       cast(count(distinct lang) as bigint) as n_langs,
+       cast(count(distinct doc_id) as bigint) as n_docs,
+       cast(count(*) as bigint) as n_tokens
+from w group by source order by source
+""",
     "inverted_index": f"""
 with postings as (select distinct doc_id, unnest({_NT}) as word from documents)
 select word, array_to_string(list_sort(list(doc_id)), ' ') as postings,
@@ -877,6 +980,23 @@ select doc_id, word,
 from w group by doc_id, word
 """,
     "dedup_minhash_lsh": _minhash_sql(0.0),
+    "dedup_components": f"""
+with recursive
+mh_pairs as (select a, b from ({_minhash_sql(0.0)}) mh),
+nodes as (select a as n from mh_pairs union select b as n from mh_pairs),
+bidir as (select a as x, b as y from mh_pairs
+          union select b, a from mh_pairs),
+walk(n, m) as (
+  select n, n from nodes
+  union
+  select w.n, b.y from walk w join bidir b on w.m = b.x
+),
+comp as (select n as doc_id, min(m) as component from walk group by n)
+select c.doc_id, c.component, cast(s.cluster_size as bigint) as cluster_size
+from comp c
+join (select component, count(*) as cluster_size from comp group by component) s
+  using (component)
+""",
     "ngram_jaccard": _ngram_jaccard_sql(0.0),
     "simhash": f"""
 with tok as (select doc_id, unnest({_NT}) as tok from documents),
@@ -1064,6 +1184,7 @@ select event_id, o_orderkey, o_orderdate from best where rn = 1
 
 # full-probe IVF is exact top-k — same oracle as the brute-force query
 _ORACLES["ann_ivf_fullprobe"] = _ORACLES["ann_topk"]
+_ORACLES["ann_pq_fullrefine"] = _ORACLES["ann_topk"]
 
 
 # ---------------------------------------------------------------------------
@@ -1229,10 +1350,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "events_json": q_events_json,
         "doclen_histogram": q_doclen_histogram,
+        "distinct_stats": q_distinct_stats,
+        "vocab_hll": q_vocab_hll,                   # sketch — error-bound pytest
+        "doclen_quantile_sketch": q_doclen_quantile_sketch,  # sketch — error-bound pytest
         "tfidf_top": q_tfidf_top,
         "price_quantiles": q_price_quantiles,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_components": q_dedup_components,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "inverted_index": q_inverted_index,
@@ -1243,6 +1368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,                       # approximate — no oracle
         "ann_ivf": q_ann_ivf,                       # approximate — no oracle
         "ann_ivf_fullprobe": q_ann_ivf_fullprobe,   # exact at n_probe=n_centroids
+        "ann_pq": q_ann_pq,                         # approximate — recall pytest
+        "ann_pq_fullrefine": q_ann_pq_fullrefine,   # exact at shortlist=N
         "contract_extract": _q_contract_extract,    # exact SQL twin + pytest
         "contract_curate": _q_contract_curate,      # exact SQL twin + pytest
         "contract_ingest": _q_contract_ingest,      # pytest-oracled — binary input, no SQL

@@ -1,0 +1,132 @@
+"""Distributed connected components over an edge list — the canonical
+iterative DataFrame algorithm, used to turn near-duplicate PAIRS (dedup.py)
+into transitive duplicate CLUSTERS with one representative per cluster.
+
+Algorithm: alternating large-star / small-star contraction (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+O(log²) rounds on any graph (vs O(diameter) for naive label propagation,
+which a 100 TB near-dup chain can make arbitrarily deep).  Every round is
+pure relational ops:
+
+* **large-star**: every node attaches its strictly-larger neighbors to the
+  minimum of its closed neighborhood — expressed as a groupBy(node).min +
+  an equi-join back on the bidirectional adjacency.
+* **small-star**: every node attaches its smaller-or-equal neighbors (and
+  itself) to the minimum smaller neighbor — a groupBy on the edge's larger
+  endpoint + join.
+
+Scale shape: shuffles key on node id only; rows are fixed-width (u, v)
+pairs — no adjacency-list rows, so a degenerate hub costs join fan-out
+(AQE skew-split handles it), never a single giant row.  Lineage is
+truncated every round with localCheckpoint, or the iterative plan's DAG
+depth would grow unboundedly.  Convergence is detected by an exact
+edge-set comparison (two distinct edge sets; subtract-limit-1).
+
+The reference has no graph surface at all; this exists for the
+training-data pipeline (SURVEY.md "beyond the reference" scope): exact
+union-find semantics verified against a driver-side union-find in pytest
+and a DuckDB recursive-CTE oracle at the driver gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Undirected edge list → canonical distinct (u < v) form."""
+    return (
+        edges.where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(v, m(u)) for every neighbor v > u, where m(u) = min(Γ(u) ∪ {u})."""
+    bidir = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        bidir.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("u", "mn").alias("m"))
+    )
+    return _canon(
+        bidir.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Group canonical edges by their LARGER endpoint v: m = min smaller
+    neighbor; emit (u, m) for each smaller neighbor plus (v, m)."""
+    mins = edges.groupBy("v").agg(F.min("u").alias("m"))
+    attach = (
+        edges.join(mins, "v")
+        .select(F.col("u").alias("a"), F.col("m").alias("b"))
+    )
+    self_edge = mins.select(F.col("v").alias("a"), F.col("m").alias("b"))
+    return _canon(
+        attach.union(self_edge).select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        )
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Edge list → ``(node, component)`` with component = min node id of
+    the connected component.  Every input node appears exactly once
+    (roots map to themselves)."""
+    edges = _canon(
+        pairs.select(
+            F.col(a_col).cast("bigint").alias("u"),
+            F.col(b_col).cast("bigint").alias("v"),
+        )
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        new = _small_star(_large_star(edges)).localCheckpoint()
+        changed = (
+            new.subtract(edges).limit(1).count()
+            + edges.subtract(new).limit(1).count()
+        )
+        edges = new
+        if not changed:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    # converged edge set is a union of stars rooted at each component min
+    members = edges.select(
+        F.col("v").alias("node"), F.col("u").alias("component")
+    )
+    roots = edges.select(
+        F.col("u").alias("node"), F.col("u").alias("component")
+    ).distinct()
+    return members.union(roots).distinct()
+
+
+def neardup_clusters(pairs: DataFrame) -> DataFrame:
+    """Near-dup pairs (a, b, …) → per-doc cluster assignment with the
+    cluster representative (= min doc_id, the same keep-rule as exact
+    dedup) and cluster size.  Output: ``doc_id, component, cluster_size``."""
+    comps = connected_components(pairs, "a", "b")
+    sizes = comps.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        comps.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component"),
+            F.col("cluster_size"),
+        )
+    )

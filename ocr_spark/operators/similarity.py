@@ -13,6 +13,12 @@ Three tiers, per the training-data-pipeline scope:
   side itself is huge: both sides hash to sign-pattern buckets (multiple
   tables for recall), candidates join per bucket, exact cosine re-rank.
   Approximate (recall < 1) — benchmarked, not oracle-checked.
+* **cosine_topk_pq** — product quantization: codebooks train on a bounded
+  sample, the index PQ-encodes distributed to m code bytes per vector
+  (dim·4/m× compression), ADC scoring over the broadcast *compressed*
+  codes shortlists candidates, and an exact join + group-matmul re-rank
+  reports true cosines.  Raises the broadcastable-index ceiling ~32× over
+  brute-force; composes with the IVF cell layout beyond that.
 * **embedding_neardup_exact** — all-pairs cosine ≥ threshold via block-nested
   matmul (relational blocking on vec_id ranges); exact, oracle-checkable.
 
@@ -434,6 +440,206 @@ def _kmeans_centroids(
                 if n > 0:
                     cent[c] = v / n
     return cent
+
+
+def _pq_codebooks(
+    mat: "np.ndarray", m: int, n_codes: int, seed: int, iters: int = 10
+) -> "np.ndarray":
+    """Product-quantization codebooks: per-subspace euclidean k-means over
+    an L2-normalized bounded sample (driver-side, same discipline as the
+    IVF coarse quantizer — never the full index).  Returns
+    ``(m, n_codes, dsub)`` float64.  Deterministic: seeded init per
+    subspace, argmin ties resolve to the first centroid."""
+    n, dim = mat.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    k_eff = min(n_codes, n)
+    cbs = np.empty((m, k_eff, dsub), dtype=np.float64)
+    for s in range(m):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        rng = np.random.default_rng(seed + 1000 * s + 7)
+        cent = sub[rng.choice(n, size=k_eff, replace=False)].copy()
+        for _ in range(iters):
+            # argmin ||x-c||^2 == argmin (||c||^2 - 2 x.c) — no n×k×d blow-up
+            d = (cent * cent).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)
+            assign = np.argmin(d, axis=1)
+            for c in range(k_eff):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        cbs[s] = cent
+    return cbs
+
+
+def _pq_assign(v: "np.ndarray", cbs: "np.ndarray") -> "np.ndarray":
+    """Encode L2-normalized rows ``v`` against codebooks → (B, m) int16."""
+    m, _, dsub = cbs.shape
+    codes = np.empty((len(v), m), dtype=np.int16)
+    for s in range(m):
+        sub = v[:, s * dsub : (s + 1) * dsub]
+        cent = cbs[s]
+        d = (cent * cent).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)
+        codes[:, s] = np.argmin(d, axis=1).astype(np.int16)
+    return codes
+
+
+def pq_encode(
+    index: DataFrame,
+    codebooks: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed PQ encoding: every vector compresses to ``m`` sub-space
+    code bytes — a narrow mapInPandas stage, no shuffle.  The compressed
+    index is dim·4/m× smaller than the raw float32 table (32× at dim=64,
+    m=8): the embedding sketch that makes billion-vector ANN tractable."""
+    spark = index.sparkSession
+    b_cb = spark.sparkContext.broadcast(codebooks)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = b_cb.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(v, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            codes = _pq_assign(v / n, C)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return index.mapInPandas(fn, "vec_id bigint, codes array<smallint>")
+
+
+def cosine_topk_pq(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist: int | None = None,
+    train_sample: int = 100_000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    chunk: int = 65536,
+) -> DataFrame:
+    """Approximate top-k via product quantization + exact re-rank.
+
+    Shape: codebooks train on a bounded driver sample (like IVF); the index
+    is PQ-encoded DISTRIBUTED (pq_encode) and only the compressed codes —
+    dim·4/m× smaller than the raw vectors — are collected and broadcast.
+    Queries stream through one narrow mapInPandas stage doing asymmetric
+    distance computation (ADC): a per-query (m × n_codes) lookup table,
+    then sims = Σ_s LUT[s, code_s] over N-chunked code blocks (memory
+    bounded at B·chunk doubles).  Each query emits a ``shortlist``
+    (default 10·k) of ADC candidates; an ordinary shuffle join fetches the
+    raw vectors of shortlisted neighbors only and the exact group kernel
+    (_group_score_topk) re-ranks — so results use TRUE cosine, PQ error
+    only costs recall, never precision of reported sims.
+
+    vs cosine_topk_bruteforce: the broadcast ceiling grows by dim·4/m
+    (~32× at dim=64, m=8 ⇒ ~1B vectors per 8 GB executor).  Beyond that,
+    the same ADC kernel composes with the IVF cell layout (encode per
+    cell, probe cells, ADC within cell) — cosine_topk_ivf holds that
+    layout.  Approximate (recall < 1) — recall-gated in pytest like
+    LSH/IVF, not oracle-checked.
+    """
+    spark = queries.sparkSession
+    S = shortlist if shortlist is not None else 10 * k
+    mat = _training_sample_matrix(index, vec_col, train_sample, seed)
+    cbs = _pq_codebooks(mat, m, n_codes, seed)
+    b_cb = spark.sparkContext.broadcast(cbs)
+
+    enc = pq_encode(index, cbs, id_col=id_col, vec_col=vec_col).toPandas()
+    ids = enc["vec_id"].to_numpy(dtype=np.int64)
+    codes = np.stack(enc["codes"].to_numpy()).astype(np.int64)
+    order = np.argsort(ids)
+    ids, codes = ids[order], codes[order]
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_codes = spark.sparkContext.broadcast(codes)
+
+    def adc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = b_cb.value
+        Xids, Xcodes = b_ids.value, b_codes.value
+        mm, _, dsub = C.shape
+        for pdf in it:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            qv = q / qn
+            qids = pdf[id_col].to_numpy(dtype=np.int64)
+            # batch LUT: (B, m, n_codes) — q_sub · codebook entries
+            lut = np.einsum(
+                "bsd,skd->bsk", qv.reshape(len(qv), mm, dsub), C
+            )
+            best_n = [np.array([], dtype=np.int64) for _ in range(len(qv))]
+            best_s = [np.array([], dtype=np.float64) for _ in range(len(qv))]
+            for c0 in range(0, len(Xids), chunk):
+                cc = Xcodes[c0 : c0 + chunk]                # (Nc, m)
+                xi = Xids[c0 : c0 + chunk]
+                # sims (B, Nc) = Σ_s lut[:, s, cc[:, s]]
+                sims = np.zeros((len(qv), len(cc)))
+                for s in range(mm):
+                    sims += lut[:, s, cc[:, s]]
+                sims = np.round(sims, 4)
+                for i in range(len(qv)):
+                    cand = (
+                        np.nonzero(xi != qids[i])[0]
+                        if exclude_self
+                        else np.arange(len(xi))
+                    )
+                    if not len(cand):
+                        continue
+                    n_all = np.concatenate((best_n[i], xi[cand]))
+                    s_all = np.concatenate((best_s[i], sims[i][cand]))
+                    o = np.lexsort((n_all, -s_all))[:S]
+                    best_n[i], best_s[i] = n_all[o], s_all[o]
+            out_q: list = []
+            out_n: list = []
+            for i in range(len(qv)):
+                out_q.extend([qids[i]] * len(best_n[i]))
+                out_n.extend(best_n[i].tolist())
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.array(out_q, dtype=np.int64),
+                    "neighbor_id": np.array(out_n, dtype=np.int64),
+                }
+            )
+
+    short = queries.mapInPandas(adc, "vec_id bigint, neighbor_id bigint")
+    # exact refine: fetch raw vectors of shortlisted neighbors (ordinary
+    # shuffle join — no broadcast of the raw index), one group per query
+    qrows = queries.select(
+        F.col(id_col).alias("g"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.lit(1).alias("is_q"),
+    )
+    xrows = (
+        short.join(
+            index.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("vec"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            F.col("vec_id").alias("g"),
+            F.col("neighbor_id").alias("id"),
+            "vec",
+            F.lit(0).alias("is_q"),
+        )
+    )
+    return _group_score_topk(qrows.unionByName(xrows), ["g"], k)
 
 
 def cosine_topk_ivf(

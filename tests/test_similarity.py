@@ -110,6 +110,53 @@ def test_neardup_lsh_subset_and_recall(spark, emb):
     assert recall >= 0.6, f"recall {recall:.3f} too low at default tuning"
 
 
+def test_pq_recall_and_determinism(spark, emb):
+    """PQ + exact-refine ANN: deterministic, usable recall at the default
+    shortlist, recall monotone in shortlist size, and shortlist=N degrades
+    to exact brute-force (the refine step scores true cosines, so a
+    full-length shortlist IS the exact result)."""
+    from ocr_spark.operators.similarity import cosine_topk_pq
+
+    exact = _topk_map(cosine_topk_bruteforce(emb, emb, k=5))
+    pq1 = _topk_map(cosine_topk_pq(emb, emb, k=5))
+    pq2 = _topk_map(cosine_topk_pq(emb, emb, k=5))
+    assert pq1 == pq2, "PQ must be deterministic"
+    r = _recall(pq1, exact)
+    assert r >= 0.6, f"PQ recall too low: {r:.3f}"
+    n = emb.count()
+    pq_wide = _topk_map(cosine_topk_pq(emb, emb, k=5, shortlist=2 * n))
+    assert _recall(pq_wide, exact) >= r
+    assert _recall(pq_wide, exact) == 1.0
+
+
+def test_pq_refine_reports_true_cosines(spark, emb):
+    """Every (query, neighbor) pair PQ reports must carry the exact
+    brute-force sim for that pair — quantization may only cost recall,
+    never precision of the reported score."""
+    from ocr_spark.operators.similarity import cosine_topk_pq
+
+    exact_all = {
+        (r["vec_id"], r["neighbor_id"]): r["sim"]
+        for r in cosine_topk_bruteforce(emb, emb, k=500).collect()
+    }
+    for r in cosine_topk_pq(emb, emb, k=5).collect():
+        key = (r["vec_id"], r["neighbor_id"])
+        assert key in exact_all and exact_all[key] == r["sim"], key
+
+
+def test_pq_adc_chunking_is_exact(spark, emb):
+    """The ADC scan's N-chunked running shortlist merge is exact: a tiny
+    chunk must reproduce the default results bit-for-bit."""
+    from ocr_spark.operators.similarity import cosine_topk_pq
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(cosine_topk_pq(emb, emb, k=5, chunk=7)) == rows(
+        cosine_topk_pq(emb, emb, k=5)
+    )
+
+
 def test_chunked_scoring_is_exact(spark, emb):
     """The memory-bounding chunk merge inside the group scorers is
     exact: a tiny chunk size (forcing many merge rounds) must reproduce
