@@ -31,6 +31,7 @@ from ocr_spark.functions import text as T
 from ocr_spark.operators import dedup as D
 from ocr_spark.operators import graph as GR
 from ocr_spark.operators import relational as R
+from ocr_spark.operators import sampling as SP
 from ocr_spark.operators import similarity as S
 
 # ---------------------------------------------------------------------------
@@ -271,6 +272,37 @@ def q_doclen_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_STRATA_FRACS = {"en": 0.1, "zh": 1.0, "de": 0.5}
+_STRATA_DEFAULT = 0.25
+_MIX_BUDGETS = {"src0": 400, "src1": 800, "src2": 300}
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample (training-data staple:
+    keep 100% of rare languages, 10% of English).  The keep decision is a
+    pure function of (doc_id, seed) — md5-prefix < per-stratum threshold —
+    so the sample is stable under any repartitioning and replays
+    bit-identically in the DuckDB oracle.  One filtered narrow scan; no
+    shuffle, no sampleBy partitioning dependence."""
+    docs = _docs(spark, sf_dir)
+    return SP.stratified_sample(
+        docs, "lang", _STRATA_FRACS, seed=42, default_frac=_STRATA_DEFAULT
+    ).select("doc_id", "lang", "source")
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing: per source, take documents in the
+    deterministic hash order until the source's token budget is crossed
+    (the crossing doc is kept).  One window cumulative sum per source;
+    at 10^12 rows a deterministic pre-sample (same hash order ⇒ same
+    prefix) bounds the sort — operators/sampling.py corpus_mix."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_tokens",
+        F.size(F.filter(T.tokens(F.col("text")), lambda t: t != "")),
+    )
+    return SP.corpus_mix(docs, _MIX_BUDGETS, seed=42)
 
 
 def q_tokenize_asciifold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -666,6 +698,28 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_pq(emb, emb, k=5)
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC) ANN — the unbounded-index tier: distributed
+    inverted file of residual-PQ codes, cell-probe + cell-local ADC
+    shortlist, exact re-rank.  No O(N) broadcast/collect anywhere.
+    Approximate in recall only (rows-only gate; recall + exactness
+    pytests in tests/test_similarity.py)."""
+    emb = _emb(spark, sf_dir)
+    return S.cosine_topk_ivfpq(emb, emb, k=5)
+
+
+def q_ann_ivfpq_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probing every cell with a full-length shortlist makes IVF-PQ exact
+    top-k (every vector reaches the true-cosine re-rank), so this row
+    carries the brute-force SQL oracle — gating the whole machinery:
+    sampled residual codebooks, distributed encode, cell routing, ADC
+    scan, shortlist join, group re-rank."""
+    emb = _emb(spark, sf_dir)
+    return S.cosine_topk_ivfpq(
+        emb, emb, k=5, n_probe=16, shortlist=emb.count()
+    )
+
+
 def q_ann_pq_fullrefine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A full-length ADC shortlist makes PQ + exact refine EXACT top-k
     (every candidate reaches the true-cosine re-rank), so like
@@ -879,6 +933,7 @@ select source,
        cast(count(*) as bigint) as n_tokens
 from w group by source order by source
 """,
+    # "sample_stratified" / "corpus_mix" are filled below (_sampling_sqls)
     "inverted_index": f"""
 with postings as (select distinct doc_id, unnest({_NT}) as word from documents)
 select word, array_to_string(list_sort(list(doc_id)), ' ') as postings,
@@ -1185,6 +1240,51 @@ select event_id, o_orderkey, o_orderdate from best where rn = 1
 # full-probe IVF is exact top-k — same oracle as the brute-force query
 _ORACLES["ann_ivf_fullprobe"] = _ORACLES["ann_topk"]
 _ORACLES["ann_pq_fullrefine"] = _ORACLES["ann_topk"]
+_ORACLES["ann_ivfpq_full"] = _ORACLES["ann_topk"]
+
+
+def _sampling_sqls() -> None:
+    """Twins for the deterministic sampling family.  The predicate is the
+    SAME 12-hex md5-prefix comparison the Spark operator plants (thresholds
+    come from the one _threshold_hex implementation), so the kept set is
+    bit-identical across engines by construction."""
+    key = "substr(md5('42|' || cast(doc_id as varchar)), 1, 12)"
+
+    def pred(frac: float) -> str:
+        if frac <= 0.0:
+            return "false"
+        if frac >= 1.0:
+            return "true"
+        return f"{key} < '{SP._threshold_hex(frac)}'"
+
+    whens = " ".join(
+        f"when lang = '{v}' then {pred(fr)}"
+        for v, fr in sorted(_STRATA_FRACS.items())
+    )
+    _ORACLES["sample_stratified"] = f"""
+select doc_id, lang, source from documents
+where case {whens} else {pred(_STRATA_DEFAULT)} end
+"""
+    srcs = ", ".join(f"'{s}'" for s in sorted(_MIX_BUDGETS))
+    budget = " ".join(
+        f"when source = '{s}' then {int(b)}"
+        for s, b in sorted(_MIX_BUDGETS.items())
+    )
+    _ORACLES["corpus_mix"] = f"""
+with t as (select doc_id, source, cast(len({_RT}) as bigint) as n_tokens,
+                  {key} as k
+           from documents where source in ({srcs})),
+c as (select doc_id, source, n_tokens,
+             cast(sum(n_tokens) over (partition by source order by k, doc_id
+                  rows between unbounded preceding and current row) as bigint)
+                 as cum_tokens
+      from t)
+select doc_id, source, n_tokens, cum_tokens from c
+where cum_tokens - n_tokens < case {budget} end
+"""
+
+
+_sampling_sqls()
 
 
 # ---------------------------------------------------------------------------
@@ -1353,6 +1453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_stats": q_distinct_stats,
         "vocab_hll": q_vocab_hll,                   # sketch — error-bound pytest
         "doclen_quantile_sketch": q_doclen_quantile_sketch,  # sketch — error-bound pytest
+        "sample_stratified": q_sample_stratified,
+        "corpus_mix": q_corpus_mix,
         "tfidf_top": q_tfidf_top,
         "price_quantiles": q_price_quantiles,
         "dedup_exact": q_dedup_exact,
@@ -1370,6 +1472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_fullprobe": q_ann_ivf_fullprobe,   # exact at n_probe=n_centroids
         "ann_pq": q_ann_pq,                         # approximate — recall pytest
         "ann_pq_fullrefine": q_ann_pq_fullrefine,   # exact at shortlist=N
+        "ann_ivfpq": q_ann_ivfpq,                   # approximate — recall pytest
+        "ann_ivfpq_full": q_ann_ivfpq_full,         # exact at full probe+shortlist
         "contract_extract": _q_contract_extract,    # exact SQL twin + pytest
         "contract_curate": _q_contract_curate,      # exact SQL twin + pytest
         "contract_ingest": _q_contract_ingest,      # pytest-oracled — binary input, no SQL

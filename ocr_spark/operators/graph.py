@@ -83,17 +83,20 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Edge list → ``(node, component)`` with component = min node id of
     the connected component.  Every input node appears exactly once
-    (roots map to themselves)."""
+    (roots map to themselves).  Pass ``stats={}`` to get back
+    ``{"rounds": N}`` — the convergence-round observability used by the
+    scale probes (the O(log²) bound is a measured claim, not a hope)."""
     edges = _canon(
         pairs.select(
             F.col(a_col).cast("bigint").alias("u"),
             F.col(b_col).cast("bigint").alias("v"),
         )
     ).localCheckpoint()
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         new = _small_star(_large_star(edges)).localCheckpoint()
         changed = (
             new.subtract(edges).limit(1).count()
@@ -101,6 +104,8 @@ def connected_components(
         )
         edges = new
         if not changed:
+            if stats is not None:
+                stats["rounds"] = rounds
             break
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")

@@ -180,3 +180,42 @@ def test_chunked_scoring_is_exact(spark, emb):
     assert rows(embedding_neardup_lsh(emb, threshold=0.35, chunk=3)) == rows(
         embedding_neardup_lsh(emb, threshold=0.35)
     )
+
+
+def test_ivfpq_recall_exactness_and_chunking(spark, emb):
+    """IVF-PQ (the no-broadcast unbounded-index tier): deterministic,
+    usable recall at defaults, reported sims are true cosines, and the
+    full probe + full shortlist degrades to exact brute-force — the same
+    exactness seam that oracle-gates IVF and PQ."""
+    from ocr_spark.operators.similarity import cosine_topk_ivfpq
+
+    exact = _topk_map(cosine_topk_bruteforce(emb, emb, k=5))
+    a1 = _topk_map(cosine_topk_ivfpq(emb, emb, k=5))
+    a2 = _topk_map(cosine_topk_ivfpq(emb, emb, k=5))
+    assert a1 == a2, "IVF-PQ must be deterministic"
+    r = _recall(a1, exact)
+    assert r >= 0.5, f"IVF-PQ recall too low: {r:.3f}"
+    n = emb.count()
+    full = cosine_topk_ivfpq(emb, emb, k=5, n_probe=16, shortlist=n)
+    assert sorted(tuple(x) for x in full.collect()) == sorted(
+        tuple(x) for x in cosine_topk_bruteforce(emb, emb, k=5).collect()
+    )
+    # ADC chunk merge is exact: tiny chunk reproduces defaults bit-for-bit
+    tiny = cosine_topk_ivfpq(emb, emb, k=5, chunk=7)
+    assert sorted(tuple(x) for x in tiny.collect()) == sorted(
+        tuple(x) for x in cosine_topk_ivfpq(emb, emb, k=5).collect()
+    )
+
+
+def test_ivfpq_reports_true_cosines(spark, emb):
+    """Every pair IVF-PQ reports must carry the exact brute-force sim —
+    quantization may only cost recall, never score precision."""
+    from ocr_spark.operators.similarity import cosine_topk_ivfpq
+
+    exact_all = {
+        (r["vec_id"], r["neighbor_id"]): r["sim"]
+        for r in cosine_topk_bruteforce(emb, emb, k=500).collect()
+    }
+    for r in cosine_topk_ivfpq(emb, emb, k=5).collect():
+        key = (r["vec_id"], r["neighbor_id"])
+        assert key in exact_all and exact_all[key] == r["sim"], key
