@@ -92,6 +92,7 @@ def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
         # round-2 additions tracked per round
         "inverted_index", "word_pages_raw", "multi_match", "export_csv",
         "ann_ivf_fullprobe", "embedding_neardup_lsh",
+        "dedup_components", "ann_ivfpq", "sample_stratified", "corpus_mix",
     ]
     timings: dict[str, float] = {}
     for name in headline:

@@ -19,6 +19,37 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    n_buckets: int = 64,
+    bucket_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Catalyst-visible storage bucketing: ``bucketBy(n, key).sortBy(key)``
+    into the session catalog.  A bucketed scan reports
+    ``HashPartitioning(key, n)`` as its output partitioning, so joins and
+    aggregations between co-bucketed tables (same key, same n) satisfy
+    their distribution requirement AT THE SCAN — no Exchange at all
+    (asserted in tests/test_plan_shapes.py).  This is the durable twin of
+    the jobs' directory-bucket scheme: extract_job's ``bucket=`` dirs give
+    the commit/resume granularity, while catalog bucketing gives Catalyst
+    the co-location proof it needs to elide the shuffle — at 100 TB the
+    difference is re-shuffling the fact table on every derived-table join
+    vs never.
+
+    Reference tie-in: the reference co-locates page↔layout by directory
+    convention (J2, celery_app.py:1038-1046); this is that idea at table
+    granularity."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 @dataclass(frozen=True)
 class Catalog:
     """kind = 'parquet' | 'iceberg'; root = path prefix or catalog name."""

@@ -75,6 +75,14 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.files.openCostInBytes", "1048576")
         .config("spark.ui.enabled", "false")
+        # session-catalog tables (io.write_bucketed) land under /tmp, never
+        # the repo working directory
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_WAREHOUSE_DIR", "/tmp/ocr_spark_warehouse"
+            ),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # Mega-document rows are 10–30 MB — humongous objects under G1's
         # default region size, and Arrow/parquet JNI critical sections then

@@ -109,3 +109,37 @@ def test_word_index_single_shuffle(spark):
     q = e.queries()["word_index"](spark, SF)
     # explode → partial agg → one exchange → final agg
     assert checks.count_exchanges(q) == 1
+
+
+def test_bucketed_tables_join_and_agg_shuffle_free(spark):
+    """Co-bucketed tables (io.write_bucketed: same key, same n) must join
+    AND aggregate with ZERO Exchange — the scan itself satisfies the
+    hash-distribution requirement.  Broadcast is disabled and the join is
+    hinted to merge so the assertion tests bucketing, not small-table
+    shortcuts."""
+    from ocr_spark.io import write_bucketed
+
+    a = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("x")
+    )
+    b = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("y")
+    )
+    write_bucketed(a, "bkt_a", n_buckets=8)
+    write_bucketed(b, "bkt_b", n_buckets=8)
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            ta, tb = spark.table("bkt_a"), spark.table("bkt_b")
+            j = ta.hint("merge").join(tb, "doc_id")
+            checks.assert_no_exchange(j, "co-bucketed join")
+            assert j.count() == 500
+            agg = ta.groupBy("doc_id").agg(F.sum("x").alias("sx"))
+            checks.assert_no_exchange(agg, "bucketed agg")
+            assert agg.count() == 1000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("drop table if exists bkt_a")
+        spark.sql("drop table if exists bkt_b")
