@@ -95,6 +95,133 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id string, media_ref string, mime string, width int, height int, "
+    "out_width int, out_height int, content binary"
+)
+
+
+def resize_media(media: DataFrame, max_px: int = 128) -> DataFrame:
+    """Aspect-preserving resize kernel (the reference's 300→150 DPI export
+    rescale, export.py:558-564, and page-0 thumbnails, celery_app.py:934-
+    940, generalized to a max-edge clamp).  The geometry — scale =
+    max_px / max(w, h), never upscale, round-half-up like PIL — is REAL
+    and unit-tested; only the pixel resampling is the documented fake
+    (content' = deterministic f(content, out dims)).  One narrow
+    Arrow-batched map; bytes never shuffle."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, ref, content, mime in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["content"], pdf["mime"]
+            ):
+                b = bytes(content) if content is not None else b""
+                w, hgt, _ = _fake_decode(b)
+                scale = min(1.0, max_px / max(w, hgt))
+                ow = max(1, int(w * scale + 0.5))
+                oh = max(1, int(hgt * scale + 0.5))
+                # fake resample: size-stamped digest of the original bytes
+                out = (
+                    struct.pack("<II", ow, oh)
+                    + hashlib.sha256(b + struct.pack("<II", ow, oh)).digest()
+                )
+                rows.append((doc_id, ref, mime, w, hgt, ow, oh, out))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_ref", "mime", "width", "height",
+                    "out_width", "out_height", "content",
+                ],
+            )
+
+    return media.mapInPandas(fn, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id string, media_ref string, frame_no int, ts_ms bigint, "
+    "content binary"
+)
+
+_FRAME_MAGIC = b"FVC1"  # fake video container: magic, then length-prefixed frames
+
+
+def synth_video_for_refs(refs: DataFrame, n_frames: int = 24) -> DataFrame:
+    """Deterministic fake video containers for (doc_id, media_ref) rows:
+    ``FVC1`` magic + ``n_frames`` length-prefixed frame blocks (the same
+    length-prefixed container discipline as sources/ingest.py page
+    containers).  Data-gen utility for tests/bench."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            content = []
+            for d, r in zip(pdf["doc_id"], pdf["media_ref"]):
+                frames = []
+                for i in range(n_frames):
+                    body = hashlib.sha256(f"{d}/{r}#{i}".encode()).digest()
+                    frames.append(struct.pack("<I", len(body)) + body)
+                content.append(_FRAME_MAGIC + b"".join(frames))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "content": content,
+                    "mime": "video/fake",
+                }
+            )
+
+    return refs.mapInPandas(fn, MEDIA_SCHEMA)
+
+
+def sample_frames(
+    video: DataFrame, every_n: int = 8, fps: float = 25.0
+) -> DataFrame:
+    """Frame sampling: one input video row → one output row per kept frame
+    (frame 0, every_n, 2·every_n, …), with the timestamp each frame would
+    carry at ``fps``.  The container walk (magic check + length-prefixed
+    frame split) is REAL parsing — only frame bytes are fake pixels.  The
+    1→N row fan-out happens inside the Arrow batch, so a long video never
+    becomes a wide row downstream: frames are independent rows that
+    repartition freely.  Scale shape: narrow map, no shuffle; downstream
+    feature extraction joins by (doc_id, media_ref, frame_no)."""
+    ms_per_frame = 1000.0 / fps
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_d, out_r, out_f, out_t, out_c = [], [], [], [], []
+            for doc_id, ref, content in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["content"]
+            ):
+                b = bytes(content) if content is not None else b""
+                if not b.startswith(_FRAME_MAGIC):
+                    continue  # not a video container — skip, like a codec would
+                pos, frame_no = len(_FRAME_MAGIC), 0
+                while pos + 4 <= len(b):
+                    (ln,) = struct.unpack_from("<I", b, pos)
+                    pos += 4
+                    if pos + ln > len(b):
+                        break  # truncated tail frame — drop, atomic-write moral
+                    if frame_no % every_n == 0:
+                        out_d.append(doc_id)
+                        out_r.append(ref)
+                        out_f.append(frame_no)
+                        out_t.append(int(frame_no * ms_per_frame))
+                        out_c.append(b[pos : pos + ln])
+                    pos += ln
+                    frame_no += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_d,
+                    "media_ref": out_r,
+                    "frame_no": np.array(out_f, dtype=np.int32),
+                    "ts_ms": np.array(out_t, dtype=np.int64),
+                    "content": out_c,
+                }
+            )
+
+    return video.mapInPandas(fn, FRAME_SCHEMA)
+
+
 def synth_media_for_spans(spans_df: DataFrame) -> DataFrame:
     """Build the media-bytes side table for every ``media_ref`` span:
     deterministic fake PNG-ish payloads (magic header + seeded bytes).

@@ -313,3 +313,68 @@ def test_fold_respects_overlay_tombstones_and_edits(spark, tmp_path):
     assert (
         t.where(F.col("doc_id") == edited).first()["doc_text"] == text_e
     ), "edit reverted!"
+
+
+def test_resize_media_geometry(spark):
+    """Aspect-preserving clamp: out dims ≤ max_px, ratio preserved within
+    rounding, never upscaled; deterministic across runs."""
+    from ocr_spark.operators.multimodal import resize_media, synth_media_for_spans
+    from ocr_spark import datagen
+    import tempfile, os
+
+    p = os.path.join(tempfile.mkdtemp(), "docs.parquet")
+    datagen.generate_to_path(p, n_docs=40, seed=42)
+    media = synth_media_for_spans(spark.read.parquet(p))
+    assert media.count() > 0
+    out = resize_media(media, max_px=100)
+    rows = out.collect()
+    assert len(rows) == media.count()
+    for r in rows:
+        assert max(r["out_width"], r["out_height"]) <= 100
+        assert r["out_width"] <= r["width"] and r["out_height"] <= r["height"]
+        if max(r["width"], r["height"]) > 100:
+            scale = 100 / max(r["width"], r["height"])
+            assert r["out_width"] == max(1, int(r["width"] * scale + 0.5))
+            assert r["out_height"] == max(1, int(r["height"] * scale + 0.5))
+        else:  # never upscale
+            assert (r["out_width"], r["out_height"]) == (r["width"], r["height"])
+    again = {(r["doc_id"], r["media_ref"]): bytes(r["content"])
+             for r in resize_media(media, max_px=100).collect()}
+    assert {(r["doc_id"], r["media_ref"]): bytes(r["content"]) for r in rows} == again
+
+
+def test_sample_frames_container_walk(spark):
+    """Real container parsing over the fake frame blocks: every_n stride,
+    fps timestamps, truncated tails dropped, non-video rows skipped."""
+    from ocr_spark.operators.multimodal import (
+        sample_frames,
+        synth_video_for_refs,
+        _FRAME_MAGIC,
+    )
+    import pandas as pd
+
+    refs = spark.createDataFrame(
+        [("d1", "v1"), ("d2", "v2")], "doc_id string, media_ref string"
+    )
+    video = synth_video_for_refs(refs, n_frames=24)
+    out = sample_frames(video, every_n=8, fps=25.0).collect()
+    # 24 frames, stride 8 → frames 0, 8, 16 per video
+    got = sorted((r["doc_id"], r["frame_no"], r["ts_ms"]) for r in out)
+    assert got == [
+        ("d1", 0, 0), ("d1", 8, 320), ("d1", 16, 640),
+        ("d2", 0, 0), ("d2", 8, 320), ("d2", 16, 640),
+    ]
+    # frame bytes are the container's (deterministic by doc/ref/frame_no)
+    assert all(len(bytes(r["content"])) == 32 for r in out)
+    # truncated container: tail frame dropped, earlier frames intact
+    full = bytes(video.where("doc_id='d1'").first()["content"])
+    rows = [
+        ("d1", "trunc", full[:-10], "video/fake"),
+        ("d3", "notvideo", b"\x89PNGxxxx", "image/png"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "media_ref", "content", "mime"])
+    )
+    out2 = sample_frames(df, every_n=23).collect()
+    assert {r["doc_id"] for r in out2} == {"d1"}
+    assert sorted(r["frame_no"] for r in out2) == [0]  # frame 23 truncated away
