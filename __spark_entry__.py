@@ -1389,6 +1389,50 @@ def _q_contract_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest_spans(spark, d)
 
 
+def _q_contract_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10/multimodal full surface over the contract table's media spans:
+    synth binary payloads → feature extraction (decode seam) → resize
+    (real aspect-clamp geometry) → per-doc rollup, plus frame sampling of
+    a fake-container video per doc.  Rows-only driver check; geometry and
+    container-walk semantics are pytest-gated
+    (tests/test_streaming_multimodal.py)."""
+    from ocr_spark.operators import multimodal as MM
+
+    docs = spark.read.parquet(_contract_fixture())
+    media = MM.synth_media_for_spans(docs)
+    feats = MM.extract_media_features(media)
+    resized = MM.resize_media(media, max_px=100)
+    frames = MM.sample_frames(
+        MM.synth_video_for_refs(
+            media.select("doc_id", "media_ref").limit(50), n_frames=24
+        ),
+        every_n=8,
+    )
+    per_doc = (
+        feats.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .join(
+            resized.groupBy("doc_id").agg(
+                F.max("out_width").alias("max_out_w"),
+                F.max("out_height").alias("max_out_h"),
+            ),
+            "doc_id",
+        )
+        .join(
+            frames.groupBy("doc_id").agg(
+                F.count("*").alias("n_frames_sampled")
+            ),
+            "doc_id",
+            "left",
+        )
+        .na.fill({"n_frames_sampled": 0})
+    )
+    return per_doc.orderBy("doc_id")
+
+
 def _q_contract_mets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 METS manifests over the contract table: ALTO page artifacts are
     derived from the extraction IR (md5/size computed where the content
@@ -1478,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contract_curate": _q_contract_curate,      # exact SQL twin + pytest
         "contract_ingest": _q_contract_ingest,      # pytest-oracled — binary input, no SQL
         "contract_mets": _q_contract_mets,          # pytest-oracled — no SQL
+        "contract_media": _q_contract_media,        # pytest-oracled — binary input, no SQL
         "q1_pricing": R.q1_pricing_summary,
         "q3_topk": R.q3_shipping_topk,
         "q5_region_revenue": R.q5_region_revenue,
