@@ -40,19 +40,30 @@ def get_spark(
     two parallelism levels (the N vs 4N scaling protocol in BASELINE.md).
     """
     if master is None:
+        # spark-submit --master must win: setting .master() in code would
+        # silently override the cluster manager the job was submitted to.
+        from pyspark import SparkConf
+
+        master = SparkConf().get("spark.master", None)
+    if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         # local mode: match total core count so one shuffle wave, no tiny
-        # tasks.  local[N] → N; local-cluster[E,C,mem] → E*C.
+        # tasks.  local[N] → N; local-cluster[E,C,mem] → E*C; any other
+        # cluster manager → a generic default (set explicitly on a real
+        # cluster: ≥ 2-3× total cores; AQE coalescing absorbs the rest).
         spec = master.split("[")[-1].rstrip("]")
         parts = spec.split(",")
-        if master.startswith("local-cluster"):
-            shuffle_partitions = max(int(parts[0]) * int(parts[1]), 8)
-        elif spec in ("*", ""):
+        try:
+            if master.startswith("local-cluster"):
+                shuffle_partitions = max(int(parts[0]) * int(parts[1]), 8)
+            elif spec in ("*", ""):
+                shuffle_partitions = 32
+            else:
+                shuffle_partitions = max(int(spec), 8)
+        except ValueError:
             shuffle_partitions = 32
-        else:
-            shuffle_partitions = max(int(spec), 8)
 
     b = (
         SparkSession.builder.appName(app_name)
@@ -74,6 +85,16 @@ def get_spark(
         # over-split on the shuffle side.
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.files.openCostInBytes", "1048576")
+        # The vectorized parquet reader pre-sizes column vectors for 4096
+        # rows per batch by default; with fat rows (a mega-doc's spans
+        # array is 10-30 MB) one reader batch can demand gigabytes of
+        # contiguous vector memory and OOM a right-sized executor
+        # (observed: "Cannot reserve additional contiguous bytes" on 4 GB
+        # executors in local-cluster mode).  512-row reader batches bound
+        # that at worst-case ~1 GB while costing nothing measurable on
+        # thin tables — the same fat-row cap philosophy as
+        # ARROW_MAX_RECORDS_PER_BATCH.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.ui.enabled", "false")
         # session-catalog tables (io.write_bucketed) land under /tmp, never
         # the repo working directory
@@ -93,6 +114,19 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
         .config("spark.executor.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
     )
+    if master.startswith("local-cluster"):
+        # local-cluster executors spawn fresh Python workers that do NOT
+        # inherit the driver's sys.path (unlike local[N], which forks the
+        # driver env) — without this, every kernel closure referencing the
+        # package dies with ModuleNotFoundError on deserialization.  On a
+        # real cluster --py-files serves this purpose; for the in-process
+        # local-cluster benches, ship the package directory via PYTHONPATH.
+        pkg_parent = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+        existing = os.environ.get("PYTHONPATH", "")
+        pypath = f"{pkg_parent}:{existing}" if existing else pkg_parent
+        b = b.config("spark.executorEnv.PYTHONPATH", pypath)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
