@@ -98,11 +98,21 @@ def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
         "ann_ivf_fullprobe", "embedding_neardup_lsh",
         "dedup_components", "ann_ivfpq", "sample_stratified", "corpus_mix",
     ]
+    # Per-workload scan tuning (the conf is runtime-settable): thin
+    # TPC-H-ish tables are scan-bound and want the vectorized reader's
+    # default 4096-row batches (within-session A/B at sf0.1: q1_pricing
+    # 1.29 s vs 1.95 s, dedup_minhash_lsh 12.6 s vs 15.9 s at 512); the
+    # fat contract spans table wants the engine's 512-row cap (10.2 s vs
+    # 13.4 s per 100k-doc extraction, and the cap is what keeps
+    # right-sized executors from OOMing on mega-doc batches — see
+    # session.py).  A real deployment sets this per job by table width.
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "4096")
     timings: dict[str, float] = {}
     for name in headline:
         t0 = time.perf_counter()
         qset[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "512")
 
     src = _contract_path(n_docs)
     # Warm to convergence, then measure: the JVM Arrow bridge for nested
