@@ -627,6 +627,26 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GR.neardup_clusters(pairs)
 
 
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal (CCNet/RefinedWeb paragraph-dedup
+    shape): 16-token windows shared by >2 docs are dropped and the
+    surviving text reassembled in order (operators/dedup.py
+    repeated_chunk_filter)."""
+    return D.repeated_chunk_filter(_docs(spark, sf_dir), chunk=16, max_docs=2)
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time near-dup check: the 'src0' batch against the rest of
+    the corpus — cross-side banded-MinHash candidates, exact-Jaccard
+    verified (operators/dedup.py incremental_minhash_dedup)."""
+    docs = _docs(spark, sf_dir)
+    return D.incremental_minhash_dedup(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") != "src0"),
+        threshold=0.0,
+    )
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-stage inverted index.  The driver canonicalizer hashes
     scalar columns only (pandas sort_values dies on list cells), so the
@@ -788,6 +808,89 @@ pairs as (select distinct x.doc_id as a, y.doc_id as b
           from bkok x join bkok y
             on x.band = y.band and x.band_key = y.band_key
           where x.doc_id < y.doc_id),
+shingle as (select doc_id, unnest(shingles) as shingle from sh),
+sizes as (select doc_id, count(*) as n_sh from shingle group by doc_id),
+inter as (select p.a, p.b, count(*) as inter
+          from pairs p
+          join shingle s1 on s1.doc_id = p.a
+          join shingle s2 on s2.doc_id = p.b and s2.shingle = s1.shingle
+          group by p.a, p.b)
+select i.a, i.b, i.inter,
+       sa.n_sh as na, sb.n_sh as nb,
+       round(cast(i.inter as double) / (sa.n_sh + sb.n_sh - i.inter), 6) as jaccard
+from inter i
+join sizes sa on sa.doc_id = i.a
+join sizes sb on sb.doc_id = i.b
+where round(cast(i.inter as double) / (sa.n_sh + sb.n_sh - i.inter), 6) >= {threshold}
+"""
+
+
+def _chunk_dedup_sql(chunk: int = 16, max_docs: int = 2) -> str:
+    """Twin of repeated_chunk_filter: window = pos // chunk over the
+    normalized token stream; windows in >max_docs distinct docs dropped;
+    string_agg ORDER BY mirrors Spark's array_sort(collect_list(struct))
+    exactly (pos / cid are unique within their groups)."""
+    return f"""
+with t as (select doc_id, {_NT} as toks from documents),
+tok as (select doc_id, unnest(toks) as tok,
+               unnest(range(0, len(toks))) as pos from t),
+chunks as (select doc_id, pos // {chunk} as cid,
+                  string_agg(tok, ' ' order by pos) as chunk_text
+           from tok group by doc_id, pos // {chunk}),
+counts as (select chunk_text, count(distinct doc_id) as n_docs
+           from chunks group by chunk_text),
+flagged as (select c.doc_id, c.cid, c.chunk_text, ct.n_docs
+            from chunks c join counts ct using (chunk_text))
+select doc_id,
+       coalesce(string_agg(case when n_docs <= {max_docs} then chunk_text end,
+                           ' ' order by cid), '') as clean_text,
+       count(*) as n_chunks,
+       cast(sum(case when n_docs <= {max_docs} then 1 else 0 end) as bigint)
+           as n_kept
+from flagged group by doc_id
+"""
+
+
+def _incremental_minhash_sql(
+    new_pred: str = "source = 'src0'",
+    threshold: float = 0.0,
+    k: int = 16,
+    bands: int = 8,
+    max_bucket: int = 1000,
+) -> str:
+    """Twin of incremental_minhash_dedup: same banded-MinHash scheme as
+    _minhash_sql, but candidate pairs come only from NEW×CORPUS band-key
+    collisions, with the degenerate-bucket guard applied to the corpus
+    side of each key."""
+    rows = k // bands
+    band_key = " || '|' || ".join(
+        f"sig[band * {rows} + {r + 1}]" for r in range(rows)
+    )
+    return f"""
+with toks as (select doc_id, source, {_NT} as t from documents),
+sh as (select doc_id, source,
+              list_distinct(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) as shingles
+       from toks where len(t) >= 3),
+sig as (select doc_id, source,
+               list_transform(range(0, {k}),
+                   h -> list_min(list_transform(shingles,
+                        s -> md5(cast(h as varchar) || ':' || s)))) as sig
+        from sh),
+banded as (select doc_id, source, unnest(range(0, {bands})) as band, sig
+           from sig),
+bk as (select doc_id, source, band, md5({band_key}) as band_key from banded),
+newb as (select doc_id, band, band_key from bk where {new_pred}),
+corp as (select doc_id, band, band_key from bk where not ({new_pred})),
+csz as (select band, band_key, count(*) as n
+        from corp group by band, band_key),
+cok as (select corp.doc_id, corp.band, corp.band_key
+        from corp join csz using (band, band_key)
+        where csz.n <= {max_bucket}),
+pairs as (select distinct x.doc_id as a, y.doc_id as b
+          from newb x join cok y
+            on x.band = y.band and x.band_key = y.band_key
+          where x.doc_id <> y.doc_id),
 shingle as (select doc_id, unnest(shingles) as shingle from sh),
 sizes as (select doc_id, count(*) as n_sh from shingle group by doc_id),
 inter as (select p.a, p.b, count(*) as inter
@@ -1035,6 +1138,8 @@ select doc_id, word,
 from w group by doc_id, word
 """,
     "dedup_minhash_lsh": _minhash_sql(0.0),
+    "chunk_dedup": _chunk_dedup_sql(16, 2),
+    "dedup_incremental": _incremental_minhash_sql(),
     "dedup_components": f"""
 with recursive
 mh_pairs as (select a, b from ({_minhash_sql(0.0)}) mh),
@@ -1504,6 +1609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
+        "chunk_dedup": q_chunk_dedup,
+        "dedup_incremental": q_dedup_incremental,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "inverted_index": q_inverted_index,

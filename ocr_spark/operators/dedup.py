@@ -291,3 +291,151 @@ def simhash_signature(docs: DataFrame, bits: int = 60) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("bitval").alias("simhash"))
     )
+
+
+def repeated_chunk_filter(
+    docs: DataFrame, chunk: int = 16, max_docs: int = 2
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the CCNet/RefinedWeb paragraph-
+    dedup shape, PAPERS.md): split every document's normalized token stream
+    into fixed ``chunk``-token windows, count how many DISTINCT documents
+    contain each exact window, drop windows shared by more than
+    ``max_docs`` documents (headers, footers, licence blocks, mirrored
+    passages), and reassemble the surviving text in original order.
+
+    Output: one row per tokenizable doc — ``doc_id, clean_text, n_chunks,
+    n_kept`` (docs with zero tokens produce no chunks and are absent, in
+    both engines).
+
+    Scale shape: tokens are EXPLODED to rows and chunks built by a
+    ``(doc_id, cid)`` groupBy rather than sliced in an array HOF — the
+    HOF form would let generator/filter pushdown re-inline the full
+    tokenization into every chunk lambda (the O(tokens·chunks) trap
+    documented in with_shingles; a 200k-token mega-doc would tokenize
+    12k times).  The explode form shuffles each token once on uniform
+    ``(doc_id, cid)`` keys — a mega-doc spreads across its own chunk ids,
+    so no reducer hot-spots.  The chunk-frequency count is map-side
+    combinable; the verdict joins back on the 32-byte chunk text hash
+    space.  Everything is md5-free and order-exact, so the DuckDB twin
+    (string_agg ORDER BY pos / cid) matches bit-for-bit.
+    """
+    tok = docs.select(
+        "doc_id", F.posexplode(norm_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    chunks = (
+        tok.groupBy(
+            "doc_id",
+            (F.col("pos") / F.lit(chunk)).cast("bigint").alias("cid"),
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("chunk_text")
+        )
+    )
+    counts = chunks.groupBy("chunk_text").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    flagged = chunks.join(counts, "chunk_text").withColumn(
+        "keep", F.col("n_docs") <= max_docs
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("cid", "chunk_text"))
+                        )
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 8,
+    threshold: float = 0.0,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Ingestion-time near-dup check: which NEW documents near-duplicate
+    something already IN the corpus — the incremental form every growing
+    training corpus needs (re-running all-pairs LSH over corpus ∪ batch
+    per ingest would be O(corpus) per batch; this is O(batch) plus one
+    band-key join against the corpus signature table).
+
+    Band keys are computed per side with the same banded-MinHash scheme as
+    minhash_lsh_dedup and joined across sides only — new×new and
+    corpus×corpus pairs are never generated.  The degenerate-bucket guard
+    applies to the CORPUS side of each band key (a band key carried by
+    more than ``max_bucket`` corpus docs carries no signal, same rationale
+    as minhash_candidates).  Verification is the same exact-Jaccard join,
+    restricted to candidate docs from both sides.
+
+    Output: ``a`` (new doc), ``b`` (corpus doc), ``inter, na, nb,
+    jaccard`` — one row per verified cross pair with jaccard ≥ threshold.
+
+    At scale the corpus side is a PRE-COMPUTED signature table persisted
+    once per corpus snapshot (band keys are deterministic in the text);
+    passing the raw corpus docs, as here, recomputes it — same plan, so
+    the oracle covers both deployments.
+    """
+    new_sh = with_shingles(new_docs, n)
+    corp_sh = with_shingles(corpus, n)
+
+    def banded(src: DataFrame) -> DataFrame:
+        rows = k // bands
+        sig = src.select(
+            "doc_id", minhash_signature(F.col("sh"), k).alias("sig")
+        )
+        band_key = [
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col("sig")[b * rows + r] for r in range(rows)]
+                ).cast("binary")
+            ).alias("band_key")
+            for b in range(bands)
+        ]
+        return sig.select(
+            "doc_id", F.posexplode(F.array(*band_key)).alias("band", "band_key")
+        )
+
+    corp_banded = banded(corp_sh)
+    bucket_sizes = corp_banded.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    corp_ok = corp_banded.join(
+        bucket_sizes.where(F.col("n") <= max_bucket), ["band", "band_key"]
+    ).select("doc_id", "band", "band_key")
+    pairs = (
+        banded(new_sh)
+        .withColumnRenamed("doc_id", "a")
+        .join(
+            corp_ok.withColumnRenamed("doc_id", "b"), ["band", "band_key"]
+        )
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    shingle_tbl = (
+        new_sh.union(corp_sh)
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    return jaccard_verify(pairs, shingle_tbl, threshold)

@@ -19,8 +19,13 @@ Scale shape: shuffles key on node id only; rows are fixed-width (u, v)
 pairs — no adjacency-list rows, so a degenerate hub costs join fan-out
 (AQE skew-split handles it), never a single giant row.  Lineage is
 truncated every round with localCheckpoint, or the iterative plan's DAG
-depth would grow unboundedly.  Convergence is detected by an exact
-edge-set comparison (two distinct edge sets; subtract-limit-1).
+depth would grow unboundedly.  Convergence detection is one cheap
+aggregation per round — an order-invariant edge-set signature
+(count, sum and xor of xxhash64(u, v)) — instead of two set-subtract
+shuffles over the full edge set; because equal sets always have equal
+signatures, "signatures differ → keep iterating" is exact, and the one
+round where signatures match is confirmed by the exact subtract check
+(collision guard, so the fixpoint claim stays exact, paid once).
 
 The reference has no graph surface at all; this exists for the
 training-data pipeline (SURVEY.md "beyond the reference" scope): exact
@@ -78,6 +83,23 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _edge_signature(edges: DataFrame) -> tuple:
+    """Order-invariant exact-on-inequality signature of an edge set: row
+    count plus sum and xor of the 64-bit row hash.  Equal sets ⇒ equal
+    signatures, so a differing signature is PROOF the fixpoint is not
+    reached — one map-side-combined aggregation per round instead of two
+    subtract shuffles.  (Equal signatures are confirmed exactly by the
+    caller before declaring convergence.)"""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38,0) accumulator: a bigint sum of 64-bit hashes
+        # overflows (ANSI mode raises); 38 digits hold 2^63 × ~10^19 rows
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("hsum"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("hxor"),
+    ).first()
+    return (row["n"], row["hsum"], row["hxor"])
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a",
@@ -96,14 +118,17 @@ def connected_components(
             F.col(b_col).cast("bigint").alias("v"),
         )
     ).localCheckpoint()
+    sig = _edge_signature(edges)
     for rounds in range(1, max_iter + 1):
         new = _small_star(_large_star(edges)).localCheckpoint()
-        changed = (
+        new_sig = _edge_signature(new)
+        converged = new_sig == sig and (
             new.subtract(edges).limit(1).count()
             + edges.subtract(new).limit(1).count()
+            == 0
         )
-        edges = new
-        if not changed:
+        edges, sig = new, new_sig
+        if converged:
             if stats is not None:
                 stats["rounds"] = rounds
             break

@@ -1,0 +1,93 @@
+"""Behavioral tests for the corpus-level dedup additions: repeated-chunk
+boilerplate removal and incremental (new-batch vs corpus) near-dup checks.
+The sf-testdata oracle parity lives in test_driver_contract.py; these prove
+the drop/cross-side semantics on crafted corpora where the expected output
+is hand-computable."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.dedup import (
+    incremental_minhash_dedup,
+    minhash_lsh_dedup,
+    repeated_chunk_filter,
+)
+
+BOILER = " ".join(f"b{i}" for i in range(16))  # one exact 16-token window
+UNIQ = [" ".join(f"u{d}x{i}" for i in range(16)) for d in range(4)]
+
+
+def test_repeated_chunk_filter_drops_shared_windows(spark):
+    # 3 docs share the BOILER window (> max_docs=2); each keeps its unique one
+    rows = [(d, f"{BOILER} {UNIQ[d]}") for d in range(3)]
+    rows.append((3, UNIQ[3]))  # no boilerplate at all
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in repeated_chunk_filter(docs, chunk=16, max_docs=2).collect()
+    }
+    assert len(out) == 4
+    for d in range(3):
+        assert out[d]["clean_text"] == UNIQ[d]
+        assert out[d]["n_chunks"] == 2 and out[d]["n_kept"] == 1
+    assert out[3]["clean_text"] == UNIQ[3]
+    assert out[3]["n_chunks"] == 1 and out[3]["n_kept"] == 1
+
+
+def test_repeated_chunk_filter_keeps_within_threshold_and_order(spark):
+    # shared by exactly max_docs docs → kept; reassembly preserves order
+    rows = [(0, f"{UNIQ[0]} {BOILER}"), (1, f"{BOILER} {UNIQ[1]}")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in repeated_chunk_filter(docs, chunk=16, max_docs=2).collect()
+    }
+    assert out[0]["clean_text"] == f"{UNIQ[0]} {BOILER}"
+    assert out[1]["clean_text"] == f"{BOILER} {UNIQ[1]}"
+    assert all(r["n_kept"] == 2 for r in out.values())
+
+
+def test_incremental_dedup_is_cross_side_only(spark):
+    # corpus holds a near-dup PAIR (20, 21); the new batch near-dups doc 20.
+    base = " ".join(f"w{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(20, base), (21, base + " tail21"), (22, " ".join(f"z{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, base + " tail1"), (2, " ".join(f"q{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    got = incremental_minhash_dedup(new, corpus, threshold=0.0).collect()
+    assert got, "expected at least the (1, 20/21) near-dup hits"
+    # every pair is (new, corpus) — never corpus×corpus (20,21 must not appear)
+    new_ids, corp_ids = {1, 2}, {20, 21, 22}
+    for r in got:
+        assert r["a"] in new_ids and r["b"] in corp_ids
+    assert {r["a"] for r in got} == {1}
+    # jaccard values are the exact set ratio, rounded to 6 decimals
+    for r in got:
+        assert abs(r["jaccard"] - r["inter"] / (r["na"] + r["nb"] - r["inter"])) < 5e-7
+
+
+def test_incremental_agrees_with_batch_lsh_on_cross_pairs(spark):
+    # On a combined corpus, the incremental cross-side pairs must be exactly
+    # the batch pipeline's pairs that straddle the split (same tuning).
+    base = " ".join(f"m{i}" for i in range(40))
+    rows = [(i, base + f" extra{i // 2}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new = docs.where(F.col("doc_id") < 2)
+    corpus = docs.where(F.col("doc_id") >= 2)
+    inc = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in incremental_minhash_dedup(new, corpus, threshold=0.0).collect()
+    }
+    batch = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in minhash_lsh_dedup(docs, threshold=0.0).collect()
+        if (r["a"] < 2) != (r["b"] < 2)
+    }
+    # batch pairs are (min, max); incremental are (new, corpus) — normalize
+    inc_norm = {(min(a, b), max(a, b)): j for (a, b), j in inc.items()}
+    assert inc_norm == batch
