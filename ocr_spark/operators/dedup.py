@@ -416,13 +416,20 @@ def incremental_minhash_dedup(
             "doc_id", F.posexplode(F.array(*band_key)).alias("band", "band_key")
         )
 
-    corp_banded = banded(corp_sh)
-    bucket_sizes = corp_banded.groupBy("band", "band_key").agg(
-        F.count(F.lit(1)).alias("n")
+    # window count, not a groupBy+self-join: the join form duplicates the
+    # corpus banding branch in the DAG (the whole signature pipeline would
+    # run twice) — measured 2× end-to-end at sf0.1.  The window shuffles
+    # the same (band, band_key) keys once and spills if a key is
+    # degenerate, which is exactly the population the guard then drops.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_key")
+    corp_ok = (
+        banded(corp_sh)
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .where(F.col("n") <= max_bucket)
+        .select("doc_id", "band", "band_key")
     )
-    corp_ok = corp_banded.join(
-        bucket_sizes.where(F.col("n") <= max_bucket), ["band", "band_key"]
-    ).select("doc_id", "band", "band_key")
     pairs = (
         banded(new_sh)
         .withColumnRenamed("doc_id", "a")

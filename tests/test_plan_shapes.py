@@ -143,3 +143,24 @@ def test_bucketed_tables_join_and_agg_shuffle_free(spark):
     finally:
         spark.sql("drop table if exists bkt_a")
         spark.sql("drop table if exists bkt_b")
+
+
+def test_minhash_filter_never_inlines_signature(spark):
+    """r2 regression lock: the empty-shingle guard must be a cheap
+    token-count predicate at the scan — `WHERE sig[0] IS NOT NULL` let
+    predicate pushdown inline the full 16-hash MinHash expression into
+    the Filter (measured ~3x on the signature stage)."""
+    from ocr_spark.operators.dedup import minhash_candidates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        minhash_candidates(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert "array_min(" not in line, (
+                f"MinHash signature re-inlined into a filter:\n{line}"
+            )
