@@ -35,7 +35,7 @@ for candidate filtering here.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ocr_spark.functions.text import (
@@ -179,7 +179,11 @@ def jaccard_verify(
         .union(pairs.select(F.col("b")))
         .distinct()
     )
-    sh = shingle_tbl.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    # no broadcast hint: the candidate-doc set is usually tiny but is
+    # unbounded in degenerate corpora (every doc a near-dup) — a forced
+    # broadcast would OOM the driver exactly when dedup matters most.
+    # Size-based planning / AQE picks the broadcast when it fits.
+    sh = shingle_tbl.join(cand_docs, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     s1 = sh.select(F.col("doc_id").alias("a"), "shingle")
     s2 = sh.select(F.col("doc_id").alias("b"), "shingle")

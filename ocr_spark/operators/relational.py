@@ -65,7 +65,10 @@ def q3_shipping_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            # no broadcast hint: customer scales with the data (a fifth of
+            # 150M rows at sf1k) — let the static size estimate or AQE's
+            # runtime stats pick broadcast when it actually fits
+            cust.where(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -127,7 +130,8 @@ def window_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = (
         orders.groupBy("o_custkey")
         .agg(F.sum(_dec("o_totalprice")).cast("double").alias("total"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # cust scales with the data — size-based planning / AQE decides
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
     )
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.desc("total"), F.asc("c_custkey")
