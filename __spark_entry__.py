@@ -647,6 +647,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter (token-level analogs):
+    duplicate-trigram fraction + top-bigram share + flag verdict
+    (operators/quality.py doc_repetition)."""
+    from ocr_spark.operators.quality import doc_repetition
+
+    return doc_repetition(_docs(spark, sf_dir))
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-stage inverted index.  The driver canonicalizer hashes
     scalar columns only (pandas sort_values dies on list cells), so the
@@ -1139,6 +1148,31 @@ from w group by doc_id, word
 """,
     "dedup_minhash_lsh": _minhash_sql(0.0),
     "chunk_dedup": _chunk_dedup_sql(16, 2),
+    # doc_repetition twin: raw n-grams via 1-indexed range transforms;
+    # exact integer ratios rounded identically; same >=3-token gate
+    "doc_repetition": f"""
+with t as (select doc_id, {_NT} as toks from documents),
+base as (select doc_id,
+                cast(len(toks) as bigint) as n_tokens,
+                list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) as tri,
+                list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1]) as bi
+         from t where len(toks) >= 3),
+tstat as (select doc_id, n_tokens,
+                 round(cast(len(tri) - len(list_distinct(tri)) as double)
+                       / len(tri), 6) as dup_trigram_frac,
+                 bi from base),
+grams as (select doc_id, n_tokens, dup_trigram_frac, unnest(bi) as bigram
+          from tstat),
+per as (select doc_id, n_tokens, dup_trigram_frac, bigram, count(*) as c
+        from grams group by doc_id, n_tokens, dup_trigram_frac, bigram)
+select doc_id, n_tokens, dup_trigram_frac,
+       round(cast(max(c) as double) / sum(c), 6) as top_bigram_frac,
+       (round(cast(max(c) as double) / sum(c), 6) > 0.20
+        or dup_trigram_frac > 0.30) as flagged
+from per group by doc_id, n_tokens, dup_trigram_frac
+""",
     "dedup_incremental": _incremental_minhash_sql(),
     "dedup_components": f"""
 with recursive
@@ -1610,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
         "chunk_dedup": q_chunk_dedup,
+        "doc_repetition": q_doc_repetition,
         "dedup_incremental": q_dedup_incremental,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,

@@ -97,7 +97,7 @@ def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
         "inverted_index", "word_pages_raw", "multi_match", "export_csv",
         "ann_ivf_fullprobe", "embedding_neardup_lsh",
         "dedup_components", "ann_ivfpq", "sample_stratified", "corpus_mix",
-        "chunk_dedup", "dedup_incremental",
+        "chunk_dedup", "dedup_incremental", "doc_repetition",
     ]
     # Per-workload scan tuning (the conf is runtime-settable): thin
     # TPC-H-ish tables are scan-bound and want the vectorized reader's

@@ -147,6 +147,21 @@ def bpe_token_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
 
 
+def ngrams(toks: Column, n: int) -> Column:
+    """Raw (non-distinct, in-order) word n-grams of a token array; empty
+    when the doc has < n tokens.  Same slice+arrays_zip single-pass build
+    as shingles (see its docstring for why NOT an indexed transform).
+    DuckDB (1-indexed): ``list_transform(range(1, len(t)-n+2), i ->
+    t[i] || ' ' || ... || t[i+n-1])``."""
+    win = F.size(toks) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(toks, k + 1, win) for k in range(n)])
+    gram = lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)])
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(zipped, gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram (shingle) set of a token array — the unit of the
     MinHash/Jaccard dedup family.  Empty array when the doc has < n tokens.

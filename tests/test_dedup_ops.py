@@ -91,3 +91,23 @@ def test_incremental_agrees_with_batch_lsh_on_cross_pairs(spark):
     # batch pairs are (min, max); incremental are (new, corpus) — normalize
     inc_norm = {(min(a, b), max(a, b)): j for (a, b), j in inc.items()}
     assert inc_norm == batch
+
+
+def test_doc_repetition_flags_repeats(spark):
+    from ocr_spark.operators.quality import doc_repetition
+
+    rows = [
+        (0, "spam spam spam spam spam spam spam spam"),   # one bigram repeated
+        (1, " ".join(f"v{i}" for i in range(30))),        # all distinct
+        (2, "too short"),                                 # < 3 tokens: excluded
+        (3, " ".join(["a b c d e f"] * 5)),               # repeated phrase
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in doc_repetition(docs).collect()}
+    assert set(out) == {0, 1, 3}
+    assert out[0]["flagged"] and out[0]["top_bigram_frac"] == 1.0
+    assert out[0]["dup_trigram_frac"] == round(5 / 6, 6)
+    assert not out[1]["flagged"]
+    assert out[1]["dup_trigram_frac"] == 0.0 and out[1]["top_bigram_frac"] < 0.05
+    # "a b c d e f" x5: 28 trigrams, 6 distinct (the cycle) → 22 repeats
+    assert out[3]["flagged"] and out[3]["dup_trigram_frac"] == round(22 / 28, 6)
