@@ -48,6 +48,24 @@ _NT = (
 _RT = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
 
 
+def _pii_sql_fragments() -> tuple[str, str]:
+    """(counts-select-list, scrub-expression) built from the SAME
+    PII_RULES constants the Spark plan uses — patterns can never drift
+    between engines.  DuckDB needs the 'g' flag (RE2 replaces only the
+    first match by default; Java replaces all)."""
+    from ocr_spark.functions import pii as PII
+
+    names = ("n_emails", "n_ips", "n_longnums")
+    counts = ",\n       ".join(
+        f"cast(len(regexp_extract_all(t, '{pat}')) as bigint) as {name}"
+        for (pat, _), name in zip(PII.PII_RULES, names)
+    )
+    scrub = "t"
+    for pat, rep in PII.PII_RULES:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{rep}', 'g')"
+    return counts, scrub
+
+
 def _analyzer_sql() -> str:
     """ES-analyzer tokens (F13): whitespace → lower → asciifold →
     stopword drop — mirrors ocr_spark/functions/text.py analyzer_tokens."""
@@ -656,6 +674,66 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_repetition(_docs(spark, sf_dir))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 13-gram shape): training docs
+    sharing any word n-gram with the eval slice (source='src1') are
+    flagged with exact overlap stats (operators/contamination.py).  n=4
+    here because the sf tables carry ~54-token docs — see the operator
+    docstring; production default is 13."""
+    from ocr_spark.operators.contamination import ngram_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return ngram_decontaminate(
+        docs.where(F.col("source") != "src1"),
+        docs.where(F.col("source") == "src1"),
+        n=4,
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/pii.py): per-category counts on the raw
+    text + placeholder-scrubbed text.  The synthetic corpus carries no
+    PII, so deterministic PII is INJECTED first (a doc_id-keyed case
+    expression, identical in the oracle) — the scrub paths are exercised
+    on real matches, not vacuously green."""
+    from ocr_spark.functions.pii import pii_counts, scrub_pii
+
+    doc_s = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" contact user"), doc_s, F.lit("@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit(" server at 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit(" ref no "),
+                (F.lit(1000000) + F.col("doc_id") * 13).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    base = _docs(spark, sf_dir).select("doc_id", injected.alias("_t"))
+    counts = pii_counts(F.col("_t"))
+    return base.select(
+        "doc_id",
+        counts["n_emails"].cast("bigint").alias("n_emails"),
+        counts["n_ips"].cast("bigint").alias("n_ips"),
+        counts["n_longnums"].cast("bigint").alias("n_longnums"),
+        scrub_pii(F.col("_t")).alias("clean_text"),
+    )
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-stage inverted index.  The driver canonicalizer hashes
     scalar columns only (pandas sort_values dies on list cells), so the
@@ -1174,6 +1252,40 @@ select doc_id, n_tokens, dup_trigram_frac,
 from per group by doc_id, n_tokens, dup_trigram_frac
 """,
     "dedup_incremental": _incremental_minhash_sql(),
+    # decontaminate twin: distinct 4-grams per doc (1-indexed range
+    # transform, same list_distinct as the shingle SQL), src1 = eval side
+    "decontaminate": f"""
+with t as (select doc_id, source, {_NT} as toks from documents),
+s as (select doc_id, source,
+             list_distinct(list_transform(range(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      || ' ' || toks[i+3])) as grams
+      from t where len(toks) >= 4),
+tg as (select doc_id, cast(len(grams) as bigint) as n_grams,
+              unnest(grams) as gram
+       from s where source <> 'src1'),
+eg as (select distinct unnest(grams) as gram from s where source = 'src1')
+select tg.doc_id, tg.n_grams, cast(count(*) as bigint) as n_hit_grams,
+       round(cast(count(*) as double) / tg.n_grams, 6) as contam_frac
+from tg join eg using (gram)
+group by tg.doc_id, tg.n_grams
+""",
+    "pii_scrub": f"""
+with inj as (
+  select doc_id,
+         text || case
+           when doc_id % 5 = 0 then ' contact user' || cast(doc_id as varchar)
+                                    || '@example.com now'
+           when doc_id % 5 = 1 then ' server at 10.' || cast(doc_id % 256 as varchar)
+                                    || '.0.' || cast((doc_id * 7) % 256 as varchar)
+           when doc_id % 5 = 2 then ' ref no ' || cast(1000000 + doc_id * 13 as varchar)
+           else '' end as t
+  from documents)
+select doc_id,
+       {_pii_sql_fragments()[0]},
+       {_pii_sql_fragments()[1]} as clean_text
+from inj
+""",
     "dedup_components": f"""
 with recursive
 mh_pairs as (select a, b from ({_minhash_sql(0.0)}) mh),
@@ -1646,6 +1758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "doc_repetition": q_doc_repetition,
         "dedup_incremental": q_dedup_incremental,
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "inverted_index": q_inverted_index,
