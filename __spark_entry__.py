@@ -734,6 +734,17 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): per-source token streams
+    cut into fixed 64-token training windows, docs packed back-to-back in
+    the deterministic hash order.  64 (not a production 2k-8k) so ~54-token
+    docs straddle window boundaries and the split/reassembly paths are
+    exercised."""
+    from ocr_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=64, seed=42)
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-stage inverted index.  The driver canonicalizer hashes
     scalar columns only (pandas sort_values dies on list cells), so the
@@ -1252,6 +1263,34 @@ select doc_id, n_tokens, dup_trigram_frac,
 from per group by doc_id, n_tokens, dup_trigram_frac
 """,
     "dedup_incremental": _incremental_minhash_sql(),
+    # pack_sequences twin: same per-source hash-order window cum-sum as
+    # corpus_mix, same slice math (DuckDB list slice is 1-based inclusive
+    # = Spark slice(lo+1, hi-lo)); float window-id division is exact
+    # (offsets << 2^53)
+    "pack_sequences": f"""
+with t as (select doc_id, source, {_NT} as toks,
+                  substr(md5('42|' || cast(doc_id as varchar)), 1, 12) as k
+           from documents),
+o as (select source, toks, len(toks) as n,
+             cast(sum(len(toks)) over (partition by source order by k, doc_id
+                  rows between unbounded preceding and current row)
+                  - len(toks) as bigint) as start
+      from t),
+d as (select source, toks, n, start from o where n > 0),
+s as (select source, toks, n, start,
+             unnest(range(cast(floor(start / 64.0) as bigint),
+                          cast(floor((start + n - 1) / 64.0) as bigint) + 1))
+                 as win_id
+      from d),
+p as (select source, win_id, start,
+             toks[cast(greatest(win_id * 64 - start, 0) + 1 as bigint) :
+                  cast(least((win_id + 1) * 64 - start, n) as bigint)] as piece
+      from s)
+select source, win_id,
+       cast(sum(len(piece)) as bigint) as n_tokens,
+       array_to_string(flatten(list(piece order by start)), ' ') as text
+from p group by source, win_id
+""",
     # decontaminate twin: distinct 4-grams per doc (1-indexed range
     # transform, same list_distinct as the shingle SQL), src1 = eval side
     "decontaminate": f"""
@@ -1760,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
+        "pack_sequences": q_pack_sequences,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "inverted_index": q_inverted_index,

@@ -1,0 +1,111 @@
+"""Sequence packing — the last stage of a training-data pipeline: the
+curated corpus's token stream is cut into fixed-length training windows
+(``seq_len`` tokens each), documents packed back-to-back so no window is
+padded (the GPT-2/3 "concatenate and chunk" recipe; PAPERS.md).
+
+Deterministic, engine-exact formulation:
+
+* documents order within each source by the same 12-hex md5 key as
+  sampling.py (repartition/engine-invariant, no systematic position bias);
+* one window cumulative token sum per source assigns every document its
+  absolute token offset in the source stream — the SAME scale shape as
+  corpus_mix (partitionBy(source) bounds the sort; a 10^12-row corpus
+  packs per source shard, never through one global window);
+* each document then SPLITS ITSELF into its overlapping windows with pure
+  array math — ``sequence(first_win, last_win)`` explode + ``slice`` — a
+  narrow projection, no token-level explode (a token-level explode would
+  shuffle O(corpus tokens) rows; this shuffles O(docs + windows));
+* windows reassemble with one groupBy((source, win)) whose per-window
+  row count is bounded by the docs that overlap ``seq_len`` tokens —
+  never a hot key.
+
+The final (usually short) window of each source is kept, flagged by
+``n_tokens < seq_len`` — dropping or padding is the trainer's choice.
+
+The reference has no training-data surface; this is "beyond the
+reference" scope (SURVEY.md), sharing the normalize/tokenize contract of
+export.py:494,521-526 and the deterministic-order machinery of
+operators/sampling.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ocr_spark.functions.text import norm_tokens
+from ocr_spark.operators.sampling import sample_key
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 128,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Pack each source's token stream into ``seq_len``-token windows.
+
+    Output: one row per window — ``source, win_id, n_tokens, text``
+    (space-joined tokens; ``n_tokens = seq_len`` except each source's
+    final window).  Empty-token documents contribute nothing (zero-length
+    slice at their offset), identically in both engines.
+    """
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(sample_key(F.col(key_col), seed), key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        key_col,
+        source_col,
+        norm_tokens(F.col("text")).alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+    offs = (
+        toks.withColumn("_cum", F.sum("_n").over(w))
+        .withColumn("_start", (F.col("_cum") - F.col("_n")).cast("bigint"))
+        .where(F.col("_n") > 0)
+    )
+    L = F.lit(int(seq_len))
+    # windows this doc overlaps: floor(start/L) .. floor((start+n-1)/L)
+    spans = offs.select(
+        source_col,
+        "_toks",
+        "_n",
+        "_start",
+        F.explode(
+            F.sequence(
+                (F.col("_start") / L).cast("bigint"),
+                ((F.col("_start") + F.col("_n") - 1) / L).cast("bigint"),
+            )
+        ).alias("win_id"),
+    )
+    # slice of this doc that lands in win_id (1-based slice positions)
+    lo = F.greatest(F.col("win_id") * L - F.col("_start"), F.lit(0))
+    hi = F.least((F.col("win_id") + 1) * L - F.col("_start"), F.col("_n"))
+    pieces = spans.select(
+        source_col,
+        "win_id",
+        "_start",
+        F.slice(F.col("_toks"), (lo + 1).cast("int"), (hi - lo).cast("int"))
+        .alias("piece"),
+    )
+    return (
+        pieces.groupBy(source_col, "win_id")
+        .agg(
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("_start", "piece"))
+                        ),
+                        lambda s: s["piece"],
+                    )
+                ),
+                " ",
+            ).alias("text"),
+            F.sum(F.size("piece")).cast("bigint").alias("n_tokens"),
+        )
+        .select(source_col, "win_id", "n_tokens", "text")
+    )
