@@ -745,6 +745,50 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf_dir), seq_len=64, seed=42)
 
 
+# Deterministic HTML fixture for html_extract, built from documents columns
+# INSIDE the query (same pattern as pii_scrub's injected PII: the synthetic
+# corpus has no HTML, so a web page is synthesized around each doc's text —
+# identical expression in both engines; this string is valid Spark SQL AND
+# DuckDB SQL verbatim).  It exercises every extractor branch: chrome
+# containers (head/title/style/script with a '</p>' trap, header, nav,
+# aside, footer), a comment, both img quote styles + uppercase tag, HTML
+# entities incl. the &amp;lt; double-encoding, a kept block with an inline
+# link below the density threshold, a dropped link farm, and a dropped
+# too-short block.
+_HTML_SYNTH = """concat(
+ '<html><head><title>Doc ', cast(doc_id as string),
+ '</title><style>p{margin:0}</style><script>var trap = "</p>";</script></head><body>',
+ '<header><h1>Site</h1><a href="/">Home</a></header>',
+ '<nav><ul><li><a href="/a">Section A</a></li><li><a href="/b">Section B</a></li></ul></nav>',
+ '<main><h2>', substring(text, 1, 24), '</h2>',
+ '<p>', substring(text, 1, cast(floor(length(text)/2) as int)), '</p>',
+ case when doc_id % 2 = 0
+      then concat('<img src="img/', cast(doc_id as string), '_0.png" alt="fig">')
+      else '' end,
+ case when doc_id % 4 = 1
+      then concat('<IMG SRC=''img/', cast(doc_id as string), '_1.jpg''>')
+      else '' end,
+ '<div>', substring(text, cast(floor(length(text)/2) as int) + 1, length(text)),
+ ' Fish &amp; Chips &lt;real&gt; <a href="/ref">see also reference</a></div>',
+ '<p><a href="/x">Read more</a> <a href="/y">Next page</a></p>',
+ '<p>Short.</p>',
+ '<!-- tracking pixel --><aside>Sponsored: <a href="/buy">Buy now</a></aside>',
+ '<footer>(c) 2026 Example Site</footer></body></html>')"""
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction (operators/html.py): the north rule's
+    'HTML boilerplate strip / DOM heuristics' leg — synthesized web pages
+    → interleaved (kind, text, media_ref, offset) spans, chrome and
+    link-dense blocks dropped.  Zero-shuffle: classification happens in
+    the blocks array before posexplode, so offsets are dense without a
+    row_number window."""
+    from ocr_spark.operators.html import html_spans
+
+    docs = _docs(spark, sf_dir).withColumn("html", F.expr(_HTML_SYNTH))
+    return html_spans(docs)
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-stage inverted index.  The driver canonicalizer hashes
     scalar columns only (pandas sort_values dies on list cells), so the
@@ -1033,6 +1077,71 @@ where round(cast(i.inter as double) / (sa.n_sh + sb.n_sh - i.inter), 6) >= {thre
 """
 
 
+def _html_spans_sql(min_text_len: int = 25, max_link_pct: int = 40) -> str:
+    """Twin of operators/html.py html_spans, built from the SAME regex /
+    entity / sentinel constants (pattern drift impossible, as with
+    PII_RULES).  Same shape as the Spark plan: chrome-strip chain →
+    regexp_split_to_array → list_transform struct staging → list_filter →
+    parallel-unnest with range() for the dense offsets.  DuckDB deltas:
+    'g' flag on every replace (RE2 replaces first match by default),
+    ``\\1`` instead of ``$1`` group refs, and "offset" quoted (keyword)."""
+    from ocr_spark.operators import html as H
+
+    def sq(p: str) -> str:
+        return p.replace("'", "''")
+
+    def norm(v: str) -> str:
+        out = f"regexp_replace({v}, '{sq(H.TAG_RE)}', ' ', 'g')"
+        for ent, rep in H.ENTITY_RULES:
+            out = f"replace({out}, '{sq(ent)}', '{sq(rep)}')"
+        return f"trim(regexp_replace({out}, '{sq(H.WS_RE)}', ' ', 'g'))"
+
+    cleaned = f"regexp_replace(html, '{sq(H.COMMENT_RE)}', ' ', 'g')"
+    for tag in H.DROP_CONTAINER_TAGS:
+        cleaned = (
+            f"regexp_replace({cleaned}, '{sq(H.container_re(tag))}', ' ', 'g')"
+        )
+    for img_re in (H.IMG_DQ_RE, H.IMG_SQ_RE):
+        cleaned = (
+            f"regexp_replace({cleaned}, '{sq(img_re)}', "
+            f"'<br>{H.MEDIA_SENTINEL}\\1<br>', 'g')"
+        )
+    cleaned = f"regexp_replace({cleaned}, '{sq(H.IMG_BARE_RE)}', ' ', 'g')"
+    sent, pos1 = H.MEDIA_SENTINEL, len(H.MEDIA_SENTINEL) + 1
+    is_media = f"starts_with(s.bt, '{sent}')"
+    media_ref = f"trim(substring(s.bt, {pos1}, 1048576))"
+    return f"""
+with synth as (select doc_id, {_HTML_SYNTH} as html from documents),
+cleaned as (select doc_id, {cleaned} as c from synth),
+blk as (select doc_id,
+               regexp_split_to_array(c, '{sq(H.BLOCK_SPLIT_RE)}') as blocks
+        from cleaned),
+pre as (select doc_id, list_transform(blocks, b -> struct_pack(
+            bt := trim(b),
+            txt := {norm('b')},
+            link_len := coalesce(list_sum(list_transform(
+                regexp_extract_all(b, '{sq(H.ANCHOR_RE)}', 1),
+                x -> length({norm('x')}))), 0)
+        )) as pre from blk),
+spans as (select doc_id, list_filter(list_transform(pre, s -> struct_pack(
+            kind := case when {is_media} then 'media_ref' else 'text' end,
+            text := case when {is_media} then '' else s.txt end,
+            media_ref := case when {is_media} then {media_ref} else '' end,
+            keep := case when {is_media} then {media_ref} <> ''
+                         else length(s.txt) >= {min_text_len}
+                              and s.link_len * 100
+                                  <= length(s.txt) * {max_link_pct} end
+          )), s -> s.keep) as spans from pre),
+sel as (select doc_id,
+               cast(unnest(range(0, len(spans))) as int) as "offset",
+               unnest(spans) as s
+        from spans)
+select doc_id, "offset", s.kind as kind, s.text as text,
+       s.media_ref as media_ref
+from sel
+"""
+
+
 _ORACLES: dict[str, str] = {
     "span_extract": f"""
 with t as (select doc_id, {_RT} as toks from documents),
@@ -1263,6 +1372,7 @@ select doc_id, n_tokens, dup_trigram_frac,
 from per group by doc_id, n_tokens, dup_trigram_frac
 """,
     "dedup_incremental": _incremental_minhash_sql(),
+    "html_extract": _html_spans_sql(),
     # pack_sequences twin: same per-source hash-order window cum-sum as
     # corpus_mix, same slice math (DuckDB list slice is 1-based inclusive
     # = Spark slice(lo+1, hi-lo)); float window-id division is exact
@@ -1800,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
+        "html_extract": q_html_extract,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "inverted_index": q_inverted_index,

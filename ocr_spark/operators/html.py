@@ -1,0 +1,177 @@
+"""HTML main-content extraction — the "HTML boilerplate strip / DOM
+heuristics" leg of the north rule's main-content pipeline, producing the
+same interleaved span sequence ``(kind, text, media_ref, offset)`` as the
+OCR extraction kernel, so web documents and scanned documents land in one
+table shape.
+
+This is a jusText/readability-style *heuristic* extractor (the classic
+main-content recipe: drop chrome containers, segment into blocks at
+block-level tags, score each block by text length and link density), NOT a
+real DOM parser — deliberately, because the whole pipeline then stays a
+single narrow Catalyst projection:
+
+    strip comments/chrome → sentinel-ify <img> → split into blocks
+    → transform(blocks, classify)   [staged struct, heavy exprs ONCE]
+    → filter(keep) → posexplode     [dense per-doc offsets for free]
+
+Scale shape: **zero shuffles**.  Classification happens inside the blocks
+array *before* exploding, so ``posexplode`` hands back dense in-document
+offsets without the ``row_number`` window (and its doc_id shuffle) that a
+rows-first formulation would need.  Per the HOF staging rule
+(BENCH/BASELINE.md §3): the expensive per-block expressions (tag strip,
+entity decode, anchor-text length) are computed exactly once in a first
+``transform`` into named struct fields; the second ``transform`` and the
+``filter`` only touch cheap field references.
+
+Every regex is restricted to the Java↔RE2-agreeing subset (see
+functions/pii.py): inline ``(?is)`` flags, non-greedy ``.*?``, character
+classes, ``\\b`` — no lookaround, no in-pattern backreferences — so the
+driver query built on this operator has an exact DuckDB oracle twin
+(``__spark_entry__._html_spans_sql`` builds it from THESE constants).
+
+Documented limitations (shared by both engines, so parity always holds):
+nested same-name chrome containers only drop to the first close tag;
+``\\s`` differs on vertical-tab between Java and RE2 (absent from the
+fixture); a literal ``@@MEDIA@@`` at the start of a block would be read as
+a media sentinel.
+
+Reference tie-in: the reference has no HTML surface (it OCRs scanned
+PDFs); this is the north-rule/web-corpus analog of its remove-box
+boilerplate drop (celery_app.py:1083-1092 → kind filtering) applied to
+markup chrome instead of layout boxes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- shared Spark/DuckDB constants (the oracle twin imports these) -------
+
+COMMENT_RE = r"(?s)<!--.*?-->"
+
+# Containers dropped WITH their content (chrome / non-content).  `<head\b`
+# cannot match `<header` (word boundary before the 'e').
+DROP_CONTAINER_TAGS: tuple[str, ...] = (
+    "script",
+    "style",
+    "head",
+    "title",
+    "nav",
+    "header",
+    "footer",
+    "aside",
+)
+
+# <img src="..."> / <img src='...'> → sentinel block; bare <img> dropped.
+IMG_DQ_RE = r'(?is)<img\b[^>]*\bsrc\s*=\s*"([^"]*)"[^>]*>'
+IMG_SQ_RE = r"(?is)<img\b[^>]*\bsrc\s*=\s*'([^']*)'[^>]*>"
+IMG_BARE_RE = r"(?is)<img\b[^>]*>"
+MEDIA_SENTINEL = "@@MEDIA@@"
+
+# Block-level boundaries: tag name must be followed by whitespace+attrs,
+# `/`, or `>` so e.g. `p` never prefix-matches `<picture>`.  Longer names
+# are listed before their prefixes (pre before p, thead before th...).
+_BLOCK_TAGS = (
+    "figcaption|figure|fieldset|blockquote|caption|section|article|thead|"
+    "tbody|tfoot|table|main|form|pre|p|div|h[1-6]|li|ul|ol|dl|dt|dd|tr|td|"
+    "th|hr|br|body|html"
+)
+BLOCK_SPLIT_RE = rf"(?is)</?(?:{_BLOCK_TAGS})(?:\s[^>]*)?\s*/?>"
+
+TAG_RE = r"(?s)<[^>]*>"
+ANCHOR_RE = r"(?is)<a(?:\s[^>]*)?>(.*?)</a\s*>"
+WS_RE = r"\s+"
+
+# Entity decode order is load-bearing: lt/gt/quot/#39 BEFORE amp, so
+# double-encoded '&amp;lt;' decodes to the literal '&lt;', not to '<'.
+ENTITY_RULES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def container_re(tag: str) -> str:
+    """Content-dropping pattern for one chrome container tag."""
+    return rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>"
+
+
+def _strip_chrome(c: Column) -> Column:
+    c = F.regexp_replace(c, COMMENT_RE, " ")
+    for tag in DROP_CONTAINER_TAGS:
+        c = F.regexp_replace(c, container_re(tag), " ")
+    c = F.regexp_replace(c, IMG_DQ_RE, f"<br>{MEDIA_SENTINEL}$1<br>")
+    c = F.regexp_replace(c, IMG_SQ_RE, f"<br>{MEDIA_SENTINEL}$1<br>")
+    return F.regexp_replace(c, IMG_BARE_RE, " ")
+
+
+def _normalize(c: Column) -> Column:
+    """Tag strip → entity decode → whitespace collapse → trim."""
+    c = F.regexp_replace(c, TAG_RE, " ")
+    for ent, rep in ENTITY_RULES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, WS_RE, " "))
+
+
+def html_spans(
+    df: DataFrame,
+    html_col: str = "html",
+    min_text_len: int = 25,
+    max_link_pct: int = 40,
+) -> DataFrame:
+    """``(doc_id, html)`` → interleaved main-content spans
+    ``(doc_id, offset int, kind, text, media_ref)``.
+
+    Text blocks are kept iff their normalized text is at least
+    ``min_text_len`` chars AND anchor-text chars make up at most
+    ``max_link_pct`` percent of it (integer cross-multiplication — no
+    float division, so the threshold is bit-identical across engines).
+    ``<img src=…>`` becomes an unconditionally-kept ``media_ref`` span at
+    its document position.  Offsets are dense per doc over kept spans.
+    """
+    blocks = F.split(_strip_chrome(F.col(html_col)), BLOCK_SPLIT_RE)
+
+    # Stage 1: heavy per-block expressions, each computed exactly once.
+    def _pre(b: Column) -> Column:
+        return F.struct(
+            F.trim(b).alias("bt"),
+            _normalize(b).alias("txt"),
+            F.aggregate(
+                F.regexp_extract_all(b, F.lit(ANCHOR_RE), F.lit(1)),
+                F.lit(0),
+                lambda acc, x: acc + F.length(_normalize(x)),
+            ).alias("link_len"),
+        )
+
+    # Stage 2: cheap field-reference classification.
+    def _span(s: Column) -> Column:
+        is_media = s["bt"].startswith(MEDIA_SENTINEL)
+        media_ref = F.trim(F.substring(s["bt"], len(MEDIA_SENTINEL) + 1, 1 << 20))
+        text_len = F.length(s["txt"])
+        keep_text = (text_len >= F.lit(min_text_len)) & (
+            s["link_len"] * 100 <= text_len * F.lit(max_link_pct)
+        )
+        return F.struct(
+            F.when(is_media, F.lit("media_ref")).otherwise("text").alias("kind"),
+            F.when(is_media, F.lit("")).otherwise(s["txt"]).alias("text"),
+            F.when(is_media, media_ref).otherwise(F.lit("")).alias("media_ref"),
+            F.when(is_media, media_ref != F.lit("")).otherwise(keep_text).alias(
+                "keep"
+            ),
+        )
+
+    spans = F.filter(
+        F.transform(F.transform(blocks, _pre), _span), lambda s: s["keep"]
+    )
+    out = df.select(F.col("doc_id"), F.posexplode(spans).alias("offset", "s"))
+    return out.select(
+        "doc_id",
+        "offset",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
