@@ -47,6 +47,9 @@ _NT = (
 # raw non-empty tokens
 _RT = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
 
+# MinHash permutation modulus — the SAME constant the Spark plans use
+_MH_P = T.MINHASH_PRIME
+
 
 def _pii_sql_fragments() -> tuple[str, str]:
     """(counts-select-list, scrub-expression) built from the SAME
@@ -924,7 +927,7 @@ def _minhash_sql(
 ) -> str:
     rows = k // bands
     band_key = " || '|' || ".join(
-        f"sig[band * {rows} + {r + 1}]" for r in range(rows)
+        f"cast(sig[band * {rows} + {r + 1}] as varchar)" for r in range(rows)
     )
     return f"""
 with toks as (select doc_id, {_NT} as t from documents),
@@ -932,11 +935,21 @@ sh as (select doc_id,
               list_distinct(list_transform(range(1, len(t) - 1),
                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) as shingles
        from toks where len(t) >= 3),
+-- Kirsch–Mitzenmacher basis: ONE md5 per shingle, split into two 60-bit
+-- halves (same 0x-cast as the simhash twin) — mirrors text.minhash_base
+mh as (select doc_id, shingles,
+              list_transform(list_transform(shingles, s -> md5(s)),
+                  m -> struct_pack(
+                      h1 := cast(('0x' || substr(m, 1, 15)) as bigint)
+                            % {_MH_P},
+                      h2 := cast(('0x' || substr(m, 17, 15)) as bigint)
+                            % {_MH_P - 1} + 1)) as mh
+       from sh),
 sig as (select doc_id,
                list_transform(range(0, {k}),
-                   h -> list_min(list_transform(shingles,
-                        s -> md5(cast(h as varchar) || ':' || s)))) as sig
-        from sh),
+                   h -> list_min(list_transform(mh,
+                        x -> (x.h1 + h * x.h2) % {_MH_P}))) as sig
+        from mh),
 banded as (select doc_id, unnest(range(0, {bands})) as band, sig from sig),
 bk as (select doc_id, band, md5({band_key}) as band_key from banded),
 -- mirror Spark's degenerate-bucket guard (dedup.py minhash_candidates:
@@ -1006,7 +1019,7 @@ def _incremental_minhash_sql(
     side of each key."""
     rows = k // bands
     band_key = " || '|' || ".join(
-        f"sig[band * {rows} + {r + 1}]" for r in range(rows)
+        f"cast(sig[band * {rows} + {r + 1}] as varchar)" for r in range(rows)
     )
     return f"""
 with toks as (select doc_id, source, {_NT} as t from documents),
@@ -1014,11 +1027,19 @@ sh as (select doc_id, source,
               list_distinct(list_transform(range(1, len(t) - 1),
                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) as shingles
        from toks where len(t) >= 3),
+mh as (select doc_id, source, shingles,
+              list_transform(list_transform(shingles, s -> md5(s)),
+                  m -> struct_pack(
+                      h1 := cast(('0x' || substr(m, 1, 15)) as bigint)
+                            % {_MH_P},
+                      h2 := cast(('0x' || substr(m, 17, 15)) as bigint)
+                            % {_MH_P - 1} + 1)) as mh
+       from sh),
 sig as (select doc_id, source,
                list_transform(range(0, {k}),
-                   h -> list_min(list_transform(shingles,
-                        s -> md5(cast(h as varchar) || ':' || s)))) as sig
-        from sh),
+                   h -> list_min(list_transform(mh,
+                        x -> (x.h1 + h * x.h2) % {_MH_P}))) as sig
+        from mh),
 banded as (select doc_id, source, unnest(range(0, {bands})) as band, sig
            from sig),
 bk as (select doc_id, source, band, md5({band_key}) as band_key from banded),
@@ -2021,7 +2042,7 @@ def _contract_curate_sql(
     pipeline counts it in n_raw and so must the oracle."""
     rows = k // bands
     band_key = " || '|' || ".join(
-        f"sig[band * {rows} + {r + 1}]" for r in range(rows)
+        f"cast(sig[band * {rows} + {r + 1}] as varchar)" for r in range(rows)
     )
     an = _analyzer_sql()
     lo, hi = token_len_band
@@ -2071,11 +2092,19 @@ sh as (select doc_id,
               list_distinct(list_transform(range(1, len(t) - 1),
                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) as shingles
        from toks where len(t) >= 3),
+mh as (select doc_id, shingles,
+              list_transform(list_transform(shingles, s2 -> md5(s2)),
+                  m -> struct_pack(
+                      h1 := cast(('0x' || substr(m, 1, 15)) as bigint)
+                            % {_MH_P},
+                      h2 := cast(('0x' || substr(m, 17, 15)) as bigint)
+                            % {_MH_P - 1} + 1)) as mh
+       from sh),
 sig as (select doc_id,
                list_transform(range(0, {k}),
-                   h -> list_min(list_transform(shingles,
-                        s2 -> md5(cast(h as varchar) || ':' || s2)))) as sig
-        from sh),
+                   h -> list_min(list_transform(mh,
+                        x -> (x.h1 + h * x.h2) % {_MH_P}))) as sig
+        from mh),
 banded as (select doc_id, unnest(range(0, {bands})) as band, sig from sig),
 bk as (select doc_id, band, md5({band_key}) as band_key from banded),
 bksz as (select band, band_key, count(*) as n

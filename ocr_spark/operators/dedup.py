@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from ocr_spark.functions.text import (
     doc_fingerprint,
+    minhash_base,
     minhash_signature,
     norm_tokens,
     shingles,
@@ -125,16 +126,22 @@ def _candidates_from_shingles(
     the candidate and the verification side from one staged shingle
     projection instead of tokenizing the corpus twice."""
     rows = k // bands
+    # _mh staged as its own column: minhash_signature references it k
+    # times, and only a named non-cheap projection keeps the one-md5-per-
+    # shingle basis from being re-inlined per permutation (HOF rule).
     sig = (
         shingled
-        .withColumn("sig", minhash_signature(F.col("sh"), k))
+        .withColumn("_mh", minhash_base(F.col("sh")))
+        .withColumn("sig", minhash_signature(F.col("_mh"), k))
         .select("doc_id", "sig")
     )
 
     band_key = [
         F.md5(
-            F.concat_ws("|", *[F.col("sig")[b * rows + r] for r in range(rows)])
-            .cast("binary")
+            F.concat_ws(
+                "|",
+                *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)],
+            ).cast("binary")
         ).alias("band_key")
         for b in range(bands)
     ]
@@ -405,13 +412,17 @@ def incremental_minhash_dedup(
 
     def banded(src: DataFrame) -> DataFrame:
         rows = k // bands
-        sig = src.select(
-            "doc_id", minhash_signature(F.col("sh"), k).alias("sig")
+        sig = src.withColumn("_mh", minhash_base(F.col("sh"))).select(
+            "doc_id", minhash_signature(F.col("_mh"), k).alias("sig")
         )
         band_key = [
             F.md5(
                 F.concat_ws(
-                    "|", *[F.col("sig")[b * rows + r] for r in range(rows)]
+                    "|",
+                    *[
+                        F.col("sig")[b * rows + r].cast("string")
+                        for r in range(rows)
+                    ],
                 ).cast("binary")
             ).alias("band_key")
             for b in range(bands)
