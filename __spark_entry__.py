@@ -792,6 +792,19 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_spans(docs)
 
 
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (operators/quality.py lm_quality):
+    unigram model trained on the source='src2' slice, every other doc
+    scored by average negative log-likelihood in integer micro-nats."""
+    from ocr_spark.operators.quality import lm_quality
+
+    docs = _docs(spark, sf_dir)
+    return lm_quality(
+        docs.where(F.col("source") != "src2"),
+        docs.where(F.col("source") == "src2"),
+    )
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-stage inverted index.  The driver canonicalizer hashes
     scalar columns only (pandas sort_values dies on list cells), so the
@@ -1394,6 +1407,35 @@ from per group by doc_id, n_tokens, dup_trigram_frac
 """,
     "dedup_incremental": _incremental_minhash_sql(),
     "html_extract": _html_spans_sql(),
+    # lm_quality twin: the only float step is the per-distinct-token ln,
+    # quantized to integer micro-nats exactly like the Spark plan; doc
+    # scores are bigint sums + exact integer ratios (sum() is HUGEINT in
+    # DuckDB — cast back to bigint)
+    "lm_quality": f"""
+with reftok as (select unnest({_NT}) as tok from documents
+                where source = 'src2'),
+vocab as (select tok, count(*) as c from reftok group by tok),
+stats as (select (select count(*) from reftok)
+                 + (select count(*) from vocab) + 1 as denom),
+lp as (select tok,
+              cast(round(-ln((c + 1) / (select denom from stats)) * 1e6, 0)
+                   as bigint) as lp
+       from vocab),
+tok as (select doc_id, unnest({_NT}) as tok from documents
+        where source <> 'src2'),
+j as (select t.doc_id, t.tok, l.lp from tok t left join lp l using (tok)),
+agg as (select doc_id, count(*) as n_tokens,
+               cast(sum(case when lp is null then 1 else 0 end) as bigint)
+                   as n_oov,
+               cast(sum(coalesce(lp,
+                   cast(round(-ln(1 / (select denom from stats)) * 1e6, 0)
+                        as bigint))) as bigint) as nll_micro
+        from j group by doc_id)
+select doc_id, n_tokens, n_oov, nll_micro,
+       round(nll_micro / n_tokens / 1e6, 6) as avg_nll,
+       (round(nll_micro / n_tokens / 1e6, 6) > 9.0) as flagged
+from agg
+""",
     # pack_sequences twin: same per-source hash-order window cum-sum as
     # corpus_mix, same slice math (DuckDB list slice is 1-based inclusive
     # = Spark slice(lo+1, hi-lo)); float window-id division is exact
@@ -1932,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
         "html_extract": q_html_extract,
+        "lm_quality": q_lm_quality,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "inverted_index": q_inverted_index,

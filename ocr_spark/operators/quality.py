@@ -76,3 +76,78 @@ def doc_repetition(
             | (F.col("dup_trigram_frac") > dup_trigram_max),
         )
     )
+
+
+def lm_quality(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    nll_max: float = 9.0,
+) -> DataFrame:
+    """CCNet-style language-model quality filter (Wenzek et al. 2020,
+    PAPERS.md): score each document by its average negative log-likelihood
+    under a unigram LM trained on a reference ("clean") corpus slice —
+    high-NLL documents are gibberish/OCR-noise/foreign relative to the
+    reference distribution and get flagged before tokenization.  (CCNet
+    uses a KenLM 5-gram; the unigram form keeps the operator declarative
+    and exactly oracle-checkable while preserving the pipeline shape:
+    train once, score the corpus with a join.)
+
+    Model: additive smoothing, ``p(w) = (c_w + 1) / (N + V + 1)`` with
+    ``c_w`` the reference count (0 for OOV), ``N`` total reference tokens,
+    ``V`` the reference vocabulary size.
+
+    Cross-engine exactness: the ONLY float step is the per-distinct-token
+    ``ln``, immediately quantized to integer micro-nats
+    (``round(-ln(p)·1e6) → bigint``) — document scores are then pure
+    bigint sums and exact integer ratios, so partial-agg summation order
+    can never flip a hash.  A last-ulp libm divergence could only matter
+    if some token's micro-nat value landed within an ulp of .5 — checked
+    never on the deterministic fixture, and frozen thereafter.
+
+    Scale shape: the vocab table is bounded (distinct reference tokens),
+    so AQE broadcasts the score join in the common case; at web scale
+    with a shuffle join, the hot-token skew (stopwords) is the classic
+    salting case, but the per-doc aggregate after the join does map-side
+    partial aggregation, so the skew cost is bounded to the join itself.
+    ``N``/``V`` are two driver scalars (same precedent as tfidf_top's
+    ``n_docs``).
+
+    Output: ``doc_id, n_tokens, n_oov, nll_micro, avg_nll, flagged`` —
+    one row per scored document with ≥ 1 normalized token.
+    """
+    ref_tok = ref_docs.select(
+        F.explode(norm_tokens(F.col("text"))).alias("tok")
+    )
+    vocab = ref_tok.groupBy("tok").agg(F.count("*").alias("c"))
+    n_total = ref_tok.count()
+    v_size = vocab.count()
+    denom = float(n_total + v_size + 1)
+
+    def micro_nll(count_col) -> F.Column:
+        return F.round(-F.log((count_col + 1) / F.lit(denom)) * 1e6, 0).cast(
+            "bigint"
+        )
+
+    scored_vocab = vocab.select("tok", micro_nll(F.col("c")).alias("lp"))
+    oov_lp = micro_nll(F.lit(0))
+
+    tok = docs.select(
+        "doc_id", F.explode(norm_tokens(F.col("text"))).alias("tok")
+    )
+    joined = tok.join(scored_vocab, "tok", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("lp").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.sum(F.coalesce(F.col("lp"), oov_lp)).alias("nll_micro"),
+        )
+        .withColumn(
+            "avg_nll",
+            F.round(F.col("nll_micro") / F.col("n_tokens") / F.lit(1e6), 6),
+        )
+        .withColumn("flagged", F.col("avg_nll") > nll_max)
+        .select(
+            "doc_id", "n_tokens", "n_oov", "nll_micro", "avg_nll", "flagged"
+        )
+    )
