@@ -273,6 +273,55 @@ def streaming_span_stats(
     )
 
 
+def interval_join_streams(
+    submissions: DataFrame,
+    results: DataFrame,
+    max_lag: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the remaining classic
+    Structured Streaming surface (§2.11): pair each OCR *result* with the
+    *submission* it answers, provided the result's event time falls
+    within ``[submit_ts, submit_ts + max_lag]``.
+
+    Inputs: ``submissions(doc_id, submit_ts timestamp)`` and
+    ``results(doc_id, result_ts timestamp, n_spans)`` — both streaming.
+    Both sides carry a watermark AND the join condition bounds
+    ``result_ts`` relative to ``submit_ts`` from both directions, which
+    is exactly what Spark needs to compute how long each side's state
+    must be retained; without the interval bound the join state would
+    grow forever.  Inner join: unanswered submissions age out of state
+    silently (the resume/manifest seam, not the stream, owns
+    retry/timeout bookkeeping — jobs/extract_job.py).
+
+    Reference tie-in: the Celery result backend correlates task results
+    to submitted page tasks by task id (server/celery_app.py result
+    bookkeeping); this is its event-time streaming restatement.
+    """
+    s = submissions.withWatermark("submit_ts", watermark).alias("s")
+    r = results.withWatermark("result_ts", watermark).alias("r")
+    return (
+        s.join(
+            r,
+            F.expr(
+                "s.doc_id = r.doc_id"
+                " AND r.result_ts >= s.submit_ts"
+                f" AND r.result_ts <= s.submit_ts + interval {max_lag}"
+            ),
+        )
+        .select(
+            F.col("s.doc_id").alias("doc_id"),
+            F.col("s.submit_ts").alias("submit_ts"),
+            F.col("r.result_ts").alias("result_ts"),
+            F.col("r.n_spans").alias("n_spans"),
+            (
+                F.col("r.result_ts").cast("long")
+                - F.col("s.submit_ts").cast("long")
+            ).alias("lag_sec"),
+        )
+    )
+
+
 def main(argv: list | None = None, spark: SparkSession | None = None):
     """spark-submit entry for the streaming surfaces::
 
