@@ -792,6 +792,16 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_spans(docs)
 
 
+def q_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping sliding-window chunking
+    (operators/packing.py sliding_chunks): 16-token windows, stride 12
+    (4-token overlap) — small enough that ~54-token docs exercise the
+    interior, overlap, and short-tail paths."""
+    from ocr_spark.operators.packing import sliding_chunks
+
+    return sliding_chunks(_docs(spark, sf_dir), size=16, stride=12)
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality filter (operators/quality.py lm_quality):
     unigram model trained on the source='src2' slice, every other doc
@@ -1407,6 +1417,25 @@ from per group by doc_id, n_tokens, dup_trigram_frac
 """,
     "dedup_incremental": _incremental_minhash_sql(),
     "html_extract": _html_spans_sql(),
+    # rag_chunks twin: same chunk grid (starts 0, 12, 24, … while < n)
+    # and the pack_sequences slice idiom (DuckDB list slice is 1-based
+    # inclusive and clamps via least())
+    "rag_chunks": f"""
+with t as (select doc_id, {_NT} as t from documents),
+ne as (select doc_id, t, len(t) as n from t where len(t) > 0),
+st as (select doc_id, t, n,
+              unnest(range(0, cast(floor((n - 1) / 12) as bigint) * 12 + 1,
+                           12)) as s
+       from ne)
+select doc_id,
+       s // 12 as chunk_id,
+       cast(len(t[cast(s + 1 as bigint) : cast(least(s + 16, n) as bigint)])
+            as bigint) as n_tokens,
+       array_to_string(
+           t[cast(s + 1 as bigint) : cast(least(s + 16, n) as bigint)],
+           ' ') as text
+from st
+""",
     # lm_quality twin: the only float step is the per-distinct-token ln,
     # quantized to integer micro-nats exactly like the Spark plan; doc
     # scores are bigint sums + exact integer ratios (sum() is HUGEINT in
@@ -1975,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "html_extract": q_html_extract,
         "lm_quality": q_lm_quality,
+        "rag_chunks": q_rag_chunks,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "inverted_index": q_inverted_index,

@@ -99,7 +99,7 @@ def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
         "dedup_components", "ann_ivfpq", "sample_stratified", "corpus_mix",
         "chunk_dedup", "dedup_incremental", "doc_repetition",
         "decontaminate", "pii_scrub", "pack_sequences", "html_extract",
-        "lm_quality",
+        "lm_quality", "rag_chunks",
     ]
     # Per-workload scan tuning (the conf is runtime-settable): thin
     # TPC-H-ish tables are scan-bound and want the vectorized reader's

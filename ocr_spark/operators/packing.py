@@ -109,3 +109,57 @@ def pack_sequences(
         )
         .select(source_col, "win_id", "n_tokens", "text")
     )
+
+
+def sliding_chunks(
+    docs: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Per-document overlapping sliding-window chunking — the RAG/embedding
+    pipeline's document splitter (fixed ``size``-token windows advancing by
+    ``stride`` tokens, ``size - stride`` tokens of overlap so no sentence
+    straddles an unseen boundary).
+
+    Chunk starts are ``0, stride, 2·stride, …`` while ``start < n_tokens``;
+    the final chunk is the (possibly short) tail.  A document whose tokens
+    fit one window yields exactly one chunk.  Empty-token documents yield
+    nothing, identically in both engines.
+
+    Scale shape: **zero shuffles** — the chunk grid is computed per row
+    with ``sequence`` + ``slice`` array math and ``posexplode``, so a
+    mega-document fans out into its own chunk rows inside the scan
+    partition (same self-splitting recipe as ``pack_sequences``, minus the
+    cross-document window since RAG chunks never span documents).
+
+    Output: ``doc_id, chunk_id, n_tokens, text`` (space-joined normalized
+    tokens).
+    """
+    if stride <= 0 or stride > size:
+        raise ValueError("require 0 < stride <= size")
+    toks = docs.select(
+        "doc_id", norm_tokens(F.col("text")).alias("t")
+    ).withColumn("n", F.size("t"))
+    nonempty = toks.where(F.col("n") > 0)
+    # last start = stride * floor((n-1)/stride) clamped so the tail chunk
+    # begins before n; sequence is inclusive on both ends
+    starts = F.sequence(
+        F.lit(0),
+        F.lit(stride) * F.floor((F.col("n") - 1) / stride).cast("int"),
+        F.lit(stride),
+    )
+    # keep only starts that open a NEW region: start == 0 or start < n
+    # (sequence already guarantees start <= n-1, so no filter needed)
+    pieces = F.transform(
+        starts,
+        lambda s: F.slice(F.col("t"), s + 1, F.lit(size)),
+    )
+    out = nonempty.select(
+        "doc_id", F.posexplode(pieces).alias("chunk_id", "piece")
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size("piece").cast("bigint").alias("n_tokens"),
+        F.array_join("piece", " ").alias("text"),
+    )

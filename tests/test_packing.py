@@ -80,3 +80,69 @@ def test_pack_full_windows_except_tail(spark):
             len(_norm_tokens(t)) for d, s, t in ROWS if s == source
         )
         assert sum(w["n_tokens"] for w in wins) == total
+
+
+# --- sliding_chunks ---------------------------------------------------------
+
+from ocr_spark.operators.packing import sliding_chunks  # noqa: E402
+
+
+def _brute_chunks(text: str, size: int, stride: int):
+    toks = _norm_tokens(text)
+    out = []
+    s = 0
+    while s < len(toks):
+        piece = toks[s : s + size]
+        out.append((s // stride, len(piece), " ".join(piece)))
+        s += stride
+    return out
+
+
+def test_sliding_chunks_matches_brute(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),     # 10 tokens
+        (2, "one two three"),            # fits one window
+        (3, "   "),                      # empty after normalize
+        (4, " ".join(f"t{i}" for i in range(17))),  # exact multiple edges
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for size, stride in [(4, 3), (4, 4), (16, 12), (5, 2)]:
+        got = {
+            (r.doc_id, r.chunk_id, r.n_tokens, r.text)
+            for r in sliding_chunks(df, size=size, stride=stride).collect()
+        }
+        exp = {
+            (doc_id, cid, n, t)
+            for doc_id, text in rows
+            for cid, n, t in _brute_chunks(text, size, stride)
+        }
+        assert got == exp, (size, stride)
+
+
+def test_sliding_chunks_overlap_reconstructs_document(spark):
+    text = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    rows = sorted(
+        sliding_chunks(df, size=8, stride=8).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # stride == size → non-overlapping chunks concatenate to the doc
+    assert " ".join(r.text for r in rows) == text
+
+
+def test_sliding_chunks_plan_has_no_exchange(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    plan = (
+        sliding_chunks(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_sliding_chunks_rejects_bad_stride(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sliding_chunks(df, size=4, stride=5)
+    with _pytest.raises(ValueError):
+        sliding_chunks(df, size=4, stride=0)
