@@ -275,6 +275,38 @@ def q_vocab_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches frequent-items heavy hitters (``approx_top_k``) per
+    source — the bounded-memory twin of the exact ``vocab_topk``
+    (rows-only driver check; tests/test_sketches.py proves the sketch's
+    top-k CONTAINS every exact heavy hitter, the frequent-items
+    guarantee).  The 100 TB shape for "most common tokens": a
+    fixed-size-map sketch per group merged map-side, vs the exact form's
+    shuffle of every distinct (source, word) pair.  maxItemsTracked ≫ k
+    keeps estimate error below the exact-count gaps at this corpus
+    shape, so counts here are in fact exact; the pytest asserts the
+    weaker containment property that holds at any scale."""
+    docs = _docs(spark, sf_dir)
+    ex = docs.select(
+        "source", F.explode(T.norm_tokens(F.col("text"))).alias("word")
+    )
+    top = ex.groupBy("source").agg(
+        F.expr("approx_top_k(word, 10, 4096)").alias("tk")
+    )
+    return (
+        top.select(
+            "source", F.posexplode("tk").alias("rk", "item")
+        )
+        .select(
+            "source",
+            (F.col("rk") + 1).cast("int").alias("rk"),
+            F.col("item.item").alias("word"),
+            F.col("item.count").alias("est_count"),
+        )
+        .orderBy("source", "rk", "word")
+    )
+
+
 def q_doclen_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna quantile sketch (``percentile_approx``) of document
     length per language (rows-only; tests/test_sketches.py bounds the rank
@@ -1988,6 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclen_histogram": q_doclen_histogram,
         "distinct_stats": q_distinct_stats,
         "vocab_hll": q_vocab_hll,                   # sketch — error-bound pytest
+        "vocab_heavy_hitters": q_vocab_heavy_hitters,  # sketch — containment pytest
         "doclen_quantile_sketch": q_doclen_quantile_sketch,  # sketch — error-bound pytest
         "sample_stratified": q_sample_stratified,
         "corpus_mix": q_corpus_mix,

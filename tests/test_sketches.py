@@ -72,3 +72,42 @@ def test_quantile_sketch_rank_bound(spark):
             assert lo - tol <= target <= hi + tol, (
                 r["lang"], key, v, lo, hi, target
             )
+
+
+def test_vocab_heavy_hitters_containment_and_exactness(spark):
+    """Frequent-items guarantee: every word whose exact count strictly
+    exceeds the exact 10th-highest count per source must appear in the
+    sketch's top-10, and (since maxItemsTracked exceeds the fixture
+    vocabulary) every reported est_count equals the exact count."""
+    from collections import Counter
+
+    from ocr_spark.functions.text import norm_tokens
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact_rows = (
+        docs.select(
+            "source", F.explode(norm_tokens(F.col("text"))).alias("word")
+        )
+        .groupBy("source", "word")
+        .count()
+        .collect()
+    )
+    exact: dict[str, Counter] = {}
+    for r in exact_rows:
+        exact.setdefault(r["source"], Counter())[r["word"]] = r["count"]
+
+    got = entry_mod.q_vocab_heavy_hitters(spark, SF_DIR).collect()
+    by_source: dict[str, dict[str, int]] = {}
+    for r in got:
+        by_source.setdefault(r["source"], {})[r["word"]] = r["est_count"]
+
+    assert set(by_source) == set(exact)
+    for source, sketch in by_source.items():
+        counts = exact[source]
+        assert len(sketch) == min(10, len(counts))
+        boundary = sorted(counts.values(), reverse=True)[:10][-1]
+        must_have = {w for w, c in counts.items() if c > boundary}
+        assert must_have <= set(sketch), (source, must_have - set(sketch))
+        for w, est in sketch.items():
+            assert est == counts[w], (source, w, est, counts[w])
