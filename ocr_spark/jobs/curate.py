@@ -78,6 +78,7 @@ def curate(
     pairs = minhash_lsh_dedup(
         exact.select("doc_id", F.col("doc_text").alias("text")),
         threshold=jaccard_threshold,
+        cache_registry=cache_registry,
     )
     losers = pairs.select(F.col("b").alias("doc_id")).distinct()
     neardup = exact.join(losers, "doc_id", "left_anti")
