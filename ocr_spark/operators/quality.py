@@ -83,8 +83,8 @@ def lm_quality(
     ref_docs: DataFrame,
     nll_max: float = 9.0,
 ) -> DataFrame:
-    """CCNet-style language-model quality filter (Wenzek et al. 2020,
-    PAPERS.md): score each document by its average negative log-likelihood
+    """CCNet-style language-model quality filter (Wenzek et al. 2020):
+    score each document by its average negative log-likelihood
     under a unigram LM trained on a reference ("clean") corpus slice —
     high-NLL documents are gibberish/OCR-noise/foreign relative to the
     reference distribution and get flagged before tokenization.  (CCNet
