@@ -225,7 +225,15 @@ def run_scaling(n_small: int, n_docs: int) -> dict:
 
     src = _contract_path(n_docs)
     results = {}
+    leg_controls = {}
     for cpus in (n_small, 4 * n_small):
+        # Per-LEG host-health stamps: the efficiency metric is a ratio of
+        # two ~90 s measurements, so it inherits the host-noise band once
+        # per leg — three round-2-close draws gave 0.69/0.55/1.09 with an
+        # unchanged kernel (BENCH/BASELINE.md §2).  A single end-of-run
+        # control cannot attribute noise to a leg; a control before and
+        # after EACH leg can.
+        pre = _cpu_control()
         spark = get_spark(f"ocr-scale-{cpus}", master=f"local[{cpus}]")
         # Both legs use the FULL convergence warm-up (cap 12 / stall 4).
         # A shorter run-count cap is NOT protocol-equivalent across legs:
@@ -237,6 +245,8 @@ def run_scaling(n_small: int, n_docs: int) -> dict:
         med_dt, n = _warm_then_measure(spark, src)
         results[cpus] = n / med_dt
         spark.stop()
+        leg_controls[f"cpu_control_pre_local[{cpus}]"] = pre
+        leg_controls[f"cpu_control_post_local[{cpus}]"] = _cpu_control()
     t_n, t_4n = results[n_small], results[4 * n_small]
     eff = t_4n / (4.0 * t_n)
     return {
@@ -246,6 +256,7 @@ def run_scaling(n_small: int, n_docs: int) -> dict:
         "queries": {
             f"docs_per_sec_local[{n_small}]": round(t_n, 1),
             f"docs_per_sec_local[{4 * n_small}]": round(t_4n, 1),
+            **leg_controls,
         },
         "sf": f"contract table n_docs={n_docs}",
         "contract_docs": n_docs,
