@@ -53,7 +53,14 @@ def _spin(_: int) -> int:
 
 
 def _contract_path(n_docs: int, seed: int = 42) -> str:
-    """Generate (once, cached) the contract spans table for the bench."""
+    """Generate (once, cached) the contract spans table for the bench.
+
+    Above 100k docs generation goes parallel (8 workers): single-threaded
+    synthesis is ~400 docs/s and the mega-doc tail makes a 400k table an
+    ~hour of driver time.  The chunked layout is deterministic for a
+    fixed (seed, n_docs, processes) but not byte-identical to the
+    single-process layout, so the canonical ≤100k tables keep the
+    single-process layout the committed baselines were measured on."""
     path = os.path.join(
         tempfile.gettempdir(), f"ocr_spark_bench_{n_docs}_{seed}.parquet"
     )
@@ -61,7 +68,12 @@ def _contract_path(n_docs: int, seed: int = 42) -> str:
         from ocr_spark import datagen
 
         datagen.generate_to_path(
-            path, n_docs=n_docs, seed=seed, scramble=True, n_files=64
+            path,
+            n_docs=n_docs,
+            seed=seed,
+            scramble=True,
+            n_files=64,
+            processes=8 if n_docs > 100_000 else None,
         )
     return path
 
@@ -211,6 +223,38 @@ def run_scaling_executors(n_small: int, n_docs: int, cores: int = 2) -> dict:
     }
 
 
+def _bw_copy_work(_) -> float:
+    import numpy as np
+
+    a = np.ones(8_000_000, dtype=np.float64)  # 64 MB
+    b = np.ones(8_000_000, dtype=np.float64)
+    np.copyto(b, a)  # touch both buffers (fault outside the timing)
+    t0 = time.perf_counter()
+    for _ in range(64):
+        np.copyto(b, a)
+    return time.perf_counter() - t0
+
+
+def _bw_control(n: int) -> float:
+    """Aggregate DRAM copy bandwidth (GB/s) with ``n`` concurrent workers,
+    median of 3.  The scaling twin of ``_cpu_control``: the raw-CPU spin
+    shows ~4× hardware from 2→8 cores, but a memory-BANDWIDTH-bound
+    workload sees only ~2.6× (measured: 19.7 → 51.8 GB/s median) because
+    the legs share one memory system — so a string/Arrow-heavy job's
+    thread-mode efficiency ceiling sits between the two controls, and a
+    scaling draw is only interpretable against BOTH."""
+    import multiprocessing as mp
+    import statistics
+
+    gb = 64 * 64 / 1024.0  # GB copied per worker
+    vals = []
+    for _ in range(3):
+        with mp.get_context("fork").Pool(n) as pool:
+            ts = pool.map(_bw_copy_work, range(n))
+        vals.append(n * gb / max(ts))
+    return round(statistics.median(vals), 1)
+
+
 def run_scaling(n_small: int, n_docs: int) -> dict:
     """Same job, same input, local[N] vs local[4N] → scaling efficiency.
 
@@ -249,6 +293,7 @@ def run_scaling(n_small: int, n_docs: int) -> dict:
         leg_controls[f"cpu_control_post_local[{cpus}]"] = _cpu_control()
     t_n, t_4n = results[n_small], results[4 * n_small]
     eff = t_4n / (4.0 * t_n)
+    bw_n, bw_4n = _bw_control(n_small), _bw_control(4 * n_small)
     return {
         "metric": "scaling efficiency N->4N",
         "value": round(eff, 3),
@@ -257,6 +302,9 @@ def run_scaling(n_small: int, n_docs: int) -> dict:
             f"docs_per_sec_local[{n_small}]": round(t_n, 1),
             f"docs_per_sec_local[{4 * n_small}]": round(t_4n, 1),
             **leg_controls,
+            f"mem_bw_gbps_{n_small}p": bw_n,
+            f"mem_bw_gbps_{4 * n_small}p": bw_4n,
+            "mem_bw_scale_n_to_4n": round(bw_4n / bw_n, 2),
         },
         "sf": f"contract table n_docs={n_docs}",
         "contract_docs": n_docs,
