@@ -193,8 +193,10 @@ def run_scaling_executors(n_small: int, n_docs: int, cores: int = 2) -> dict:
 
     src = _contract_path(n_docs)
     results = {}
+    leg_controls = {}
     mem_mb = int(os.environ.get("OCR_SPARK_EXEC_MEM_MB", "9216"))
     for n_exec in (n_small, 4 * n_small):
+        pre = _cpu_control()  # per-leg host-health stamps, as in run_scaling
         spark = get_spark(
             f"ocr-scale-exec-{n_exec}",
             master=f"local-cluster[{n_exec},{cores},{mem_mb}]",
@@ -207,6 +209,8 @@ def run_scaling_executors(n_small: int, n_docs: int, cores: int = 2) -> dict:
         med_dt, n = _warm_then_measure(spark, src)
         results[n_exec] = n / med_dt
         spark.stop()
+        leg_controls[f"cpu_control_pre_{n_exec}exec"] = pre
+        leg_controls[f"cpu_control_post_{n_exec}exec"] = _cpu_control()
     t_n, t_4n = results[n_small], results[4 * n_small]
     eff = t_4n / (4.0 * t_n)
     return {
@@ -216,6 +220,7 @@ def run_scaling_executors(n_small: int, n_docs: int, cores: int = 2) -> dict:
         "queries": {
             f"docs_per_sec_{n_small}x{cores}exec": round(t_n, 1),
             f"docs_per_sec_{4 * n_small}x{cores}exec": round(t_4n, 1),
+            **leg_controls,
         },
         "sf": f"contract table n_docs={n_docs}",
         "contract_docs": n_docs,
