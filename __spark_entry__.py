@@ -688,6 +688,16 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.repeated_chunk_filter(_docs(spark, sf_dir), chunk=16, max_docs=2)
 
 
+def q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring removal (Lee et al. 2022 ExactSubstr,
+    stride-1 window form): any token position covered by an 8-token window
+    shared by ≥2 distinct docs is scrubbed, survivors reassembled in order
+    (operators/dedup.py duplicated_substring_scrub)."""
+    return D.duplicated_substring_scrub(
+        _docs(spark, sf_dir), window=8, min_dup_docs=2
+    )
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-time near-dup check: the 'src0' batch against the rest of
     the corpus — cross-side banded-MinHash candidates, exact-Jaccard
@@ -950,6 +960,52 @@ def q_ann_pq_fullrefine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_pq(emb, emb, k=5, shortlist=emb.count())
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One spherical-k-means assignment step against deterministically
+    seeded centroids (k vectors with the smallest md5('c|'||vec_id)) —
+    the SQL-exact gate for the clustering machinery: similarities rounded
+    to 4 decimals, ties to the lowest cluster index
+    (operators/clustering.py kmeans_assign)."""
+    from ocr_spark.operators import clustering as C
+
+    emb = _emb(spark, sf_dir)
+    cent = C.init_centroids(emb, k=8)
+    return C.kmeans_assign(emb, cent, round_sim=4)
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full distributed Lloyd's spherical k-means (k=8, 5 iterations):
+    per-iteration narrow Arrow pass emitting integer-quantized partial
+    sums, O(k·dim) driver state, partitioning-invariant labels
+    (operators/clustering.py kmeans_cluster).  Iterative — rows-only gate;
+    model-equality + invariance pytests in tests/test_clustering.py."""
+    from ocr_spark.operators import clustering as C
+
+    emb = _emb(spark, sf_dir)
+    assigned, _ = C.kmeans_cluster(emb, k=8, iters=5)
+    return assigned
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-1 BPE pair statistics: adjacent symbol-pair frequencies over
+    the corpus word vocab (char symbols + </w> marker), weighted by word
+    frequency — the SQL-exact gate for the BPE trainer's aggregation
+    (operators/bpe.py pair_counts)."""
+    from ocr_spark.operators import bpe as B
+
+    return B.pair_counts(B.word_vocab(_docs(spark, sf_dir)))
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge rules (20 rounds, freq-desc/lex tie-break):
+    iterated distributed pair-count argmax + pure-Catalyst greedy fold
+    (operators/bpe.py bpe_train).  Iterative — rows-only gate; exact
+    equality vs a pure-Python reference trainer in tests/test_bpe.py."""
+    from ocr_spark.operators import bpe as B
+
+    return B.bpe_merges_df(_docs(spark, sf_dir), n_merges=20)
+
+
 # ---------------------------------------------------------------------------
 # SQL twins
 # ---------------------------------------------------------------------------
@@ -1058,6 +1114,40 @@ select doc_id,
        cast(sum(case when n_docs <= {max_docs} then 1 else 0 end) as bigint)
            as n_kept
 from flagged group by doc_id
+"""
+
+
+def _substring_scrub_sql(window: int = 8, min_dup_docs: int = 2) -> str:
+    """Twin of duplicated_substring_scrub: stride-1 window md5s over the
+    normalized token stream, windows in ≥ min_dup_docs distinct docs mark
+    every position they cover, survivors string_agg ORDER BY pos."""
+    return f"""
+with t as (select doc_id, {_NT} as toks from documents),
+tk as (select doc_id, toks, len(toks) as n from t where len(toks) >= 1),
+wh as (select doc_id,
+              unnest(range(0, n - {window} + 1)) as st,
+              unnest(list_transform(range(1, n - {window} + 2),
+                  i -> md5(array_to_string(toks[i:i+{window}-1], ' ')))) as wh
+       from tk where n >= {window}),
+dup as (select wh from wh group by wh
+        having count(distinct doc_id) >= {min_dup_docs}),
+cov as (select distinct s.doc_id, s.st + u.d as pos
+        from (select w.doc_id, w.st from wh w join dup using (wh)) s
+        cross join (select unnest(range(0, {window})) as d) u),
+tok as (select doc_id, unnest(toks) as tok,
+               unnest(range(0, n)) as pos from tk),
+kept as (select t.doc_id, t.pos, t.tok
+         from tok t left join cov c
+           on c.doc_id = t.doc_id and c.pos = t.pos
+         where c.doc_id is null),
+agg as (select doc_id, string_agg(tok, ' ' order by pos) as clean_text,
+               count(*) as n_kept
+        from kept group by doc_id)
+select tk.doc_id,
+       coalesce(a.clean_text, '') as clean_text,
+       cast(tk.n as bigint) as n_tokens,
+       cast(tk.n - coalesce(a.n_kept, 0) as bigint) as n_dup_tokens
+from tk left join agg a using (doc_id)
 """
 
 
@@ -1448,6 +1538,7 @@ select doc_id, n_tokens, dup_trigram_frac,
 from per group by doc_id, n_tokens, dup_trigram_frac
 """,
     "dedup_incremental": _incremental_minhash_sql(),
+    "substring_scrub": _substring_scrub_sql(8, 2),
     "html_extract": _html_spans_sql(),
     # rag_chunks twin: same chunk grid (starts 0, 12, 24, … while < n)
     # and the pack_sequences slice idiom (DuckDB list slice is 1-based
@@ -1606,6 +1697,43 @@ ranked as (select vec_id, neighbor_id, sim,
            from pairs)
 select vec_id, neighbor_id, sim from ranked where rk <= 5
 """,
+    "bpe_pair_counts": f"""
+with t as (select doc_id, {_NT} as toks from documents),
+w as (select unnest(toks) as word from t),
+v as (select word, count(*) as freq from w group by word),
+s as (select freq,
+             list_append(regexp_extract_all(word, '.'), '</w>') as syms
+      from v),
+p as (select freq,
+             unnest(syms[1:len(syms)-1]) as lsym,
+             unnest(syms[2:len(syms)]) as rsym
+      from s where len(syms) >= 2)
+select lsym, rsym, cast(sum(freq) as bigint) as freq
+from p group by lsym, rsym
+""",
+    "kmeans_assign": """
+with h as (select vec_id, embedding,
+                  md5('c|' || cast(vec_id as varchar)) as hh
+           from embeddings),
+pick as (select * from h order by hh limit 8),
+cent as (select list_transform(embedding, x -> cast(x as double)) as cd,
+                cast(row_number() over (order by hh) - 1 as int) as cluster
+         from pick),
+sims as (select e.vec_id, c.cluster,
+                round(
+                  list_dot_product(e.ed, c.cd)
+                  / (sqrt(list_dot_product(e.ed, e.ed))
+                     * sqrt(list_dot_product(c.cd, c.cd))), 4) as sim
+         from (select vec_id,
+                      list_transform(embedding, x -> cast(x as double)) as ed
+               from embeddings) e
+         cross join cent c),
+ranked as (select vec_id, cluster, sim,
+                  row_number() over (partition by vec_id
+                                     order by sim desc, cluster asc) as rk
+           from sims)
+select vec_id, cluster, sim from ranked where rk = 1
+""",
     "embedding_neardup": """
 select a.vec_id as a, b.vec_id as b,
        round(
@@ -1668,6 +1796,55 @@ where cast(o_totalprice as decimal(18,2)) >
       (select avg(cast(i.o_totalprice as decimal(18,2)))
        from orders i where i.o_custkey = o.o_custkey)
 order by o_orderkey
+""",
+    "q4_exists": """
+select o_orderpriority, count(*) as order_count
+from orders o
+where o_orderdate >= timestamp '1997-01-01 00:00:00'
+  and o_orderdate <  timestamp '1998-01-01 00:00:00'
+  and exists (select 1 from lineitem l
+              where l.l_orderkey = o.o_orderkey
+                and l.l_shipdate > o.o_orderdate + interval 60 day)
+group by o_orderpriority
+order by o_orderpriority
+""",
+    "q13_custdist": """
+with per_cust as (
+  select c_custkey, count(o_orderkey) as c_count
+  from customer
+  left outer join orders
+    on c_custkey = o_custkey and o_orderpriority <> '1-URGENT'
+  group by c_custkey)
+select c_count, count(*) as custdist
+from per_cust group by c_count
+order by custdist desc, c_count desc
+""",
+    "q18_large_volume": """
+select c_name, o_orderkey, o_orderdate,
+       cast(cast(o_totalprice as decimal(18,2)) as double) as o_totalprice,
+       sum(l_quantity) as total_qty
+from customer
+join orders on c_custkey = o_custkey
+join lineitem on o_orderkey = l_orderkey
+where o_orderkey in (select l_orderkey from lineitem
+                     group by l_orderkey having sum(l_quantity) > 300)
+group by c_name, o_orderkey, o_orderdate, o_totalprice
+order by o_totalprice desc, o_orderkey
+limit 100
+""",
+    "q22_dormant": """
+select c_mktsegment as segment,
+       count(*) as numcust,
+       cast(sum(cast(c_acctbal as decimal(18,2))) as double) as totacctbal
+from customer c
+where cast(c_acctbal as decimal(18,2)) >
+      (select avg(cast(c_acctbal as decimal(18,2)))
+       from customer where c_acctbal > 0)
+  and not exists (select 1 from orders o
+                  where o.o_custkey = c.c_custkey
+                    and o.o_orderpriority = '1-URGENT')
+group by c_mktsegment
+order by segment
 """,
     "q1_pricing": """
 select l_returnflag, l_linestatus,
@@ -2032,6 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "doc_repetition": q_doc_repetition,
         "dedup_incremental": q_dedup_incremental,
+        "substring_scrub": q_substring_scrub,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
@@ -2052,6 +2230,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_fullrefine": q_ann_pq_fullrefine,   # exact at shortlist=N
         "ann_ivfpq": q_ann_ivfpq,                   # approximate — recall pytest
         "ann_ivfpq_full": q_ann_ivfpq_full,         # exact at full probe+shortlist
+        "kmeans_assign": q_kmeans_assign,           # exact single step, SQL twin
+        "kmeans_clusters": q_kmeans_clusters,       # iterative — pytest-gated
+        "bpe_pair_counts": q_bpe_pair_counts,       # exact round-1 agg, SQL twin
+        "bpe_merges": q_bpe_merges,                 # iterative — pytest-gated
         "contract_extract": _q_contract_extract,    # exact SQL twin + pytest
         "contract_curate": _q_contract_curate,      # exact SQL twin + pytest
         "contract_ingest": _q_contract_ingest,      # pytest-oracled — binary input, no SQL
@@ -2074,6 +2256,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_txt_delim": q_export_txt_delim,
         "sessionize": R.sessionize_events,
         "above_cust_avg": R.orders_above_cust_avg,
+        "q4_exists": R.q4_priority_exists,
+        "q13_custdist": R.q13_custdist,
+        "q18_large_volume": R.q18_large_volume,
+        "q22_dormant": R.q22_dormant_customers,
     }
 
 

@@ -112,6 +112,10 @@ def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
         "chunk_dedup", "dedup_incremental", "doc_repetition",
         "decontaminate", "pii_scrub", "pack_sequences", "html_extract",
         "lm_quality", "rag_chunks",
+        # round-2 continuation
+        "substring_scrub", "kmeans_assign", "kmeans_clusters",
+        "bpe_pair_counts", "bpe_merges",
+        "q4_exists", "q13_custdist", "q18_large_volume", "q22_dormant",
     ]
     # Per-workload scan tuning (the conf is runtime-settable): thin
     # TPC-H-ish tables are scan-bound and want the vectorized reader's

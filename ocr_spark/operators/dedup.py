@@ -42,6 +42,7 @@ from ocr_spark.functions.text import (
     doc_fingerprint,
     minhash_base,
     minhash_signature,
+    ngrams,
     norm_tokens,
     shingles,
 )
@@ -414,6 +415,95 @@ def repeated_chunk_filter(
             .cast("bigint")
             .alias("n_kept"),
         )
+    )
+
+
+def duplicated_substring_scrub(
+    docs: DataFrame, window: int = 8, min_dup_docs: int = 2
+) -> DataFrame:
+    """Exact duplicated-substring removal — the ExactSubstr policy of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", PAPERS.md) re-expressed as stride-1 window hashing instead of
+    a suffix array: every token position covered by a ``window``-token
+    sequence that appears verbatim in ≥ ``min_dup_docs`` DISTINCT documents
+    is scrubbed, and the surviving tokens reassemble in original order.
+
+    Guarantee (the stride-1 window ↔ suffix-array correspondence): a
+    duplicated substring of length ≥ ``window`` tokens shared by enough
+    docs is detected at every start position it covers, so any cross-doc
+    duplicated run of length L ≥ window is removed in full — equivalent to
+    ExactSubstr at threshold ``window`` for cross-document duplicates.
+    (Within-ONE-doc repeats are kept by design — ``min_dup_docs`` counts
+    distinct docs; that is the corpus-dedup policy, not a compressor.)
+
+    Output: one row per tokenizable doc — ``doc_id, clean_text, n_tokens,
+    n_dup_tokens``; a fully-duplicated doc keeps the row with an empty
+    ``clean_text`` (so retention stats stay computable downstream).
+
+    Scale shape (the part that must survive 100 TB): the window table
+    carries ONLY ``(doc_id, start, md5)`` — 32 bytes per token position,
+    never the window text — so every shuffle in the plan is O(corpus
+    tokens), the same asymptotics as the suffix-array construction the
+    paper uses, with no global sort.  The window hashes are built in array
+    land from ONE staged ``_toks`` column (``ngrams`` is the linear
+    slice+arrays_zip pass — see the O(tokens²) HOF-inlining trap in
+    ``shingles``), the per-window md5 costs O(window) bytes hashed per
+    position, the distinct-doc count is a two-phase partial agg, and the
+    covered-position expansion is bounded by duplicated content ×
+    ``window``.  A mega-doc spreads across its own (doc_id, pos) keys, so
+    no reducer hot-spots.  Everything is md5/integer ⇒ exact DuckDB twin.
+    """
+    toks = (
+        docs.withColumn("_toks", norm_tokens(F.col("text")))
+        .where(F.size("_toks") >= 1)
+        .select("doc_id", "_toks")
+    )
+    # one md5 per start position, computed before the explode so the
+    # shuffle never carries window text
+    starts = toks.withColumn(
+        "_wh",
+        F.transform(
+            ngrams(F.col("_toks"), window), lambda g: F.md5(g.cast("binary"))
+        ),
+    ).select("doc_id", F.posexplode("_wh").alias("st", "wh"))
+    dup = (
+        starts.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_dup_docs)
+        .select("wh")
+    )
+    covered = (
+        starts.join(dup, "wh")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("st"), F.col("st") + F.lit(window - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tokpos = toks.select("doc_id", F.posexplode("_toks").alias("pos", "tok"))
+    kept = tokpos.join(covered, ["doc_id", "pos"], "left_anti")
+    per_doc = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = toks.select(
+        "doc_id", F.size("_toks").cast("bigint").alias("n_tokens")
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_dup_tokens"),
     )
 
 

@@ -286,6 +286,111 @@ def sessionize_events(
     )
 
 
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery with a cross-table
+    predicate (lineitem shipped > 60 days after its order's date) →
+    Catalyst decorrelates to a left-semi hash join on l_orderkey; the date
+    window on orders is pushed to the scan.  All comparisons are
+    timestamp/interval arithmetic — no float drift, exact DuckDB twin."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        select o_orderpriority, count(*) as order_count
+        from orders_v o
+        where o_orderdate >= timestamp '1997-01-01 00:00:00'
+          and o_orderdate <  timestamp '1998-01-01 00:00:00'
+          and exists (select 1 from lineitem_v l
+                      where l.l_orderkey = o.o_orderkey
+                        and l.l_shipdate > o.o_orderdate + interval 60 days)
+        group by o_orderpriority
+        order by o_orderpriority
+        """
+    )
+
+
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with an ON-clause filter (the
+    null-preserving side matters — customers with zero qualifying orders
+    must survive with c_count = 0), then a distribution re-aggregation.
+    count(o_orderkey) counts non-null keys only, exactly the TPC-H trick."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders.where(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN + GROUP BY/HAVING subquery (large-volume
+    orders) → Catalyst plans the HAVING agg once and semi-joins it; the
+    outer 3-way join re-aggregates per order.  Quantities are integral
+    doubles (≤ 50 per item) so their sums are exact in both engines."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        select c_name, o_orderkey, o_orderdate,
+               cast(cast(o_totalprice as decimal(18,2)) as double)
+                   as o_totalprice,
+               sum(l_quantity) as total_qty
+        from customer_v
+        join orders_v on c_custkey = o_custkey
+        join lineitem_v on o_orderkey = l_orderkey
+        where o_orderkey in (select l_orderkey from lineitem_v
+                             group by l_orderkey
+                             having sum(l_quantity) > 300)
+        group by c_name, o_orderkey, o_orderdate, o_totalprice
+        order by o_totalprice desc, o_orderkey
+        limit 100
+        """
+    )
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: NOT EXISTS anti-join (with a predicate on the
+    inner side) + uncorrelated scalar-avg subquery — customers with
+    above-average balance and no URGENT order (the synthetic orders table
+    gives every customer SOME order, so the literal Q22 'no orders at
+    all' predicate would gate on an empty set; the priority filter keeps
+    the identical plan shape with real signal).  The threshold avg goes
+    through DECIMAL(18,2) like orders_above_cust_avg so both engines
+    compute it exactly."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        select c_mktsegment as segment,
+               count(*) as numcust,
+               cast(sum(cast(c_acctbal as decimal(18,2))) as double)
+                   as totacctbal
+        from customer_v c
+        where cast(c_acctbal as decimal(18,2)) >
+              (select avg(cast(c_acctbal as decimal(18,2)))
+               from customer_v where c_acctbal > 0)
+          and not exists (select 1 from orders_v o
+                          where o.o_custkey = c.c_custkey
+                            and o.o_orderpriority = '1-URGENT')
+        group by c_mktsegment
+        order by segment
+        """
+    )
+
+
 def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery shape (orders above their customer's average) —
     expressed via SQL so Catalyst's subquery decorrelation rewrites it to

@@ -111,3 +111,82 @@ def test_doc_repetition_flags_repeats(spark):
     assert out[1]["dup_trigram_frac"] == 0.0 and out[1]["top_bigram_frac"] < 0.05
     # "a b c d e f" x5: 28 trigrams, 6 distinct (the cycle) → 22 repeats
     assert out[3]["flagged"] and out[3]["dup_trigram_frac"] == round(22 / 28, 6)
+
+
+# --- duplicated_substring_scrub (Lee et al. ExactSubstr, stride-1 windows) --
+
+
+def _scrub_model(corpus, window, min_dup_docs):
+    """Brute-force model: per-doc normalized tokens (whitespace split here;
+    inputs avoid punctuation), window texts, distinct-doc counts, covered
+    positions, in-order reassembly."""
+    toks = {d: t.split() for d, t in corpus}
+    toks = {d: t for d, t in toks.items() if t}
+    wins = {
+        d: [" ".join(t[i : i + window]) for i in range(len(t) - window + 1)]
+        for d, t in toks.items()
+    }
+    docs_of = {}
+    for d, ws in wins.items():
+        for w in ws:
+            docs_of.setdefault(w, set()).add(d)
+    out = {}
+    for d, t in toks.items():
+        covered = set()
+        for i, w in enumerate(wins[d]):
+            if len(docs_of[w]) >= min_dup_docs:
+                covered.update(range(i, i + window))
+        kept = [tok for i, tok in enumerate(t) if i not in covered]
+        out[d] = (" ".join(kept), len(t), len(t) - len(kept))
+    return out
+
+
+def test_substring_scrub_matches_bruteforce(spark):
+    from ocr_spark.operators.dedup import duplicated_substring_scrub
+
+    lic = " ".join(f"lic{i}" for i in range(12))       # 12-token license block
+    body = lambda d: " ".join(f"d{d}w{i}" for i in range(10))
+    corpus = [
+        (0, f"{lic} {body(0)}"),           # license prefix
+        (1, f"{body(1)} {lic}"),           # license suffix
+        (2, f"{body(2)[:0]}{lic}"),        # doc IS the license → fully scrubbed
+        (3, body(3)),                      # unique doc, untouched
+        (4, "short doc"),                  # < window tokens, no windows
+        (5, " ".join(["rep tok"] * 10)),   # within-doc repeat, 1 doc → kept
+    ]
+    window, mdd = 8, 2
+    model = _scrub_model(corpus, window, mdd)
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_dup_tokens"])
+        for r in duplicated_substring_scrub(docs, window, mdd).collect()
+    }
+    assert got == model
+    assert got[2][0] == "" and got[2][2] == got[2][1]   # fully scrubbed
+    assert got[3][0] == body(3) and got[3][2] == 0
+    assert got[4] == ("short doc", 2, 0)
+    assert got[5][2] == 0                               # distinct-doc policy
+
+
+def test_substring_scrub_removes_long_shared_run_entirely(spark):
+    from ocr_spark.operators.dedup import duplicated_substring_scrub
+
+    # a 30-token run shared by 2 docs inside different contexts: every
+    # position of the run is covered by some 8-window → removed in full,
+    # context survives (the ExactSubstr >= window guarantee)
+    run = " ".join(f"r{i}" for i in range(30))
+    a_ctx = " ".join(f"a{i}" for i in range(9))
+    b_ctx = " ".join(f"b{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [(0, f"{a_ctx} {run}"), (1, f"{run} {b_ctx}")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_substring_scrub(docs, 8, 2).collect()
+    }
+    # boundary windows straddling context+run differ between docs, so the
+    # context tokens stay; the run itself is gone
+    assert out[0]["clean_text"] == a_ctx
+    assert out[1]["clean_text"] == b_ctx
+    assert out[0]["n_dup_tokens"] == 30 and out[1]["n_dup_tokens"] == 30
