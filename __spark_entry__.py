@@ -986,6 +986,18 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: embedding near-duplicate pairs WITHIN k-means clusters —
+    the cluster key bounds the pairwise work (Σ|cluster|² not N²).  Seed
+    centroids (iters=0) keep the assignment single-step so the whole
+    pipeline has an exact SQL twin; scoring is the per-cluster BLAS
+    pattern, threshold 0.3 for fixture signal (0.95 in production)
+    (operators/clustering.py semantic_dedup)."""
+    from ocr_spark.operators import clustering as C
+
+    return C.semantic_dedup(_emb(spark, sf_dir), k=8, threshold=0.3)
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-1 BPE pair statistics: adjacent symbol-pair frequencies over
     the corpus word vocab (char symbols + </w> marker), weighted by word
@@ -1711,6 +1723,44 @@ p as (select freq,
 select lsym, rsym, cast(sum(freq) as bigint) as freq
 from p group by lsym, rsym
 """,
+    "semantic_dedup": """
+with h as (select vec_id, embedding,
+                  md5('c|' || cast(vec_id as varchar)) as hh
+           from embeddings),
+pick as (select * from h order by hh limit 8),
+cent as (select list_transform(embedding, x -> cast(x as double)) as cd,
+                cast(row_number() over (order by hh) - 1 as int) as cluster
+         from pick),
+ev as (select vec_id,
+              list_transform(embedding, x -> cast(x as double)) as ed
+       from embeddings),
+sims as (select e.vec_id, c.cluster,
+                round(
+                  list_dot_product(e.ed, c.cd)
+                  / (sqrt(list_dot_product(e.ed, e.ed))
+                     * sqrt(list_dot_product(c.cd, c.cd))), 4) as sim
+         from ev e cross join cent c),
+asg as (select vec_id, cluster from (
+          select vec_id, cluster,
+                 row_number() over (partition by vec_id
+                                    order by sim desc, cluster asc) as rk
+          from sims) where rk = 1),
+pairs as (select x.cluster, x.vec_id as a, y.vec_id as b
+          from asg x join asg y
+            on x.cluster = y.cluster and x.vec_id < y.vec_id)
+select p.cluster, p.a, p.b,
+       round(
+         list_dot_product(va.ed, vb.ed)
+         / (sqrt(list_dot_product(va.ed, va.ed))
+            * sqrt(list_dot_product(vb.ed, vb.ed))), 4) as sim
+from pairs p
+join ev va on va.vec_id = p.a
+join ev vb on vb.vec_id = p.b
+where round(
+         list_dot_product(va.ed, vb.ed)
+         / (sqrt(list_dot_product(va.ed, va.ed))
+            * sqrt(list_dot_product(vb.ed, vb.ed))), 4) >= 0.3
+""",
     "kmeans_assign": """
 with h as (select vec_id, embedding,
                   md5('c|' || cast(vec_id as varchar)) as hh
@@ -2234,6 +2284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,       # iterative — pytest-gated
         "bpe_pair_counts": q_bpe_pair_counts,       # exact round-1 agg, SQL twin
         "bpe_merges": q_bpe_merges,                 # iterative — pytest-gated
+        "semantic_dedup": q_semantic_dedup,         # exact (seed-centroid), SQL twin
         "contract_extract": _q_contract_extract,    # exact SQL twin + pytest
         "contract_curate": _q_contract_curate,      # exact SQL twin + pytest
         "contract_ingest": _q_contract_ingest,      # pytest-oracled — binary input, no SQL

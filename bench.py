@@ -114,6 +114,7 @@ def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
         "lm_quality", "rag_chunks",
         # round-2 continuation
         "substring_scrub", "kmeans_assign", "kmeans_clusters",
+        "semantic_dedup",
         "bpe_pair_counts", "bpe_merges",
         "q4_exists", "q13_custdist", "q18_large_volume", "q22_dormant",
     ]

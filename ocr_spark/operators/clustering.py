@@ -206,3 +206,85 @@ def kmeans_cluster(
         cent = new
 
     return kmeans_assign(embeddings, cent, id_col, vec_col, round_sim=12), cent
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    threshold: float = 0.95,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, PAPERS.md): drop documents whose
+    embeddings are near-identical WITHIN a semantic cluster — the cluster
+    assignment bounds the pairwise work, turning O(N²) cosine comparison
+    into Σ O(|cluster|²), the whole point of the method at 100 TB scale.
+
+    Pipeline: k-means assignment (``iters`` Lloyd rounds; 0 = seed
+    centroids only, which keeps the single-step SQL oracle exact) →
+    per-cluster pair generation via a cluster-key self-join → exact
+    cosine ≥ threshold → keep the smaller ``vec_id`` of each pair.
+
+    Output: one row per duplicate pair — ``cluster, a, b, sim`` with
+    a < b (b is the drop candidate).  Scale shape: both join sides
+    shuffle on the cluster key only; pair scoring is the per-group
+    BLAS-matmul pattern from operators/similarity.py when clusters are
+    large — here the exact per-pair form stays relational because the
+    oracle gates it (the LSH-blocked scorer remains the documented
+    degenerate-cluster escape hatch).
+    """
+    assigned = (
+        kmeans_assign(
+            embeddings,
+            init_centroids(embeddings, k, id_col, vec_col),
+            id_col,
+            vec_col,
+            round_sim=4,
+        )
+        if iters == 0
+        else kmeans_cluster(embeddings, k, iters, id_col, vec_col)[0]
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    sided = assigned.join(vecs, F.col("vec_id") == F.col("vid")).select(
+        "cluster", "vec_id", "vec"
+    )
+
+    # per-cluster BLAS scoring, NOT a per-pair HOF join condition — the
+    # §3.9 lesson from BENCH/BASELINE.md (group matmul measured 49-100×
+    # over join+aggregate(zip_with) expressions).  Row-block chunking
+    # bounds the sim-matrix memory for degenerate clusters.
+    thr = float(threshold)
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        mat = _norm_rows(np.array(list(pdf["vec"]), dtype=np.float64))
+        order = np.argsort(ids, kind="stable")
+        ids, mat = ids[order], mat[order]
+        cl = int(pdf["cluster"].iloc[0])
+        out_a, out_b, out_s = [], [], []
+        chunk = max(1, min(len(ids), 4_000_000 // max(1, len(ids))))
+        for lo in range(0, len(ids), chunk):
+            hi = min(lo + chunk, len(ids))
+            sims = np.round(mat[lo:hi] @ mat.T, 4)
+            for i in range(lo, hi):
+                row = sims[i - lo, i + 1 :]
+                hits = np.nonzero(row >= thr)[0]
+                if len(hits):
+                    out_a.extend([ids[i]] * len(hits))
+                    out_b.extend(ids[i + 1 + hits])
+                    out_s.extend(row[hits])
+        return pd.DataFrame(
+            {
+                "cluster": np.full(len(out_a), cl, dtype=np.int32),
+                "a": np.array(out_a, dtype=np.int64),
+                "b": np.array(out_b, dtype=np.int64),
+                "sim": np.array(out_s, dtype=np.float64),
+            }
+        )
+
+    return sided.groupBy("cluster").applyInPandas(
+        score, "cluster int, a long, b long, sim double"
+    )

@@ -113,3 +113,59 @@ def test_empty_cluster_keeps_centroid(spark):
     rows = assigned.collect()
     assert len(rows) == 2
     assert not np.isnan(cent).any()
+
+
+def test_semantic_dedup_pairs_within_clusters(spark):
+    from ocr_spark.operators.clustering import semantic_dedup
+
+    # two tight blobs far apart + one isolated point: near-identical
+    # vectors inside a blob pair up; nothing pairs across blobs
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),    # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.01, 0.999, 0.0]),    # near-dup of 2
+        (4, [0.0, 0.0, 1.0]),       # isolated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["a"], r["b"]): r["sim"]
+        for r in semantic_dedup(df, k=3, threshold=0.95, iters=3).collect()
+    }
+    assert set(got) == {(0, 1), (2, 3)}
+    assert all(s >= 0.95 for s in got.values())
+
+
+def test_semantic_dedup_matches_bruteforce_within_cluster(spark):
+    from ocr_spark.operators.clustering import (
+        init_centroids,
+        kmeans_assign,
+        semantic_dedup,
+    )
+
+    ids, vecs, _ = _blobs(n_per=15, k=3, dim=6, seed=11)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    thr = 0.5
+    got = {
+        (r["a"], r["b"]): (r["cluster"], r["sim"])
+        for r in semantic_dedup(df, k=3, threshold=thr).collect()
+    }
+    # brute force: same seed-centroid assignment, all within-cluster pairs
+    asg = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(df, init_centroids(df, 3)).collect()
+    }
+    mat = np.array(vecs, dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    expect = {}
+    for i in ids:
+        for j in ids:
+            if i < j and asg[i] == asg[j]:
+                s = round(float(mat[i] @ mat[j]), 4)
+                if s >= thr:
+                    expect[(i, j)] = (asg[i], s)
+    assert got == expect
+    assert len(got) > 0  # the gate is exercised
