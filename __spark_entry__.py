@@ -1847,6 +1847,18 @@ where cast(o_totalprice as decimal(18,2)) >
        from orders i where i.o_custkey = o.o_custkey)
 order by o_orderkey
 """,
+    "range_join": """
+with win as (select event_id as win_id, ts as lo,
+                    ts + interval 10 minute as hi
+             from events
+             where event_type = 'purchase' and value > 150)
+select w.win_id,
+       count(*) as n_events,
+       cast(sum(cast(e.value as decimal(18,2))) as double) as sum_value
+from win w join events e on e.ts >= w.lo and e.ts <= w.hi
+group by w.win_id
+order by w.win_id
+""",
     "q4_exists": """
 select o_orderpriority, count(*) as order_count
 from orders o
@@ -2307,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_txt_delim": q_export_txt_delim,
         "sessionize": R.sessionize_events,
         "above_cust_avg": R.orders_above_cust_avg,
+        "range_join": R.events_in_order_windows,
         "q4_exists": R.q4_priority_exists,
         "q13_custdist": R.q13_custdist,
         "q18_large_volume": R.q18_large_volume,

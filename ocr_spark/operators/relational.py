@@ -249,6 +249,79 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def range_join_binned(
+    left: DataFrame,
+    ts_col: str,
+    right: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    bin_seconds: int = 86400,
+) -> DataFrame:
+    """Interval-containment join WITHOUT an equi-key (the join family
+    Spark has no native optimization for — a naive formulation plans a
+    BroadcastNestedLoopJoin/cartesian, the §2.3 anti-pattern): join every
+    left row with ``ts`` to every right interval ``[lo, hi]`` containing
+    it, by binning time into ``bin_seconds`` buckets.
+
+    Left rows carry ONE bin; right intervals explode to the bins they
+    overlap ((hi-lo)/bin + 1 rows — choose the bin width of the same
+    order as typical interval length so the blow-up is a small constant).
+    The join becomes a shuffle/broadcast HASH join on the bin key with
+    the exact containment predicate as a residual filter; a pair can
+    match in only the left row's single bin, so no dedup is needed.
+    Shuffle keys are uniform time bins — skew only if the data itself
+    piles into one bin, which AQE skew-split then handles.
+    """
+    lb = left.withColumn(
+        "_bin", F.floor(F.unix_timestamp(F.col(ts_col)) / bin_seconds)
+    )
+    rb = right.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(lo_col)) / bin_seconds),
+                F.floor(F.unix_timestamp(F.col(hi_col)) / bin_seconds),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, "_bin")
+        .where(
+            (F.col(ts_col) >= F.col(lo_col))
+            & (F.col(ts_col) <= F.col(hi_col))
+        )
+        .drop("_bin")
+    )
+
+
+def events_in_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for range_join_binned: every high-value purchase event
+    opens a 10-minute window [ts, ts + 10 min]; count the events (of ANY
+    user — no equi-key relates the sides, only time) falling in each
+    window and sum their value through DECIMAL(18,2) so both engines
+    agree exactly.  Bin width 600 s matches the interval length, so each
+    window explodes to ≤ 2 bins."""
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+    win = (
+        load(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .select(
+            F.col("event_id").alias("win_id"),
+            F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("interval 10 minutes")).alias("hi"),
+        )
+    )
+    joined = range_join_binned(ev, "ts", win, "lo", "hi", bin_seconds=600)
+    return (
+        joined.groupBy("win_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .orderBy("win_id")
+    )
+
+
 def sessionize_events(
     spark: SparkSession, sf_dir: str, gap_minutes: int = 30
 ) -> DataFrame:
