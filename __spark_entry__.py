@@ -986,6 +986,19 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization under the learned 10-rule BPE vocab: merges
+    segment the distinct-word vocab (O(vocab) per rule), a word→count
+    join prices each doc (operators/bpe.py bpe_encode).  Iterative
+    upstream — rows-only gate; encode-equality pytest in
+    tests/test_bpe.py."""
+    from ocr_spark.operators import bpe as B
+
+    docs = _docs(spark, sf_dir)
+    merges, _ = B.bpe_train(docs, n_merges=10)
+    return B.bpe_encode(docs, [(l, r) for l, r, _ in merges])
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: embedding near-duplicate pairs WITHIN k-means clusters —
     the cluster key bounds the pairwise work (Σ|cluster|² not N²).  Seed
@@ -1009,13 +1022,13 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learned BPE merge rules (20 rounds, freq-desc/lex tie-break):
+    """Learned BPE merge rules (10 rounds, freq-desc/lex tie-break):
     iterated distributed pair-count argmax + pure-Catalyst greedy fold
     (operators/bpe.py bpe_train).  Iterative — rows-only gate; exact
     equality vs a pure-Python reference trainer in tests/test_bpe.py."""
     from ocr_spark.operators import bpe as B
 
-    return B.bpe_merges_df(_docs(spark, sf_dir), n_merges=20)
+    return B.bpe_merges_df(_docs(spark, sf_dir), n_merges=10)
 
 
 # ---------------------------------------------------------------------------
@@ -2296,6 +2309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,       # iterative — pytest-gated
         "bpe_pair_counts": q_bpe_pair_counts,       # exact round-1 agg, SQL twin
         "bpe_merges": q_bpe_merges,                 # iterative — pytest-gated
+        "bpe_encode": q_bpe_encode,                 # iterative — pytest-gated
         "semantic_dedup": q_semantic_dedup,         # exact (seed-centroid), SQL twin
         "contract_extract": _q_contract_extract,    # exact SQL twin + pytest
         "contract_curate": _q_contract_curate,      # exact SQL twin + pytest

@@ -129,6 +129,61 @@ def bpe_train(
     return merges, vocab
 
 
+def apply_merges(vocab: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Segment a (…, syms) vocab under an ordered merge list — the
+    subword-nmt 'apply operations in sequence' encoder.  Each rule is the
+    same pure-Catalyst greedy fold the trainer used, so in-corpus words
+    segment exactly as training left them; OOV words get the standard
+    sequential-application semantics.
+
+    The fold chain is localCheckpoint'd every few rules: each fold nests
+    its input expression, and an M-deep nest would blow past the codegen
+    method-size limit into the interpreted path (and make analysis
+    O(M²)); checkpointing keeps every pass shallow.  At scale this is M
+    narrow passes over the DISTINCT-WORD vocab, never the corpus."""
+    out = vocab
+    for i, (l, r) in enumerate(merges):
+        out = out.withColumn("syms", _apply_merge(F.col("syms"), l, r))
+        if (i + 1) % 4 == 0:
+            out = out.localCheckpoint(eager=True)
+    return out
+
+
+def bpe_encode(
+    docs: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Corpus tokenization under a learned merge list: one narrow pass
+    builds the distinct-word vocab, the merges segment it (O(vocab), not
+    O(corpus)), and a word→subword-count join prices every document —
+    ``doc_id, n_words, n_bpe_tokens``.  The join side is the distinct
+    vocab projected to two columns; AQE broadcasts it when it fits."""
+    vocab = (
+        docs.select(F.explode(norm_tokens(F.col("text"))).alias("word"))
+        .distinct()
+        .withColumn(
+            "syms",
+            F.concat(
+                F.regexp_extract_all(F.col("word"), F.lit("."), 0),
+                F.array(F.lit(EOW)),
+            ),
+        )
+    )
+    seg = apply_merges(vocab, merges).select(
+        "word", F.size("syms").alias("n_sub")
+    )
+    tok = docs.select(
+        "doc_id", F.explode(norm_tokens(F.col("text"))).alias("word")
+    )
+    return (
+        tok.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_bpe_tokens"),
+        )
+    )
+
+
 def bpe_merges_df(docs: DataFrame, n_merges: int = 20) -> DataFrame:
     """Driver-gate projection: the learned merge table
     ``(rank, lsym, rsym, merged, freq)``."""

@@ -85,3 +85,45 @@ def test_word_vocab_counts_multiplicity(spark):
     )
     got = {r["word"]: r["freq"] for r in word_vocab(docs).collect()}
     assert got == {"x": 3, "y": 1, "z": 1}
+
+
+def _ref_encode(word, merges):
+    syms = list(word) + [EOW]
+    for l, r in merges:
+        out = []
+        for s in syms:
+            if out and out[-1] == l and s == r:
+                out[-1] = l + r
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_reference(spark):
+    corpus = [
+        (0, "low low low lower lowest"),
+        (1, "newest newest widest low"),
+        (2, "unseen wordy"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    from ocr_spark.operators.bpe import bpe_encode, bpe_train
+
+    merges, _ = bpe_train(docs, n_merges=8)
+    rules = [(l, r) for l, r, _ in merges]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode(docs, rules).collect()
+    }
+    expect = {}
+    for d, text in corpus:
+        words = text.split()
+        expect[d] = (
+            len(words),
+            sum(len(_ref_encode(w, rules)) for w in words),
+        )
+    assert got == expect
+    # merged vocab compresses: fewer BPE tokens than raw chars+EOW
+    for d, text in corpus[:2]:
+        raw = sum(len(w) + 1 for w in text.split())
+        assert got[d][1] < raw
