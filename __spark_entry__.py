@@ -605,6 +605,19 @@ def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("dup", "merge", "fast")
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/search.py bm25_rank): the Lucene
+    default-similarity analog of the reference's ES-backed search ranking
+    (elastic_search.py:158-189).  'dup' is the corpus's one rare term
+    (df≪D), so the idf spread is real, not degenerate."""
+    from ocr_spark.operators.search import bm25_rank
+
+    return bm25_rank(_docs(spark, sf_dir), _BM25_TERMS, top_n=100)
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -854,6 +867,21 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_quality(
         docs.where(F.col("source") != "src2"),
         docs.where(F.col("source") == "src2"),
+    )
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/sampling.py dsir_select):
+    hashed unigram+bigram likelihood-ratio weights against the
+    source='src2' target slice, Gumbel top-100 selection — the
+    training-data selection step downstream of the quality filters."""
+    from ocr_spark.operators.sampling import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    return dsir_select(
+        docs.where(F.col("source") != "src2"),
+        docs.where(F.col("source") == "src2"),
+        k=100,
     )
 
 
@@ -1524,6 +1552,41 @@ where greatest(coalesce(st.s_text, 0), coalesce(sn.s_name, 0)) > 0
 order by score desc, d.doc_id asc
 limit 1000
 """,
+    # bm25_rank twin (operators/search.py): idf quantized to micro-nats
+    # (the lm_quality ln idiom), then every per-(doc,term) contribution is
+    # an exact integer floor division — hugeint for the product, '//' ==
+    # Spark's 'div' for positive operands — and the doc score an exact
+    # bigint sum; k1=5/4, b=3/4 make the saturation term rational
+    "bm25_rank": f"""
+with corpus as (select doc_id, cast(len(t) as bigint) as dl, t
+                from (select doc_id, {_NT} as t from documents)
+                where len(t) > 0),
+stats as (select cast(count(*) as bigint) as d,
+                 cast(sum(dl) as bigint) as tt from corpus),
+tf as (select doc_id, dl, term, cast(count(*) as bigint) as tf
+       from (select doc_id, dl, unnest(t) as term from corpus)
+       where term in ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}', '{_BM25_TERMS[2]}')
+       group by doc_id, dl, term),
+idf as (select term,
+               cast(round(ln(1.0 + ((select d from stats) - df + 0.5)
+                                   / (df + 0.5)) * 1e6, 0) as bigint)
+                   as idf_micro
+        from (select term, cast(count(*) as bigint) as df
+              from tf group by term)),
+contrib as (select doc_id,
+       cast((cast(idf_micro as hugeint)
+             * (36 * tf * (select tt from stats)))
+            // (16 * (select tt from stats) * tf
+                + 5 * (select tt from stats)
+                + 15 * dl * (select d from stats)) as bigint) as c_micro
+    from tf join idf using (term)),
+agg as (select doc_id, cast(count(*) as bigint) as n_hit_terms,
+               cast(sum(c_micro) as bigint) as score_micro
+        from contrib group by doc_id)
+select doc_id, n_hit_terms, score_micro,
+       round(score_micro / 1e6, 6) as score
+from agg order by score_micro desc, doc_id limit 100
+""",
     "word_pages_raw": f"""
 with t as (select doc_id, {_RT} as toks from documents),
 e as (select doc_id, toks, unnest(range(1, len(toks) + 1)) as i from t),
@@ -1612,6 +1675,57 @@ select doc_id, n_tokens, n_oov, nll_micro,
        round(nll_micro / n_tokens / 1e6, 6) as avg_nll,
        (round(nll_micro / n_tokens / 1e6, 6) > 9.0) as flagged
 from agg
+""",
+    # dsir_select twin (operators/sampling.py): hashed unigram+bigram
+    # buckets (48-bit md5 prefix % 256, the simhash '0x'-cast idiom), both
+    # per-bucket lns quantized to micro-nats on the 256-row table, doc
+    # scores exact bigint dot products; Gumbel noise replayed from the
+    # same md5 48-bit uniform
+    "dsir_select": f"""
+with tgt as (select doc_id, {_NT} as t from documents where source = 'src2'),
+raw as (select doc_id, {_NT} as t from documents where source <> 'src2'),
+tgtg as (select doc_id,
+                unnest(list_concat(t, list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1]))) as gram
+         from tgt where len(t) > 0),
+rawg as (select doc_id,
+                unnest(list_concat(t, list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1]))) as gram
+         from raw where len(t) > 0),
+tgtc as (select doc_id,
+                cast('0x' || substr(md5(gram), 1, 12) as bigint) % 256
+                    as bucket,
+                cast(count(*) as bigint) as c
+         from tgtg group by 1, 2),
+rawc as (select doc_id,
+                cast('0x' || substr(md5(gram), 1, 12) as bigint) % 256
+                    as bucket,
+                cast(count(*) as bigint) as c
+         from rawg group by 1, 2),
+tb as (select bucket, cast(sum(c) as bigint) as ct from tgtc group by bucket),
+qb as (select bucket, cast(sum(c) as bigint) as cq from rawc group by bucket),
+nt as (select cast(sum(ct) as bigint) as v from tb),
+nq as (select cast(sum(cq) as bigint) as v from qb),
+buckets as (select b.bucket,
+       cast(round(ln((coalesce(ct, 0) + 1)
+                     / ((select v from nt) + 256.0)) * 1e6, 0) as bigint)
+     - cast(round(ln((coalesce(cq, 0) + 1)
+                     / ((select v from nq) + 256.0)) * 1e6, 0) as bigint)
+           as lw_micro
+    from (select unnest(range(0, 256)) as bucket) b
+    left join tb using (bucket) left join qb using (bucket)),
+scored as (select doc_id, cast(sum(c) as bigint) as n_grams,
+                  cast(sum(c * lw_micro) as bigint) as logw_micro
+           from rawc join buckets using (bucket) group by doc_id),
+keyed as (select doc_id, n_grams, logw_micro,
+       cast(round(-ln(-ln(
+           (cast('0x' || substr(md5('42|' || cast(doc_id as varchar)), 1, 12)
+                 as bigint) + 0.5) / 281474976710656.0)) * 1e6, 0) as bigint)
+           as gumbel_micro
+    from scored)
+select doc_id, n_grams, logw_micro, gumbel_micro,
+       logw_micro + gumbel_micro as key_micro
+from keyed order by key_micro desc, doc_id limit 100
 """,
     # pack_sequences twin: same per-source hash-order window cum-sum as
     # corpus_mix, same slice math (DuckDB list slice is 1-based inclusive
@@ -2290,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "html_extract": q_html_extract,
         "lm_quality": q_lm_quality,
+        "dsir_select": q_dsir_select,
         "rag_chunks": q_rag_chunks,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
@@ -2329,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dict": q_fuzzy_dict,
         "dict_check": q_dict_check,
         "multi_match": q_multi_match,
+        "bm25_rank": q_bm25_rank,
         "export_csv": q_export_csv,
         "export_txt_delim": q_export_txt_delim,
         "sessionize": R.sessionize_events,

@@ -131,3 +131,148 @@ def corpus_mix(
         .where(F.col("cum_tokens") - F.col("n_tokens") < F.col("_budget"))
         .drop("_budget")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection with importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+#: Gumbel-uniform span: the 48-bit md5 prefix as a denominator.
+_GUMBEL_SPAN = float(16**_HEX_DIGITS)
+
+
+def _gram_bucket(gram: Column, n_buckets: int) -> Column:
+    """Hashed-feature bucket of a word n-gram: 48-bit md5 prefix mod B —
+    exact in both engines (DuckDB: ``cast('0x'||substr(md5(g),1,12) as
+    bigint) % B``)."""
+    return (
+        F.conv(F.substring(F.md5(gram.cast("binary")), 1, _HEX_DIGITS), 16, 10)
+        .cast("bigint")
+        % n_buckets
+    )
+
+
+def _doc_bucket_counts(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, bucket, c) — hashed unigram+bigram feature counts per doc.
+    One narrow scan + explode; the (doc_id, bucket) aggregate is the ONLY
+    shuffled shape downstream (both the corpus distribution and the
+    per-doc scores derive from it), and its key space is uniform by
+    construction (md5 buckets), so no salt is ever needed."""
+    from ocr_spark.functions.text import ngrams, norm_tokens
+
+    toks = docs.select(
+        "doc_id", norm_tokens(F.col("text")).alias("_t")
+    ).where(F.size("_t") > 0)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(F.col("_t"), ngrams(F.col("_t"), 2))
+        ).alias("gram"),
+    )
+    return grams.select(
+        "doc_id", _gram_bucket(F.col("gram"), n_buckets).alias("bucket")
+    ).groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Per-document DSIR log importance weight, in integer micro-nats.
+
+    DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): estimate a target distribution p and the raw
+    corpus distribution q over HASHED n-gram features (unigrams + bigrams
+    → ``n_buckets`` md5 buckets, Laplace +1 smoothing), then weight every
+    raw document by its likelihood ratio
+
+        log w(doc) = Σ_gram  [ ln p(bucket(gram)) − ln q(bucket(gram)) ]
+
+    Output: ``doc_id, n_grams, logw_micro`` — one row per doc with ≥ 1
+    token.  Docs that look like the target (e.g. clean reference text)
+    get high weight; boilerplate/noise the target lacks gets negative.
+
+    Cross-engine exactness (the lm_quality idiom): both per-bucket lns
+    are quantized to bigint micro-nats on the B-row bucket table; every
+    doc score is then an exact bigint dot product ``Σ c·(lp_t − lp_q)``,
+    immune to partial-agg summation order.
+
+    Scale shape: the feature table is FIXED at ``n_buckets`` rows no
+    matter the corpus size (that is the point of hashed features) and is
+    broadcast to the scoring join; the corpus contributes one narrow
+    explode + one uniform-key aggregate; the target slice is small by
+    construction.  N_t / N_q are two driver scalars (tfidf precedent).
+    """
+    tgt = _doc_bucket_counts(target_docs, n_buckets)
+    raw = _doc_bucket_counts(docs, n_buckets)
+
+    tgt_b = tgt.groupBy("bucket").agg(F.sum("c").alias("ct"))
+    raw_b = raw.groupBy("bucket").agg(F.sum("c").alias("cq"))
+    n_t = tgt_b.agg(F.sum("ct")).collect()[0][0] or 0
+    n_q = raw_b.agg(F.sum("cq")).collect()[0][0] or 0
+
+    def micro_ln(count_col: Column, total: int) -> Column:
+        return F.round(
+            F.log((count_col + 1) / F.lit(float(total + n_buckets))) * 1e6, 0
+        ).cast("bigint")
+
+    spark = docs.sparkSession
+    buckets = (
+        spark.range(n_buckets)
+        .select(F.col("id").alias("bucket"))
+        .join(tgt_b, "bucket", "left")
+        .join(raw_b, "bucket", "left")
+        .select(
+            "bucket",
+            (
+                micro_ln(F.coalesce("ct", F.lit(0)), n_t)
+                - micro_ln(F.coalesce("cq", F.lit(0)), n_q)
+            ).alias("lw_micro"),
+        )
+    )
+    return (
+        raw.join(F.broadcast(buckets), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.sum(F.col("c") * F.col("lw_micro")).cast("bigint").alias(
+                "logw_micro"
+            ),
+        )
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    k: int,
+    n_buckets: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """DSIR selection: sample ``k`` documents without replacement with
+    probability ∝ importance weight, via the Gumbel top-k trick (Vieira
+    2014): the ``k`` largest ``log w(doc) + Gumbel(doc)`` ARE a
+    w-proportional sample-without-replacement.  The Gumbel noise is
+    deterministic — ``u = (md5_48(seed|doc_id) + ½) / 2^48``,
+    ``g = −ln(−ln u)`` — so the selection is repartition-, rerun- and
+    engine-stable, exactly like ``deterministic_sample``.
+
+    Output: ``doc_id, n_grams, logw_micro, gumbel_micro, key_micro`` —
+    the selected k docs, key descending (doc_id tie-break).  Top-k is a
+    TakeOrderedAndProject, never a global sort.
+    """
+    u = (
+        F.conv(sample_key(F.col("doc_id"), seed), 16, 10).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(_GUMBEL_SPAN)
+    gumbel_micro = F.round(-F.log(-F.log(u)) * 1e6, 0).cast("bigint")
+    return (
+        dsir_weights(docs, target_docs, n_buckets)
+        .withColumn("gumbel_micro", gumbel_micro)
+        .withColumn(
+            "key_micro", F.col("logw_micro") + F.col("gumbel_micro")
+        )
+        .orderBy(F.desc("key_micro"), F.asc("doc_id"))
+        .limit(k)
+    )

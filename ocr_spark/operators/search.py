@@ -1,0 +1,137 @@
+"""BM25 ranked retrieval — the scoring model behind the reference's search.
+
+The reference's search endpoint delegates ranking to Elasticsearch
+(`server/src/elastic_search.py:158-189` builds the multi_match query and
+returns ES-ordered hits); Lucene's default similarity — what actually
+orders those hits — is BM25.  `q_multi_match` already covers the
+best-fields / fuzziness surface with a deterministic integer score; this
+module supplies the missing ranking model itself: Okapi BM25 with the
+Lucene idf form, over the same analyzer contract as the word index.
+
+Cross-engine exactness (the lm_quality idiom, quality.py): the ONLY float
+step is the per-term idf ``ln``, immediately quantized to integer
+micro-nats; every per-(doc, term) contribution is then an exact bigint
+floor-division (Spark ``div`` == DuckDB ``//`` for positive bigints), and
+the per-doc score an exact bigint sum — partial-agg summation order can
+never flip a hash.  To make the tf saturation term rational, the free
+parameters are fixed at ``k1 = 5/4`` and ``b = 3/4`` (inside the standard
+ranges; Lucene ships 1.2/0.75), giving
+
+    tf_term = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+            = 36·tf·T / (16·T·tf + 5·T + 15·dl·D)        (avgdl = T/D)
+
+with T = total corpus tokens and D = corpus docs — numerator and
+denominator both exact bigints.  ``contribution = (idf_micro · 36·tf·T)
+div (16·T·tf + 5·T + 15·dl·D)``.
+
+Overflow headroom: the product is bounded by ``idf_micro·36·tf·T``;
+idf_micro ≤ ln(D)·1e6 ≲ 3e7, so int64 holds through T·tf ≲ 8e9 — fine for
+the gate scales and any single-tenant corpus; at web scale promote the
+product to decimal(38,0) (the DuckDB twin already computes it in hugeint).
+
+Scale shape: one narrow corpus scan computes (doc_id, dl) and explodes
+only tokens matching the query terms (the isin filter sits right on the
+exploded rows, so non-query tokens die before any shuffle); df/idf live
+in a |terms|-row broadcast table; D and T are two driver scalars from one
+agg action (the tfidf_top precedent).  Final ranking is a
+TakeOrderedAndProject top-k, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.text import norm_tokens
+
+#: BM25 free parameters as exact rationals: k1 = 20/16 = 1.25, b = 12/16
+#: = 0.75.  Changing them means re-deriving the integer form above.
+K1_SIXTEENTHS = 20
+B_SIXTEENTHS = 12
+
+
+def bm25_rank(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    top_n: int = 100,
+) -> DataFrame:
+    """Rank documents against a bag-of-terms query by BM25.
+
+    Output: ``doc_id, n_hit_terms, score_micro, score`` — the ``top_n``
+    highest-scoring documents, score descending with doc_id tie-break.
+    ``score_micro`` is the exact bigint score in micro-units (the
+    hash-gated column); ``score`` its human-readable double.
+
+    idf is Lucene's non-negative form ``ln(1 + (D − df + ½)/(df + ½))``,
+    quantized to micro-nats per distinct term (a |terms|-sized table, so
+    the quantization cost is nil and the bigint sum downstream is exact).
+    """
+    corpus = (
+        docs.select("doc_id", norm_tokens(F.col("text")).alias("_toks"))
+        .where(F.size("_toks") > 0)
+        .select(
+            "doc_id", F.size("_toks").cast("bigint").alias("dl"), "_toks"
+        )
+    )
+
+    stats = corpus.agg(
+        F.count("*").alias("d"), F.sum("dl").alias("t")
+    ).collect()[0]
+    n_docs, n_toks = int(stats["d"]), int(stats["t"])
+
+    tf = (
+        corpus.select("doc_id", "dl", F.explode("_toks").alias("term"))
+        .where(F.col("term").isin(*terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * 1e6,
+                0,
+            )
+            .cast("bigint")
+            .alias("idf_micro"),
+        )
+    )
+
+    contrib = (
+        tf.join(F.broadcast(idf), "term")
+        .withColumn(
+            "_num",
+            (
+                F.col("idf_micro")
+                * (F.lit(36).cast("bigint") * F.col("tf") * F.lit(n_toks))
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "_den",
+            (
+                F.lit(16).cast("bigint") * F.lit(n_toks) * F.col("tf")
+                + F.lit(5).cast("bigint") * F.lit(n_toks)
+                + F.lit(15).cast("bigint") * F.col("dl") * F.lit(n_docs)
+            ).cast("bigint"),
+        )
+        .select("doc_id", F.expr("_num div _den").alias("c_micro"))
+    )
+
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hit_terms"),
+            F.sum("c_micro").cast("bigint").alias("score_micro"),
+        )
+        .withColumn("score", F.round(F.col("score_micro") / 1e6, 6))
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(top_n)
+    )
