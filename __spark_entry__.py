@@ -870,6 +870,19 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff bigram LM quality (operators/quality.py
+    bigram_lm_quality): reference slice source='src2' is the model, every
+    other doc scored by negative mean log bigram transition score."""
+    from ocr_spark.operators.quality import bigram_lm_quality
+
+    docs = _docs(spark, sf_dir)
+    return bigram_lm_quality(
+        docs.where(F.col("source") != "src2"),
+        docs.where(F.col("source") == "src2"),
+    )
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (operators/sampling.py dsir_select):
     hashed unigram+bigram likelihood-ratio weights against the
@@ -1676,6 +1689,51 @@ select doc_id, n_tokens, n_oov, nll_micro,
        (round(nll_micro / n_tokens / 1e6, 6) > 9.0) as flagged
 from agg
 """,
+    # bigram_lm twin (operators/quality.py bigram_lm_quality): Stupid
+    # Backoff — per-distinct-bigram ln(c2/c1) and per-distinct-word
+    # smoothed-unigram ln quantized to micro-nats, ln(0.4) frozen as the
+    # integer constant -916291 (quality.py BACKOFF_MICRO); doc scores are
+    # exact bigint sums
+    "bigram_lm": f"""
+with ref as (select t from (select {_NT} as t from documents
+                            where source = 'src2') where len(t) > 0),
+uni as (select w, cast(count(*) as bigint) as c1
+        from (select unnest(t) as w from ref) group by w),
+bi as (select g, cast(count(*) as bigint) as c2
+       from (select unnest(list_transform(range(1, len(t)),
+                        i -> t[i] || ' ' || t[i+1])) as g from ref)
+       group by g),
+tot as (select cast(sum(c1) as bigint) as n,
+               cast(count(*) as bigint) as v from uni),
+bs as (select g, cast(round(ln(c2 / c1) * 1e6, 0) as bigint) as lp2
+       from bi join uni on split_part(g, ' ', 1) = w),
+us as (select w as v2,
+              cast(round(ln((c1 + 1) / ((select n from tot)
+                                        + (select v from tot))) * 1e6, 0)
+                   as bigint) as lp1
+       from uni),
+docbi as (select doc_id,
+                 unnest(list_transform(range(1, len(t)),
+                     i -> t[i] || ' ' || t[i+1])) as g
+          from (select doc_id, {_NT} as t from documents
+                where source <> 'src2') where len(t) >= 2),
+sc as (select doc_id,
+              coalesce(lp2, -916291 + coalesce(lp1,
+                  cast(round(ln(1 / ((select n from tot)
+                                     + (select v from tot))) * 1e6, 0)
+                       as bigint))) as lp,
+              case when lp2 is null then 1 else 0 end as b
+       from docbi left join bs using (g)
+       left join us on split_part(g, ' ', 2) = v2),
+agg as (select doc_id, cast(count(*) as bigint) as n_bigrams,
+               cast(sum(b) as bigint) as n_backoff,
+               cast(-sum(lp) as bigint) as nll_micro
+        from sc group by doc_id)
+select doc_id, n_bigrams, n_backoff, nll_micro,
+       round(nll_micro / n_bigrams / 1e6, 6) as avg_nll,
+       (round(nll_micro / n_bigrams / 1e6, 6) > 9.0) as flagged
+from agg
+""",
     # dsir_select twin (operators/sampling.py): hashed unigram+bigram
     # buckets (48-bit md5 prefix % 256, the simhash '0x'-cast idiom), both
     # per-bucket lns quantized to micro-nats on the 256-row table, doc
@@ -2405,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "lm_quality": q_lm_quality,
         "dsir_select": q_dsir_select,
+        "bigram_lm": q_bigram_lm,
         "rag_chunks": q_rag_chunks,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,

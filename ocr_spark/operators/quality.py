@@ -151,3 +151,114 @@ def lm_quality(
             "doc_id", "n_tokens", "n_oov", "nll_micro", "avg_nll", "flagged"
         )
     )
+
+
+#: round(ln(0.4)·1e6) — the Stupid Backoff discount as a frozen integer
+#: constant, identical in the Spark plan and the DuckDB twin.
+BACKOFF_MICRO = -916291
+
+
+def bigram_lm_quality(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    nll_max: float = 9.0,
+) -> DataFrame:
+    """Stupid Backoff bigram LM quality score (Brants et al. 2007, "Large
+    Language Models in Machine Translation") — the n-gram upgrade of
+    ``lm_quality``'s unigram model, using the smoothing that was DESIGNED
+    for distributed count-based training: no normalized discounting (no
+    Kneser-Ney global pass), just
+
+        S(v | u) = c(u,v) / c(u)                 if c(u,v) > 0
+                 = 0.4 · (c(v)+1) / (N+V)        otherwise (backoff to the
+                                                  add-one unigram, so OOV
+                                                  is defined)
+
+    Each document is scored by the negative mean log-score of its bigram
+    transitions; high scores = sequences the reference corpus never makes
+    (OCR noise, shuffled boilerplate) even when every unigram looks fine —
+    the failure mode a unigram LM cannot see.
+
+    Cross-engine exactness (the lm_quality idiom): ln(c2/c1) is quantized
+    to micro-nats per DISTINCT reference bigram, ln of the smoothed
+    unigram per distinct reference word, and ln(0.4) is the frozen
+    integer ``BACKOFF_MICRO``; per-doc scores are exact bigint sums.
+
+    Scale shape: the model is two count tables (distinct reference
+    bigrams / unigrams — bounded by the reference slice, broadcast or
+    shuffle-joined on uniform md5-distributed keys); the corpus side is
+    one narrow explode of bigram transitions and one per-doc aggregate
+    with map-side partial agg.  This is exactly the Brants pipeline:
+    counts are the model, scoring is a join.
+
+    Output: ``doc_id, n_bigrams, n_backoff, nll_micro, avg_nll, flagged``
+    — one row per document with ≥ 2 normalized tokens.
+    """
+    ref_tok = ref_docs.select(
+        norm_tokens(F.col("text")).alias("_t")
+    ).where(F.size("_t") > 0)
+    ref_uni = ref_tok.select(F.explode("_t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    ref_bi = (
+        ref_tok.select(F.explode(ngrams(F.col("_t"), 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    totals = ref_uni.agg(
+        F.sum("c1").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    n_ref, v_ref = int(totals["n"]), int(totals["v"])
+    denom = float(n_ref + v_ref)
+
+    def micro(col) -> F.Column:
+        return F.round(F.log(col) * 1e6, 0).cast("bigint")
+
+    # per-bigram log score needs c(u): join the bigram table to the
+    # unigram table on the bigram's first word, once, model-side
+    bi_scored = (
+        ref_bi.withColumn("u", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
+        .join(ref_uni.withColumnRenamed("w", "u"), "u")
+        .select("g", micro(F.col("c2") / F.col("c1")).alias("lp2"))
+    )
+    uni_scored = ref_uni.select(
+        F.col("w").alias("v2"),
+        micro((F.col("c1") + 1) / F.lit(denom)).alias("lp1"),
+    )
+    oov_lp1 = micro(F.lit(1) / F.lit(denom))
+
+    doc_bi = (
+        docs.select("doc_id", norm_tokens(F.col("text")).alias("_t"))
+        .where(F.size("_t") >= 2)
+        .select("doc_id", F.explode(ngrams(F.col("_t"), 2)).alias("g"))
+        .withColumn("v2", F.split_part(F.col("g"), F.lit(" "), F.lit(2)))
+    )
+    scored = (
+        doc_bi.join(bi_scored, "g", "left")
+        .join(uni_scored, "v2", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("lp2"),
+                F.lit(BACKOFF_MICRO) + F.coalesce(F.col("lp1"), oov_lp1),
+            ).alias("lp"),
+            F.col("lp2").isNull().cast("int").alias("is_backoff"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("is_backoff").cast("bigint").alias("n_backoff"),
+            (-F.sum("lp")).cast("bigint").alias("nll_micro"),
+        )
+        .withColumn(
+            "avg_nll",
+            F.round(F.col("nll_micro") / F.col("n_bigrams") / F.lit(1e6), 6),
+        )
+        .withColumn("flagged", F.col("avg_nll") > nll_max)
+        .select(
+            "doc_id", "n_bigrams", "n_backoff", "nll_micro", "avg_nll",
+            "flagged",
+        )
+    )

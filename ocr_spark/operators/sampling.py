@@ -178,6 +178,7 @@ def dsir_weights(
     docs: DataFrame,
     target_docs: DataFrame,
     n_buckets: int = 256,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Per-document DSIR log importance weight, in integer micro-nats.
 
@@ -205,7 +206,14 @@ def dsir_weights(
     construction.  N_t / N_q are two driver scalars (tfidf precedent).
     """
     tgt = _doc_bucket_counts(target_docs, n_buckets)
-    raw = _doc_bucket_counts(docs, n_buckets)
+    # The (doc_id, bucket) aggregate is consumed three times (the N_q
+    # scalar, the corpus distribution, and the scoring join) — persist it
+    # so the corpus tokenize/explode runs ONCE.  It is ≤ |docs|·n_buckets
+    # rows of three ints (far smaller than the corpus); the caller can
+    # unpersist via cache_registry (the curate.py pattern).
+    raw = _doc_bucket_counts(docs, n_buckets).persist()
+    if cache_registry is not None:
+        cache_registry.append(raw)
 
     tgt_b = tgt.groupBy("bucket").agg(F.sum("c").alias("ct"))
     raw_b = raw.groupBy("bucket").agg(F.sum("c").alias("cq"))
@@ -249,6 +257,7 @@ def dsir_select(
     k: int,
     n_buckets: int = 256,
     seed: int = 42,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """DSIR selection: sample ``k`` documents without replacement with
     probability ∝ importance weight, via the Gumbel top-k trick (Vieira
@@ -268,7 +277,7 @@ def dsir_select(
     ) / F.lit(_GUMBEL_SPAN)
     gumbel_micro = F.round(-F.log(-F.log(u)) * 1e6, 0).cast("bigint")
     return (
-        dsir_weights(docs, target_docs, n_buckets)
+        dsir_weights(docs, target_docs, n_buckets, cache_registry)
         .withColumn("gumbel_micro", gumbel_micro)
         .withColumn(
             "key_micro", F.col("logw_micro") + F.col("gumbel_micro")

@@ -164,3 +164,59 @@ def test_minhash_filter_never_inlines_signature(spark):
             assert "array_min(" not in line, (
                 f"MinHash signature re-inlined into a filter:\n{line}"
             )
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """When a selective dim filter feeds a SHUFFLE join (broadcast off —
+    the 100 TB case where the dim side is too big to broadcast but still
+    selective), Spark's runtime bloom filter must inject: a
+    bloom_filter_agg over the dim keys, applied as might_contain on the
+    fact side BELOW its shuffle — the fact table is pruned before it
+    pays the exchange.  This is the engine's designed semi-join pushdown
+    for big-dim joins (session defaults leave
+    spark.sql.optimizer.runtime.bloomFilter.enabled=true); thresholds
+    are lowered here only because the sf0.001 fixtures are tiny."""
+    sf = "/root/testdata/sf0.001"
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_cre = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+    )
+    old_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        orders = spark.read.parquet(f"{sf}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = checks.physical_plan(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+        # and it still computes the right thing
+        assert j.count() >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            old_cre,
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            old_app,
+        )
