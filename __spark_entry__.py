@@ -883,6 +883,19 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing + selection (operators/quality.py
+    ccnet_partition): quartile head/middle/tail split of the lm_quality
+    scores, head kept, middle deterministically half-sampled."""
+    from ocr_spark.operators.quality import ccnet_partition
+
+    docs = _docs(spark, sf_dir)
+    return ccnet_partition(
+        docs.where(F.col("source") != "src2"),
+        docs.where(F.col("source") == "src2"),
+    )
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (operators/sampling.py dsir_select):
     hashed unigram+bigram likelihood-ratio weights against the
@@ -1180,6 +1193,38 @@ select doc_id,
        cast(sum(case when n_docs <= {max_docs} then 1 else 0 end) as bigint)
            as n_kept
 from flagged group by doc_id
+"""
+
+
+def _lm_quality_sql() -> str:
+    """lm_quality twin (also the scored CTE inside ccnet_buckets): the
+    only float step is the per-distinct-token ln, quantized to integer
+    micro-nats exactly like the Spark plan; doc scores are bigint sums +
+    exact integer ratios (sum() is HUGEINT in DuckDB — cast to bigint)."""
+    return f"""
+with reftok as (select unnest({_NT}) as tok from documents
+                where source = 'src2'),
+vocab as (select tok, count(*) as c from reftok group by tok),
+stats as (select (select count(*) from reftok)
+                 + (select count(*) from vocab) + 1 as denom),
+lp as (select tok,
+              cast(round(-ln((c + 1) / (select denom from stats)) * 1e6, 0)
+                   as bigint) as lp
+       from vocab),
+tok as (select doc_id, unnest({_NT}) as tok from documents
+        where source <> 'src2'),
+j as (select t.doc_id, t.tok, l.lp from tok t left join lp l using (tok)),
+agg as (select doc_id, count(*) as n_tokens,
+               cast(sum(case when lp is null then 1 else 0 end) as bigint)
+                   as n_oov,
+               cast(sum(coalesce(lp,
+                   cast(round(-ln(1 / (select denom from stats)) * 1e6, 0)
+                        as bigint))) as bigint) as nll_micro
+        from j group by doc_id)
+select doc_id, n_tokens, n_oov, nll_micro,
+       round(nll_micro / n_tokens / 1e6, 6) as avg_nll,
+       (round(nll_micro / n_tokens / 1e6, 6) > 9.0) as flagged
+from agg
 """
 
 
@@ -1664,30 +1709,27 @@ from st
     # quantized to integer micro-nats exactly like the Spark plan; doc
     # scores are bigint sums + exact integer ratios (sum() is HUGEINT in
     # DuckDB — cast back to bigint)
-    "lm_quality": f"""
-with reftok as (select unnest({_NT}) as tok from documents
-                where source = 'src2'),
-vocab as (select tok, count(*) as c from reftok group by tok),
-stats as (select (select count(*) from reftok)
-                 + (select count(*) from vocab) + 1 as denom),
-lp as (select tok,
-              cast(round(-ln((c + 1) / (select denom from stats)) * 1e6, 0)
-                   as bigint) as lp
-       from vocab),
-tok as (select doc_id, unnest({_NT}) as tok from documents
-        where source <> 'src2'),
-j as (select t.doc_id, t.tok, l.lp from tok t left join lp l using (tok)),
-agg as (select doc_id, count(*) as n_tokens,
-               cast(sum(case when lp is null then 1 else 0 end) as bigint)
-                   as n_oov,
-               cast(sum(coalesce(lp,
-                   cast(round(-ln(1 / (select denom from stats)) * 1e6, 0)
-                        as bigint))) as bigint) as nll_micro
-        from j group by doc_id)
-select doc_id, n_tokens, n_oov, nll_micro,
-       round(nll_micro / n_tokens / 1e6, 6) as avg_nll,
-       (round(nll_micro / n_tokens / 1e6, 6) > 9.0) as flagged
-from agg
+    "lm_quality": _lm_quality_sql(),
+    # ccnet_buckets twin (operators/quality.py ccnet_partition): the
+    # quartile cutoffs are recomputed engine-side (quantile_cont ≡ Spark
+    # percentile, the price_quantiles precedent) — comparison-robust to
+    # last-ulp interpolation differences because an interpolated cutoff
+    # lies strictly between adjacent data values; the middle-bucket
+    # sample replays keep_predicate's md5 threshold verbatim
+    "ccnet_buckets": f"""
+with scored as ({_lm_quality_sql()}),
+cuts as (select quantile_cont(avg_nll, 0.25) as t1,
+                quantile_cont(avg_nll, 0.75) as t2 from scored)
+select doc_id, n_tokens, avg_nll,
+       case when avg_nll <= (select t1 from cuts) then 'head'
+            when avg_nll <= (select t2 from cuts) then 'middle'
+            else 'tail' end as bucket,
+       case when avg_nll <= (select t1 from cuts) then true
+            when avg_nll <= (select t2 from cuts)
+                 then substr(md5('42|' || cast(doc_id as varchar)), 1, 12)
+                      < '800000000000'
+            else false end as kept
+from scored
 """,
     # bigram_lm twin (operators/quality.py bigram_lm_quality): Stupid
     # Backoff — per-distinct-bigram ln(c2/c1) and per-distinct-word
@@ -2464,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "dsir_select": q_dsir_select,
         "bigram_lm": q_bigram_lm,
+        "ccnet_buckets": q_ccnet_buckets,
         "rag_chunks": q_rag_chunks,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,

@@ -95,3 +95,41 @@ class Catalog:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(f"{self.root}/{table}" if self.root else table)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout for data-skipping scans:
+    ``repartitionByRange(sort_col)`` + ``sortWithinPartitions`` before the
+    write, so every output file covers a DISJOINT range of ``sort_col``
+    and every parquet row group inside it a near-disjoint sub-range.
+
+    Why it matters at 100 TB: parquet files carry per-row-group min/max
+    statistics, and Spark pushes comparison predicates into the reader —
+    but statistics only *prune* when the layout clusters values.  On a
+    randomly-laid-out table every row group spans ~the full value range
+    and a selective ``ts BETWEEN …`` scan still reads everything; on a
+    range-clustered table the same scan reads only the row groups whose
+    [min,max] intersect the predicate — the I/O drops with selectivity.
+    This is the single-column special case of Z-ordering (the multi-column
+    interleave adds nothing for one sort key), i.e. the layout lever that
+    turns the events/asof/range-join family from full scans into point
+    reads.  The pruning contract is asserted in
+    tests/test_plan_shapes.py::test_sorted_layout_skips_row_groups via the
+    written files' row-group statistics plus the scan's PushedFilters.
+
+    ``repartitionByRange`` samples the column to build balanced range
+    bounds (one extra pass; at cluster scale use a known partitioning
+    column or persist upstream).
+    """
+    (
+        df.repartitionByRange(n_files, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode(mode)
+        .parquet(path)
+    )

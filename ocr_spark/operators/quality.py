@@ -262,3 +262,59 @@ def bigram_lm_quality(
             "flagged",
         )
     )
+
+
+def ccnet_partition(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    mid_frac: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """CCNet's perplexity bucketing + selection (Wenzek et al. 2020 §4.4):
+    score the corpus with the reference LM, split it into head / middle /
+    tail perplexity buckets, keep all of head, a deterministic sample of
+    middle, none of tail — the standard recipe for trading corpus size
+    against reference-likeness.
+
+    Buckets here are the lowest quartile (head), the inter-quartile band
+    (middle) and the top quartile (tail) of ``avg_nll`` (CCNet uses
+    per-language tercile cutoffs; quartile fractions are chosen because
+    0.25/0.75 are exact binary doubles).  The cutoffs are two driver
+    scalars from one exact-percentile action — CCNet likewise computes
+    them offline once.  Threshold comparisons are robust to last-ulp
+    interpolation differences between engines: an interpolated cutoff
+    lies strictly between two adjacent data values (or exactly on one),
+    so ``avg_nll <= cut`` cannot flip.
+
+    The middle-bucket sample reuses ``keep_predicate`` — a pure function
+    of (doc_id, seed), so the kept set is repartition/engine-stable.
+
+    Scale shape: scoring is ``lm_quality`` (one corpus scan + bounded
+    vocab join); the exact percentile is the only wide step and is
+    replaced by the GK sketch (``doclen_quantile_sketch`` precedent) at
+    10^12 rows — the bucket/keep projection itself is narrow.
+
+    Output: ``doc_id, n_tokens, avg_nll, bucket, kept``.
+    """
+    from ocr_spark.operators.sampling import keep_predicate
+
+    scored = lm_quality(docs, ref_docs)
+    cuts = scored.agg(
+        F.percentile("avg_nll", F.array(F.lit(0.25), F.lit(0.75))).alias("q")
+    ).collect()[0]["q"]
+    t1, t2 = float(cuts[0]), float(cuts[1])
+    is_head = F.col("avg_nll") <= F.lit(t1)
+    is_mid = F.col("avg_nll") <= F.lit(t2)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "avg_nll",
+        F.when(is_head, F.lit("head"))
+        .when(is_mid, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        F.when(is_head, F.lit(True))
+        .when(is_mid, keep_predicate(F.col("doc_id"), mid_frac, seed))
+        .otherwise(F.lit(False))
+        .alias("kept"),
+    )

@@ -220,3 +220,56 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
             "applicationSideScanSizeThreshold",
             old_app,
         )
+
+
+def test_sorted_layout_skips_row_groups(spark, tmp_path):
+    """write_sorted must produce a layout where parquet row-group min/max
+    statistics actually prune a range predicate: (a) files cover disjoint
+    sort-key ranges, (b) a selective predicate's qualifying row groups
+    are a small fraction of the total, and (c) Spark pushes the predicate
+    into the scan (PushedFilters), so the reader consumes those stats."""
+    import pyarrow.parquet as pq
+
+    from ocr_spark.io import write_sorted
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    out = str(tmp_path / "events_sorted")
+    write_sorted(events, out, "ts", n_files=4)
+
+    files = sorted(str(p) for p in (tmp_path / "events_sorted").glob("*.parquet"))
+    assert len(files) >= 2
+    spans, groups = [], []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.schema.column(i).name == "ts"
+        )
+        mins, maxs = [], []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(col_idx).statistics
+            assert st is not None and st.has_min_max
+            mins.append(st.min)
+            maxs.append(st.max)
+            groups.append((st.min, st.max))
+        spans.append((min(mins), max(maxs)))
+    # (a) file ranges are disjoint (range-clustered layout)
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {hi1} vs {lo2}"
+
+    # (b) a predicate touching the lowest ~10% of the ts domain
+    #     intersects only a minority of row groups
+    lo = min(s[0] for s in spans)
+    hi = max(s[1] for s in spans)
+    cut = lo + (hi - lo) * 0.1
+    qualifying = sum(1 for g_lo, _ in groups if g_lo <= cut)
+    overlapping = sum(1 for g_lo, g_hi in groups if g_lo <= cut and g_hi >= lo)
+    assert overlapping < len(groups) / 2, (overlapping, len(groups))
+
+    # (c) the predicate reaches the scan
+    scan = spark.read.parquet(out).where(F.col("ts") <= F.lit(cut))
+    plan = checks.physical_plan(scan)
+    assert "PushedFilters: [" in plan and "LessThanOrEqual(ts" in plan, plan
+    assert scan.count() > 0
