@@ -2305,6 +2305,66 @@ def _contract_fixture() -> str:
     return path
 
 
+def _pack_interleaved_sql(path: str, seq_len: int = 64, n_groups: int = 16) -> str:
+    """pack_interleaved twin (operators/packing.py): composes the
+    contract-extract twin (span-sequence rows), rebuilds each doc's
+    (tok, ref) unit stream in offset order, then replays the
+    pack_sequences window math over md5 hash groups."""
+    return f"""
+with sp as ({_contract_extract_sql(path)}),
+d as (select doc_id,
+             list(struct_pack(tok := case when kind = 'text' then text
+                                          else '<media>' end,
+                              ref := media_ref) order by "offset") as units
+      from sp group by doc_id),
+k as (select doc_id, units, len(units) as n,
+             cast('0x' || substr(md5('42|' || doc_id), 1, 12) as bigint)
+                 % {n_groups} as grp,
+             substr(md5('42|' || doc_id), 1, 12) as kk
+      from d),
+o as (select grp, units, n,
+             cast(sum(n) over (partition by grp order by kk, doc_id
+                  rows between unbounded preceding and current row) - n
+                  as bigint) as start
+      from k where n > 0),
+s as (select grp, units, n, start,
+             unnest(range(cast(floor(start / {seq_len}.0) as bigint),
+                          cast(floor((start + n - 1) / {seq_len}.0)
+                               as bigint) + 1)) as win_id
+      from o),
+p as (select grp, win_id, start,
+             units[cast(greatest(win_id * {seq_len} - start, 0) + 1
+                        as bigint) :
+                   cast(least((win_id + 1) * {seq_len} - start, n)
+                        as bigint)] as piece
+      from s),
+a as (select grp, win_id, flatten(list(piece order by start)) as u
+      from p group by grp, win_id)
+select grp, win_id,
+       cast(len(u) as bigint) as n_tokens,
+       cast(len(list_filter(u, x -> x.ref is not null)) as bigint)
+           as n_media,
+       array_to_string(list_transform(u, x -> x.tok), ' ') as text,
+       coalesce(array_to_string(list_transform(list_filter(u,
+           x -> x.ref is not null), x -> x.ref), ' '), '') as media_refs
+from a
+"""
+
+
+def _q_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal interleaved sequence packing (operators/packing.py
+    pack_interleaved) over the real extraction kernel's output — the
+    BASELINE.json 'interleaved text+media' axis carried through to the
+    training-sample assembly."""
+    from ocr_spark.operators.extract import extract_documents
+    from ocr_spark.operators.packing import pack_interleaved
+
+    out = extract_documents(
+        spark.read.parquet(_contract_fixture()), order_by="meta"
+    )
+    return pack_interleaved(out)
+
+
 def _q_contract_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real Arrow extraction kernel on the contract spans table,
     exploded back to the BASELINE.json span-sequence-equality projection
@@ -2529,6 +2589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,                 # iterative — pytest-gated
         "semantic_dedup": q_semantic_dedup,         # exact (seed-centroid), SQL twin
         "contract_extract": _q_contract_extract,    # exact SQL twin + pytest
+        "pack_interleaved": _q_pack_interleaved,    # exact SQL twin + pytest
         "contract_curate": _q_contract_curate,      # exact SQL twin + pytest
         "contract_ingest": _q_contract_ingest,      # pytest-oracled — binary input, no SQL
         "contract_mets": _q_contract_mets,          # pytest-oracled — no SQL
@@ -2747,4 +2808,5 @@ def oracle_sql() -> dict[str, str]:
         **_ORACLES,
         "contract_extract": _contract_extract_sql(path),
         "contract_curate": _contract_curate_sql(path),
+        "pack_interleaved": _pack_interleaved_sql(path),
     }

@@ -163,3 +163,112 @@ def sliding_chunks(
         F.size("piece").cast("bigint").alias("n_tokens"),
         F.array_join("piece", " ").alias("text"),
     )
+
+
+def pack_interleaved(
+    extracted: DataFrame,
+    seq_len: int = 64,
+    n_groups: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Pack EXTRACTED interleaved documents (the BASELINE.json span
+    sequence: per-word text spans + media_ref spans, already in reading
+    order) into fixed-length multimodal training windows — the
+    Flamingo/MM-interleaved assembly step: every span is one stream unit,
+    text spans contribute their word, media spans contribute the
+    ``<media>`` placeholder token while their reference rides along, so
+    each window ships ``seq_len`` tokens plus the ordered refs of the
+    media items embedded in it.
+
+    Same deterministic machinery as ``pack_sequences`` with two twists:
+
+    * the stream is sharded into ``n_groups`` md5 hash groups instead of
+      source partitions — the contract table has one logical stream, and
+      hash groups are the scale knob that bounds each packing window sort
+      (10^12 docs pack per shard, never through one global window);
+    * stream units are ``struct(tok, ref)`` instead of bare tokens, so
+      the window reassembly carries media alignment for free.
+
+    Output: one row per window — ``grp, win_id, n_tokens, n_media, text,
+    media_refs`` (refs space-joined in stream order; ``n_tokens =
+    seq_len`` except each group's final window).  Docs with zero spans
+    contribute nothing, identically in both engines.
+    """
+    units = F.transform(
+        "spans",
+        lambda s: F.struct(
+            F.when(s["kind"] == "text", s["text"])
+            .otherwise(F.lit("<media>"))
+            .alias("tok"),
+            s["media_ref"].alias("ref"),
+        ),
+    )
+    grp = (
+        F.conv(sample_key(F.col("doc_id"), seed), 16, 10).cast("bigint")
+        % n_groups
+    )
+    base = extracted.select(
+        "doc_id",
+        grp.alias("grp"),
+        units.alias("_units"),
+    ).withColumn("_n", F.size("_units"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(sample_key(F.col("doc_id"), seed), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = (
+        base.withColumn("_cum", F.sum("_n").over(w))
+        .withColumn("_start", (F.col("_cum") - F.col("_n")).cast("bigint"))
+        .where(F.col("_n") > 0)
+    )
+    L = F.lit(int(seq_len))
+    spans = offs.select(
+        "grp",
+        "_units",
+        "_n",
+        "_start",
+        F.explode(
+            F.sequence(
+                (F.col("_start") / L).cast("bigint"),
+                ((F.col("_start") + F.col("_n") - 1) / L).cast("bigint"),
+            )
+        ).alias("win_id"),
+    )
+    lo = F.greatest(F.col("win_id") * L - F.col("_start"), F.lit(0))
+    hi = F.least((F.col("win_id") + 1) * L - F.col("_start"), F.col("_n"))
+    pieces = spans.select(
+        "grp",
+        "win_id",
+        "_start",
+        F.slice(F.col("_units"), (lo + 1).cast("int"), (hi - lo).cast("int"))
+        .alias("piece"),
+    )
+    assembled = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_start", "piece"))),
+            lambda s: s["piece"],
+        )
+    )
+    return (
+        pieces.groupBy("grp", "win_id")
+        .agg(assembled.alias("_u"))
+        .select(
+            "grp",
+            "win_id",
+            F.size("_u").cast("bigint").alias("n_tokens"),
+            F.size(
+                F.filter(F.col("_u"), lambda u: u["ref"].isNotNull())
+            ).cast("bigint").alias("n_media"),
+            F.array_join(
+                F.transform(F.col("_u"), lambda u: u["tok"]), " "
+            ).alias("text"),
+            F.array_join(
+                F.transform(
+                    F.filter(F.col("_u"), lambda u: u["ref"].isNotNull()),
+                    lambda u: u["ref"],
+                ),
+                " ",
+            ).alias("media_refs"),
+        )
+    )
