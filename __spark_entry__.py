@@ -911,6 +911,57 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Hamming near-dup pairs over the SimHash signatures
+    (dedup.py hamming_neardup): lossless pigeonhole banding + exact
+    bit_count verify — the pair machinery shared with the media
+    average-hash path."""
+    from ocr_spark.operators.dedup import hamming_neardup
+
+    return hamming_neardup(D.simhash_signature(_docs(spark, sf_dir)))
+
+
+def _q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media reuse detection through the full multimodal path: contract
+    media refs → binary content (classed so reused images actually exist,
+    the dedup target) → Arrow average-hash kernel → banded Hamming join.
+    Binary input through a Python kernel seam — rows-only gate; the
+    shared pair machinery is oracle-gated via simhash_neardup and the
+    kernel behavior pytest-gated (tests/test_streaming_multimodal.py)."""
+    from ocr_spark.operators.dedup import hamming_neardup
+    from ocr_spark.operators.multimodal import media_avg_hash
+
+    spans = spark.read.parquet(_contract_fixture())
+    refs = (
+        spans.select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "media_ref")
+        .select("doc_id", F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+    )
+    cls = (
+        F.conv(
+            F.substring(F.md5(F.col("media_ref").cast("binary")), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        % 16
+    )
+    media = refs.select(
+        "doc_id",
+        "media_ref",
+        F.encode(F.concat(F.lit("cls|"), cls.cast("string")), "utf-8").alias(
+            "content"
+        ),
+        F.lit("image/png").alias("mime"),
+    )
+    hashed = media_avg_hash(media).select(
+        F.concat_ws("/", "doc_id", "media_ref").alias("item"), "ahash"
+    )
+    return hamming_neardup(
+        hashed, hash_col="ahash", id_col="item", bits=64, max_hamming=5
+    )
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-stage inverted index.  The driver canonicalizer hashes
     scalar columns only (pandas sort_values dies on list cells), so the
@@ -1193,6 +1244,22 @@ select doc_id,
        cast(sum(case when n_docs <= {max_docs} then 1 else 0 end) as bigint)
            as n_kept
 from flagged group by doc_id
+"""
+
+
+def _simhash_sql() -> str:
+    """simhash twin (also the signature CTE inside simhash_neardup):
+    60-bit relational bit votes, identical md5 token hashing."""
+    return f"""
+with tok as (select doc_id, unnest({_NT}) as tok from documents),
+h as (select doc_id, cast(('0x' || substr(md5(tok), 1, 15)) as bigint) as h from tok),
+bits as (select doc_id, unnest(range(0, 60)) as bit, h from h),
+votes as (select doc_id, bit,
+                 sum(case when (h >> cast(bit as int)) & 1 = 1 then 1 else -1 end) as v
+          from bits group by doc_id, bit)
+select doc_id,
+       cast(sum(case when v > 0 then (cast(1 as bigint) << cast(bit as int)) else cast(0 as bigint) end) as bigint) as simhash
+from votes group by doc_id
 """
 
 
@@ -1907,16 +1974,22 @@ join (select component, count(*) as cluster_size from comp group by component) s
   using (component)
 """,
     "ngram_jaccard": _ngram_jaccard_sql(0.0),
-    "simhash": f"""
-with tok as (select doc_id, unnest({_NT}) as tok from documents),
-h as (select doc_id, cast(('0x' || substr(md5(tok), 1, 15)) as bigint) as h from tok),
-bits as (select doc_id, unnest(range(0, 60)) as bit, h from h),
-votes as (select doc_id, bit,
-                 sum(case when (h >> cast(bit as int)) & 1 = 1 then 1 else -1 end) as v
-          from bits group by doc_id, bit)
-select doc_id,
-       cast(sum(case when v > 0 then (cast(1 as bigint) << cast(bit as int)) else cast(0 as bigint) end) as bigint) as simhash
-from votes group by doc_id
+    "simhash": _simhash_sql(),
+    # simhash_neardup twin (dedup.py hamming_neardup over the simhash
+    # signatures): 6 contiguous 10-bit bands — the pigeonhole guarantee
+    # (≤5 differing bits dirty ≤5 bands, so one band always matches) —
+    # then the exact bit_count(xor) verify
+    "simhash_neardup": f"""
+with s as ({_simhash_sql()}),
+bk as (select doc_id, simhash, band,
+              (simhash >> cast(band * 10 as int)) & 1023 as bkey
+       from (select doc_id, simhash, unnest(range(0, 6)) as band from s)),
+cand as (select distinct x.doc_id as a, y.doc_id as b,
+                x.simhash as ha, y.simhash as hb
+         from bk x join bk y
+           on x.band = y.band and x.bkey = y.bkey and x.doc_id < y.doc_id)
+select a, b, cast(bit_count(xor(ha, hb)) as bigint) as hamming
+from cand where bit_count(xor(ha, hb)) <= 5
 """,
     "ann_topk": """
 with pairs as (
@@ -2570,6 +2643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_chunks": q_rag_chunks,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
+        "media_neardup": _q_media_neardup,          # binary kernel seam — rows-only
         "inverted_index": q_inverted_index,
         "word_pages_raw": q_word_pages_raw,
         "ann_topk": q_ann_topk,

@@ -593,3 +593,69 @@ def incremental_minhash_dedup(
         threshold,
         cache_registry=cache_registry,
     )
+
+
+def hamming_neardup(
+    sigs: DataFrame,
+    hash_col: str = "simhash",
+    id_col: str = "doc_id",
+    bits: int = 60,
+    max_hamming: int = 5,
+) -> DataFrame:
+    """Banded Hamming near-dup join over fixed-width bit signatures — the
+    pair-finding stage shared by text SimHash and media perceptual hashes
+    (multimodal.py media_avg_hash).
+
+    Banding with the pigeonhole guarantee: the signature is cut into
+    ``n_bands = max_hamming + 1`` contiguous ``bits // n_bands``-bit
+    bands; a pair within ``max_hamming`` differing bits can dirty at most
+    ``max_hamming`` bands, so at least one band matches exactly and the
+    band-key equi-join finds EVERY qualifying pair (no recall loss —
+    unlike MinHash-LSH banding, which is probabilistic).  Bits beyond
+    ``n_bands·width`` are never banded, which only ADDS candidates
+    (differences hiding there dirty no band); the exact
+    ``bit_count(xor) <= max_hamming`` verify keeps the output precise.
+
+    Scale shape: the only shuffle is the band-key self-join — O(rows ×
+    n_bands) slim keys, binary payloads never move; the verify is a
+    per-pair codegen expression, not a kernel.  Signature bits are
+    majority votes (simhash) or mean thresholds (avg-hash), so band keys
+    are near-uniform; a corpus with huge exact-dup classes concentrates
+    band keys exactly like LSH's degenerate buckets — apply the same
+    ``max_bucket`` guard upstream (dedup exact first, then hamming on
+    distinct signatures) for the production path.
+
+    Output: ``a, b, hamming`` (ids with ``a < b``, each qualifying pair
+    once).
+    """
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    if width < 1:
+        raise ValueError("max_hamming too large for the signature width")
+    mask = (1 << width) - 1
+    bands = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "bkey",
+        F.expr(f"shiftright(_h, cast(band * {width} as int)) & {mask}"),
+    )
+    left = bands.select(
+        F.col("_id").alias("a"), F.col("_h").alias("ha"), "band", "bkey"
+    )
+    right = bands.select(
+        F.col("_id").alias("b"), F.col("_h").alias("hb"), "band", "bkey"
+    )
+    cand = (
+        left.join(right, ["band", "bkey"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.expr("cast(bit_count(ha ^ hb) as bigint)")
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -254,3 +254,66 @@ def synth_media_for_spans(spans_df: DataFrame) -> DataFrame:
             )
 
     return refs.mapInPandas(fn, MEDIA_SCHEMA)
+
+
+AHASH_SCHEMA = (
+    "doc_id string, media_ref string, mime string, n_bytes bigint, "
+    "ahash bigint"
+)
+
+
+def _fake_grid(content: bytes) -> np.ndarray:
+    """Deterministic stand-in for the 8×8 grayscale resample a real build
+    produces with PIL (`img.convert('L').resize((8, 8))`): 64 bytes
+    expanded from the content digest.  Identical bytes → identical grid —
+    the property the average-hash dedup path needs; everything downstream
+    of this seam is real."""
+    if not FAKE_DECODE:
+        raise NotImplementedError(
+            "real media decode requires PIL/ffmpeg, not present in this container"
+        )
+    h = hashlib.sha256(content).digest() + hashlib.sha256(
+        content + b"\x01"
+    ).digest()
+    return np.frombuffer(h, dtype=np.uint8).astype(np.int64)
+
+
+def average_hash_bits(grid: np.ndarray) -> int:
+    """64-bit average hash of a 64-cell grayscale grid: bit i set iff
+    cell i is strictly above the grid mean (the classic aHash; pure
+    integer compare, no float threshold ambiguity).  Returned as a SIGNED
+    64-bit value (bit 63 maps to the bigint sign bit) so it lands in a
+    Spark/parquet bigint unchanged."""
+    mean_num = int(grid.sum())  # compare cell*64 > sum — exact, no division
+    bits = 0
+    for i, v in enumerate(grid.tolist()):
+        if v * 64 > mean_num:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def media_avg_hash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash per media item — the media-side signature
+    feeding ``dedup.hamming_neardup`` (bits=64), the same pair machinery
+    the text SimHash uses.  One Arrow-batched narrow pass; binary never
+    shuffles (the hash rides the slim columns out)."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, ref, content, mime in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["content"], pdf["mime"]
+            ):
+                b = bytes(content) if content is not None else b""
+                rows.append(
+                    (doc_id, ref, mime, len(b),
+                     average_hash_bits(_fake_grid(b)))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_ref", "mime", "n_bytes", "ahash"],
+            )
+
+    return media.mapInPandas(fn, AHASH_SCHEMA)
