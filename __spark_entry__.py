@@ -962,6 +962,71 @@ def _q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_url() -> F.Column:
+    """Deterministic URL synthesis over the documents table (it carries no
+    URL column): content identity derives from the dedup GROUP (doc_id %
+    200 — a multiple of the 20-source cycle, so groups never straddle
+    sources) and fetch noise from the DOC (host case-mangling, redundant
+    default port, trailing slash, utm params, param order, fragment) —
+    exactly the variation url_normalize must cancel.  Mirrored
+    token-for-token by ``_SYNTH_URL_CTES`` (DuckDB)."""
+    d = F.col("doc_id").cast("string")
+    g = (F.col("doc_id") % 200).cast("string")
+    hg = F.conv(F.substring(F.md5(g), 1, 6), 16, 10).cast("bigint")
+    hd = F.conv(F.substring(F.md5(d), 1, 6), 16, 10).cast("bigint")
+    scheme = F.when(hg % 5 == 0, "http").otherwise("https")
+    sub = F.when(hg % 3 == 0, "www.").when(hg % 3 == 1, "").otherwise("blog.")
+    tld = (
+        F.when(hg % 7 == 0, "com")
+        .when(hg % 7 == 1, "org")
+        .when(hg % 7 == 2, "net")
+        .when(hg % 7 == 3, "co.uk")
+        .when(hg % 7 == 4, "com.au")
+        .when(hg % 7 == 5, "io")
+        .otherwise("gov.uk")
+    )
+    host = F.concat(
+        sub, F.col("source"), F.lit("-"), (hg % 40).cast("string"),
+        F.lit("."), tld,
+    )
+    hostraw = F.when(hd % 11 == 0, F.upper(host)).otherwise(host)
+    port = F.when(
+        hd % 13 == 0,
+        F.when(scheme == F.lit("https"), ":443").otherwise(":80"),
+    ).otherwise("")
+    path = F.concat(
+        F.lit("/"), F.col("source"), F.lit("/page-"), g,
+        F.when(hd % 4 == 0, "/").otherwise(""),
+    )
+    q0 = F.concat(F.lit("id="), g)
+    query = (
+        F.when(hd % 6 == 0, F.concat(F.lit("?utm_source=feed&"), q0))
+        .when(hd % 6 == 1, F.concat(F.lit("?"), q0, F.lit("&utm_campaign=x")))
+        .when(hd % 6 == 2, F.concat(F.lit("?"), q0, F.lit("&ref=home")))
+        .when(hd % 6 == 3, F.concat(F.lit("?ref=home&"), q0))
+        .when(hd % 6 == 4, F.concat(F.lit("?"), q0))
+        .otherwise("")
+    )
+    frag = F.when(hd % 9 == 0, F.concat(F.lit("#sec-"), d)).otherwise("")
+    return F.concat(scheme, F.lit("://"), hostraw, port, path, query, frag)
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain curation rollup (operators/web.py) over
+    synthesized URLs — the domain-blocklist / per-domain-prior table."""
+    from ocr_spark.operators.web import domain_stats
+
+    return domain_stats(_docs(spark, sf_dir).withColumn("url", _synth_url()))
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup groups under canonical normalization
+    (operators/web.py url_dedup + functions/url.py url_normalize)."""
+    from ocr_spark.operators.web import url_dedup
+
+    return url_dedup(_docs(spark, sf_dir).withColumn("url", _synth_url()))
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-stage inverted index.  The driver canonicalizer hashes
     scalar columns only (pandas sort_values dies on list cells), so the
@@ -2306,6 +2371,111 @@ _ORACLES["ann_pq_fullrefine"] = _ORACLES["ann_topk"]
 _ORACLES["ann_ivfpq_full"] = _ORACLES["ann_topk"]
 
 
+def _url_sqls() -> None:
+    """Twins for the URL-curation family.  The synthesis CTEs mirror
+    ``_synth_url`` token-for-token (same md5-prefix hashes, same CASE
+    arms); parse/normalize/registered-domain mirror functions/url.py —
+    the regex and the multi-suffix IN-list are interpolated from the SAME
+    module constants, so the spec can never drift between engines."""
+    from ocr_spark.functions.url import MULTI_SUFFIXES, URL_RE
+
+    multi = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    keep = "x -> x <> '' and not starts_with(x, 'utm_')"
+    ctes = f"""
+base as (
+  select doc_id, lang, n_chars, source,
+         cast(doc_id as varchar) as d,
+         cast(doc_id % 200 as varchar) as g
+  from documents),
+hh as (
+  select *,
+         cast(('0x' || substr(md5(g), 1, 6)) as bigint) as hg,
+         cast(('0x' || substr(md5(d), 1, 6)) as bigint) as hd
+  from base),
+pieces as (
+  select doc_id, lang, n_chars, d, hd,
+         case when hg % 5 = 0 then 'http' else 'https' end as scheme,
+         (case when hg % 3 = 0 then 'www.' when hg % 3 = 1 then ''
+               else 'blog.' end
+          || source || '-' || cast(hg % 40 as varchar) || '.'
+          || case when hg % 7 = 0 then 'com' when hg % 7 = 1 then 'org'
+                  when hg % 7 = 2 then 'net' when hg % 7 = 3 then 'co.uk'
+                  when hg % 7 = 4 then 'com.au' when hg % 7 = 5 then 'io'
+                  else 'gov.uk' end) as host0,
+         '/' || source || '/page-' || g
+             || case when hd % 4 = 0 then '/' else '' end as pth0,
+         'id=' || g as q0
+  from hh),
+urls as (
+  select doc_id, lang, n_chars,
+         scheme || '://'
+         || case when hd % 11 = 0 then upper(host0) else host0 end
+         || case when hd % 13 = 0
+                 then case when scheme = 'https' then ':443' else ':80' end
+                 else '' end
+         || pth0
+         || case when hd % 6 = 0 then '?utm_source=feed&' || q0
+                 when hd % 6 = 1 then '?' || q0 || '&utm_campaign=x'
+                 when hd % 6 = 2 then '?' || q0 || '&ref=home'
+                 when hd % 6 = 3 then '?ref=home&' || q0
+                 when hd % 6 = 4 then '?' || q0
+                 else '' end
+         || case when hd % 9 = 0 then '#sec-' || d else '' end as url
+  from pieces),
+parsed as (
+  select doc_id, lang, n_chars,
+         regexp_extract(url, '{URL_RE}', 1) as sch,
+         regexp_extract(url, '{URL_RE}', 2) as hst,
+         regexp_extract(url, '{URL_RE}', 3) as prt,
+         regexp_extract(url, '{URL_RE}', 4) as pth,
+         regexp_extract(url, '{URL_RE}', 5) as qry
+  from urls),
+normed as (
+  select doc_id, lang, n_chars, lower(hst) as host,
+         lower(sch) || '://' || lower(hst)
+         || case when prt = '' then ''
+                 when lower(sch) = 'http' and prt = '80' then ''
+                 when lower(sch) = 'https' and prt = '443' then ''
+                 else ':' || prt end
+         || case when regexp_replace(pth, '/+$', '') = '' then '/'
+                 else regexp_replace(pth, '/+$', '') end
+         || case when len(list_filter(string_split(qry, '&'), {keep})) > 0
+                 then '?' || array_to_string(list_sort(
+                        list_filter(string_split(qry, '&'), {keep})), '&')
+                 else '' end as norm_url
+  from parsed)
+"""
+    _ORACLES["domain_stats"] = f"""
+with {ctes},
+hp as (select *, string_split(host, '.') as parts from normed),
+dom as (select doc_id, lang, n_chars, host, norm_url,
+        case when len(parts) >= 3
+                  and (parts[-2] || '.' || parts[-1]) in ({multi})
+             then parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+             when len(parts) >= 2 then parts[-2] || '.' || parts[-1]
+             else host end as domain
+        from hp)
+select domain,
+       cast(count(*) as bigint) as n_docs,
+       cast(count(distinct host) as bigint) as n_hosts,
+       cast(count(distinct norm_url) as bigint) as n_urls,
+       cast(sum(n_chars) as bigint) as sum_chars,
+       round(sum(case when lang = 'en' then 1 else 0 end) / count(*), 6)
+           as en_frac
+from dom group by domain
+"""
+    _ORACLES["url_dedup"] = f"""
+with {ctes}
+select norm_url,
+       min(doc_id) as keep_doc_id,
+       cast(count(*) - 1 as bigint) as n_dupes
+from normed group by norm_url
+"""
+
+
+_url_sqls()
+
+
 def _sampling_sqls() -> None:
     """Twins for the deterministic sampling family.  The predicate is the
     SAME 12-hex md5-prefix comparison the Spark operator plants (thresholds
@@ -2645,6 +2815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "media_neardup": _q_media_neardup,          # binary kernel seam — rows-only
+        "domain_stats": q_domain_stats,
+        "url_dedup": q_url_dedup,
         "inverted_index": q_inverted_index,
         "word_pages_raw": q_word_pages_raw,
         "ann_topk": q_ann_topk,

@@ -1,0 +1,90 @@
+"""Web-corpus curation over the URL key — URL-level dedup and per-domain
+rollups, the two curation moves every crawl pipeline runs before touching
+document *content* (RefinedWeb §3.1's url dedup + per-domain filters, C4's
+domain blocklisting; PAPERS.md).
+
+Both operators are pure Catalyst compositions over
+:mod:`ocr_spark.functions.url` — no Python in the hot path, and the only
+shuffles are the final aggregations:
+
+* ``url_dedup`` — groupBy on the *normalized* URL.  Keys are near-unique
+  (that is the point of a URL), so the shuffle is uniform; the aggregate
+  is min/count with map-side partial aggregation, never a list-agg, so a
+  pathological hot URL costs one combiner cell per map task, not a fat
+  row.
+* ``domain_stats`` — groupBy on the registered domain.  Domain count is
+  bounded (millions, not billions) and the aggregates are all
+  partial-aggregating counts/sums; the two distinct-counts rewrite into
+  a two-level aggregate whose first level keys on (domain, host/url) —
+  exactly the uniform expansion that defuses a mega-domain's skew (same
+  argument as the salted index agg, SURVEY §4.1, but here the secondary
+  key is natural instead of synthetic).
+
+At 100 TB the input projection is three thin columns (url, lang,
+n_chars) — parquet column pruning keeps document text/media bytes out of
+both shuffles entirely.
+
+Reference tie-in: the reference has no web surface; this is
+beyond-reference training-pipeline scope (SURVEY.md §2 LLM-data table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.url import (
+    registered_domain,
+    url_host,
+    url_normalize,
+)
+
+
+def url_dedup(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """Exact URL-level dedup groups: one row per normalized URL with the
+    kept representative (min doc_id — deterministic, engine-order-free)
+    and the number of discarded fetches.
+
+    Output: ``norm_url, keep_doc_id, n_dupes``.
+    """
+    return (
+        docs.select(
+            url_normalize(F.col(url_col)).alias("norm_url"), "doc_id"
+        )
+        .groupBy("norm_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            (F.count(F.lit(1)) - F.lit(1)).cast("bigint").alias("n_dupes"),
+        )
+    )
+
+
+def domain_stats(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-registered-domain curation rollup: the table a domain
+    blocklist / per-domain quality prior is derived from.
+
+    Expects ``doc_id``, ``url_col``, ``lang``, ``n_chars`` columns.
+    Output: ``domain, n_docs, n_hosts, n_urls, sum_chars, en_frac`` —
+    ``n_hosts``/``n_urls`` are exact distinct counts of lowercased host /
+    normalized URL, ``en_frac`` the exact-ratio English share rounded to
+    6 places (the cross-engine-stable rounding discipline of
+    operators/quality.py).
+    """
+    staged = docs.select(
+        registered_domain(url_host(F.col(url_col))).alias("domain"),
+        F.lower(url_host(F.col(url_col))).alias("host"),
+        url_normalize(F.col(url_col)).alias("norm_url"),
+        "lang",
+        "n_chars",
+    )
+    return staged.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.countDistinct("norm_url").alias("n_urls"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("en_frac"),
+    )

@@ -1,0 +1,131 @@
+"""URL curation: parse/registered-domain/normalize expressions
+(functions/url.py) and the dedup/rollup operators (operators/web.py).
+
+Normalization cases cover exactly the noise axes the spec promises to
+cancel (case, default ports, trailing slashes, utm params, param order,
+fragments) plus the ones it must NOT cancel (non-default port, non-utm
+params, path case).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.url import (
+    registered_domain,
+    url_host,
+    url_normalize,
+)
+from ocr_spark.operators.web import domain_stats, url_dedup
+
+
+def _norm(spark, url: str) -> str:
+    return (
+        spark.range(1)
+        .select(url_normalize(F.lit(url)).alias("n"))
+        .collect()[0]["n"]
+    )
+
+
+NORM_CASES = [
+    # case folding: scheme + host only, never the path
+    ("HTTPS://WWW.Example.COM/A/B", "https://www.example.com/A/B"),
+    # default ports dropped, non-default kept
+    ("https://a.com:443/x", "https://a.com/x"),
+    ("http://a.com:80/x", "http://a.com/x"),
+    ("http://a.com:443/x", "http://a.com:443/x"),
+    ("https://a.com:8080/x", "https://a.com:8080/x"),
+    # trailing-slash runs stripped; bare root stays '/'
+    ("https://a.com/x///", "https://a.com/x"),
+    ("https://a.com", "https://a.com/"),
+    ("https://a.com/", "https://a.com/"),
+    # utm params dropped, survivors sorted, empties dropped
+    ("https://a.com/x?utm_source=f&id=1", "https://a.com/x?id=1"),
+    ("https://a.com/x?ref=h&id=1", "https://a.com/x?id=1&ref=h"),
+    ("https://a.com/x?id=1&ref=h", "https://a.com/x?id=1&ref=h"),
+    ("https://a.com/x?utm_a=1&utm_b=2", "https://a.com/x"),
+    ("https://a.com/x?&&id=1&", "https://a.com/x?id=1"),
+    # fragment dropped
+    ("https://a.com/x#sec-2", "https://a.com/x"),
+    ("https://a.com/x?id=1#f", "https://a.com/x?id=1"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", NORM_CASES)
+def test_url_normalize(spark, raw, expected):
+    assert _norm(spark, raw) == expected
+
+
+DOMAIN_CASES = [
+    ("www.example.com", "example.com"),
+    ("blog.news.example.org", "example.org"),
+    ("BBC.CO.UK", "bbc.co.uk"),
+    ("www.bbc.co.uk", "bbc.co.uk"),
+    ("deep.sub.example.com.au", "example.com.au"),
+    ("example.io", "example.io"),
+    ("localhost", "localhost"),
+    # co.uk with nothing in front: the 2-label fallback applies
+    ("co.uk", "co.uk"),
+]
+
+
+@pytest.mark.parametrize("host,expected", DOMAIN_CASES)
+def test_registered_domain(spark, host, expected):
+    got = (
+        spark.range(1)
+        .select(registered_domain(F.lit(host)).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert got == expected
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, url string, lang string, n_chars bigint"
+    )
+
+
+def test_url_dedup_groups_fetch_noise(spark):
+    # four fetches of one page (case, port, utm, fragment noise) + one
+    # genuinely different page
+    rows = [
+        (1, "https://WWW.A.com/x?id=1&utm_s=f", "en", 10),
+        (2, "https://www.a.com:443/x/?id=1", "en", 10),
+        (3, "https://www.a.com/x?id=1#frag", "pt", 10),
+        (4, "https://www.a.com/x?utm_b=2&id=1", "en", 10),
+        (5, "https://www.a.com/y?id=1", "en", 10),
+    ]
+    got = {
+        r["norm_url"]: (r["keep_doc_id"], r["n_dupes"])
+        for r in url_dedup(_docs(spark, rows)).collect()
+    }
+    assert got == {
+        "https://www.a.com/x?id=1": (1, 3),
+        "https://www.a.com/y?id=1": (5, 0),
+    }
+
+
+def test_domain_stats_rollup(spark):
+    rows = [
+        (1, "https://www.shop.co.uk/a", "en", 100),
+        (2, "https://blog.shop.co.uk/b", "en", 50),
+        (3, "https://BLOG.shop.co.uk/b#x", "pt", 50),  # dup of 2's norm
+        (4, "https://other.com/c", "pt", 7),
+    ]
+    got = {r["domain"]: r for r in domain_stats(_docs(spark, rows)).collect()}
+    uk = got["shop.co.uk"]
+    assert (uk["n_docs"], uk["n_hosts"], uk["n_urls"]) == (3, 2, 2)
+    assert uk["sum_chars"] == 200
+    assert uk["en_frac"] == pytest.approx(0.666667)
+    assert got["other.com"]["n_docs"] == 1
+    assert got["other.com"]["en_frac"] == 0.0
+
+
+def test_parse_hostless_and_portful(spark):
+    host = (
+        spark.range(1)
+        .select(url_host(F.lit("https://h.io:9/p")).alias("h"))
+        .collect()[0]["h"]
+    )
+    assert host == "h.io"
