@@ -870,6 +870,21 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality classifier (operators/classifier.py
+    nb_quality): multinomial NB trained on lang='en' (positive) vs the
+    rest (negative), every document scored by quantized log-odds — train
+    AND inference fully oracle-gated."""
+    from ocr_spark.operators.classifier import nb_quality
+
+    docs = _docs(spark, sf_dir)
+    return nb_quality(
+        docs,
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+    )
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid Backoff bigram LM quality (operators/quality.py
     bigram_lm_quality): reference slice source='src2' is the model, every
@@ -1842,6 +1857,48 @@ from st
     # scores are bigint sums + exact integer ratios (sum() is HUGEINT in
     # DuckDB — cast back to bigint)
     "lm_quality": _lm_quality_sql(),
+    # nb_quality twin (operators/classifier.py): multinomial NB, lang='en'
+    # positives vs the rest; per-token deltas are differences of two
+    # INDIVIDUALLY-quantized micro-nat costs (quantize-then-subtract, the
+    # exact order the Spark plan uses), doc scores bigint sums + one
+    # quantized prior
+    "nb_quality": f"""
+with ptok as (select unnest({_NT}) as tok from documents where lang = 'en'),
+ntok as (select unnest({_NT}) as tok from documents where lang <> 'en'),
+cpt as (select tok, count(*) as cp from ptok group by tok),
+cnt as (select tok, count(*) as cn from ntok group by tok),
+vocab as (select tok, coalesce(cp, 0) as cp, coalesce(cn, 0) as cn
+          from cpt full join cnt using (tok)),
+stats as (select (select count(*) from ptok) + (select count(*) from vocab)
+                 + 1 as denom_p,
+                 (select count(*) from ntok) + (select count(*) from vocab)
+                 + 1 as denom_n,
+                 (select count(*) from documents where lang = 'en') as dp,
+                 (select count(*) from documents where lang <> 'en') as dn),
+deltas as (select tok,
+       cast(round(-ln((cn + 1) / (select denom_n from stats)) * 1e6, 0)
+            as bigint)
+     - cast(round(-ln((cp + 1) / (select denom_p from stats)) * 1e6, 0)
+            as bigint) as delta
+       from vocab),
+tok as (select doc_id, unnest({_NT}) as tok from documents),
+j as (select t.doc_id, d.delta from tok t left join deltas d using (tok)),
+agg as (select doc_id, count(*) as n_tokens,
+               cast(sum(case when delta is null then 1 else 0 end) as bigint)
+                   as n_oov,
+               cast(sum(coalesce(delta,
+                   cast(round(-ln(1 / (select denom_n from stats)) * 1e6, 0)
+                        as bigint)
+                 - cast(round(-ln(1 / (select denom_p from stats)) * 1e6, 0)
+                        as bigint))) as bigint) as evidence
+        from j group by doc_id),
+prior as (select cast(round(ln(cast((select dp from stats) as double)
+                  / (select dn from stats)) * 1e6, 0) as bigint) as p)
+select doc_id, n_tokens, n_oov,
+       cast(evidence + (select p from prior) as bigint) as logodds_micro,
+       (evidence + (select p from prior)) > 0 as pred
+from agg
+""",
     # ccnet_buckets twin (operators/quality.py ccnet_partition): the
     # quartile cutoffs are recomputed engine-side (quantile_cont ≡ Spark
     # percentile, the price_quantiles precedent) — comparison-robust to
@@ -2807,6 +2864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "html_extract": q_html_extract,
         "lm_quality": q_lm_quality,
+        "nb_quality": q_nb_quality,
         "dsir_select": q_dsir_select,
         "bigram_lm": q_bigram_lm,
         "ccnet_buckets": q_ccnet_buckets,
