@@ -11,12 +11,14 @@ bit-exact):
   array math (no shuffle): raw + distinct n-gram counts from one staged
   token column.
 * ``top_bigram_frac`` — share of the single most frequent bigram:
-  ``max(count per bigram) / total``.  Needs a mode, so bigrams are
-  EXPLODED to rows and aggregated per (doc_id, gram) — one shuffle on
-  uniform keys; a mega-doc spreads across its own gram space.  (An
-  in-array ``aggregate`` over distinct grams would be O(grams²) per row —
-  quadratic for exactly the repetitive documents this operator exists to
-  catch.)
+  ``max(count per bigram) / total``.  The mode of an array is the longest
+  run of equal ADJACENT elements after ``array_sort`` — so it computes as
+  sort + ``zip_with`` equality flags + one ``aggregate`` run-length scan,
+  all per-row Catalyst, O(grams·log grams), ZERO shuffles.  (The naive
+  in-array count-per-distinct-gram ``aggregate`` would be O(grams²) per
+  row — quadratic for exactly the repetitive documents this operator
+  exists to catch; the earlier explode-to-rows formulation was linear but
+  paid two corpus-wide shuffles for what is a per-document statistic.)
 
 Thresholds follow Gopher's shape (flag when the most frequent bigram
 covers > 20% of the text, or > 30% of trigrams are repeats) but are
@@ -46,35 +48,45 @@ def doc_repetition(
     flagged`` — one row per document with ≥ 3 tokens (shorter docs have
     no trigram signal, in both engines).
     """
+    # staged per the HOF rule: sort once into a named column; the lambdas
+    # below only touch accumulator fields and elements
     base = (
         docs.withColumn("_toks", norm_tokens(F.col("text")))
         .where(F.size("_toks") >= 3)
         .withColumn("_tri", ngrams(F.col("_toks"), 3))
         .withColumn("_bi", ngrams(F.col("_toks"), 2))
-        .select(
-            "doc_id",
-            F.size("_toks").cast("bigint").alias("n_tokens"),
-            F.round(
-                (F.size("_tri") - F.size(F.array_distinct("_tri")))
-                / F.size("_tri"),
-                6,
-            ).alias("dup_trigram_frac"),
-            F.explode("_bi").alias("bigram"),
+        .withColumn("_sb", F.array_sort("_bi"))
+        .withColumn(
+            # equal-adjacent flags over the sorted bigrams; empty when
+            # there is exactly one bigram (slice length 0)
+            "_eq",
+            F.expr(
+                "zip_with(slice(_sb, 1, size(_sb) - 1),"
+                " slice(_sb, 2, size(_sb) - 1), (a, b) -> a = b)"
+            ),
         )
     )
-    per_gram = base.groupBy(
-        "doc_id", "n_tokens", "dup_trigram_frac", "bigram"
-    ).agg(F.count(F.lit(1)).alias("c"))
-    return (
-        per_gram.groupBy("doc_id", "n_tokens", "dup_trigram_frac")
-        .agg(
-            F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac")
-        )
-        .withColumn(
-            "flagged",
-            (F.col("top_bigram_frac") > top_bigram_max)
-            | (F.col("dup_trigram_frac") > dup_trigram_max),
-        )
+    # mode count = longest TRUE run + 1: one O(grams) scan per row
+    top_c = F.expr(
+        "aggregate(_eq, named_struct('cur', 1L, 'best', 1L),"
+        " (acc, e) -> named_struct("
+        "   'cur', if(e, acc.cur + 1L, 1L),"
+        "   'best', greatest(acc.best, if(e, acc.cur + 1L, 1L))),"
+        " acc -> acc.best)"
+    )
+    return base.select(
+        "doc_id",
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.round(
+            (F.size("_tri") - F.size(F.array_distinct("_tri")))
+            / F.size("_tri"),
+            6,
+        ).alias("dup_trigram_frac"),
+        F.round(top_c / F.size("_bi"), 6).alias("top_bigram_frac"),
+    ).withColumn(
+        "flagged",
+        (F.col("top_bigram_frac") > top_bigram_max)
+        | (F.col("dup_trigram_frac") > dup_trigram_max),
     )
 
 
