@@ -1042,6 +1042,18 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(_docs(spark, sf_dir).withColumn("url", _synth_url()))
 
 
+def q_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest table (jobs/shards.py): pack → md5 shard
+    assignment → per-shard counts + order-invariant fingerprint sums —
+    the deterministic-output contract of write_training_shards, minus
+    the filesystem."""
+    from ocr_spark.jobs.shards import shard_assign, shard_stats
+    from ocr_spark.operators.packing import pack_sequences
+
+    seqs = pack_sequences(_docs(spark, sf_dir), seq_len=64)
+    return shard_stats(shard_assign(seqs, n_shards=8))
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-stage inverted index.  The driver canonicalizer hashes
     scalar columns only (pandas sort_values dies on list cells), so the
@@ -2532,6 +2544,23 @@ from normed group by norm_url
 
 _url_sqls()
 
+# shard_stats twin (jobs/shards.py): the pack_sequences twin wrapped with
+# the md5 shard assignment and the order-invariant fingerprint sum
+_ORACLES["shard_stats"] = f"""
+with seqs as ({_ORACLES["pack_sequences"]}),
+sh as (select cast(('0x' || substr(md5(source || '|'
+                  || cast(win_id as varchar)), 1, 12)) as bigint) % 8
+           as shard,
+       n_tokens, text
+       from seqs)
+select shard,
+       cast(count(*) as bigint) as n_seqs,
+       cast(sum(n_tokens) as bigint) as n_tokens,
+       cast(sum(cast(('0x' || substr(md5(text), 1, 12)) as bigint))
+            as bigint) as fp_sum
+from sh group by shard
+"""
+
 
 def _sampling_sqls() -> None:
     """Twins for the deterministic sampling family.  The predicate is the
@@ -2862,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
+        "shard_stats": q_shard_stats,
         "html_extract": q_html_extract,
         "lm_quality": q_lm_quality,
         "nb_quality": q_nb_quality,
