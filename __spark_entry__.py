@@ -1042,6 +1042,17 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(_docs(spark, sf_dir).withColumn("url", _synth_url()))
 
 
+def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist applied to documents (operators/web.py
+    domain_blocklist_filter): drop docs whose registered domain has
+    en_frac < 0.3 — the per-domain prior acting at document level."""
+    from ocr_spark.operators.web import domain_blocklist_filter
+
+    return domain_blocklist_filter(
+        _docs(spark, sf_dir).withColumn("url", _synth_url())
+    )
+
+
 def q_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard manifest table (jobs/shards.py): pack → md5 shard
     assignment → per-shard counts + order-invariant fingerprint sums —
@@ -2514,8 +2525,7 @@ normed as (
                  else '' end as norm_url
   from parsed)
 """
-    _ORACLES["domain_stats"] = f"""
-with {ctes},
+    dom_ctes = f"""{ctes},
 hp as (select *, string_split(host, '.') as parts from normed),
 dom as (select doc_id, lang, n_chars, host, norm_url,
         case when len(parts) >= 3
@@ -2523,7 +2533,9 @@ dom as (select doc_id, lang, n_chars, host, norm_url,
              then parts[-3] || '.' || parts[-2] || '.' || parts[-1]
              when len(parts) >= 2 then parts[-2] || '.' || parts[-1]
              else host end as domain
-        from hp)
+        from hp)"""
+    _ORACLES["domain_stats"] = f"""
+with {dom_ctes}
 select domain,
        cast(count(*) as bigint) as n_docs,
        cast(count(distinct host) as bigint) as n_hosts,
@@ -2539,6 +2551,16 @@ select norm_url,
        min(doc_id) as keep_doc_id,
        cast(count(*) - 1 as bigint) as n_dupes
 from normed group by norm_url
+"""
+    _ORACLES["domain_filter"] = f"""
+with {dom_ctes},
+stats as (select domain,
+                 round(sum(case when lang = 'en' then 1 else 0 end)
+                       / count(*), 6) as en_frac
+          from dom group by domain)
+select d.domain, d.doc_id, d.lang
+from dom d join stats s using (domain)
+where s.en_frac >= 0.3
 """
 
 
@@ -2905,6 +2927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_neardup": _q_media_neardup,          # binary kernel seam — rows-only
         "domain_stats": q_domain_stats,
         "url_dedup": q_url_dedup,
+        "domain_filter": q_domain_filter,
         "inverted_index": q_inverted_index,
         "word_pages_raw": q_word_pages_raw,
         "ann_topk": q_ann_topk,

@@ -59,6 +59,38 @@ def url_dedup(docs: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def domain_blocklist_filter(
+    docs: DataFrame,
+    url_col: str = "url",
+    min_lang_frac: float = 0.3,
+) -> DataFrame:
+    """Apply the per-domain prior: drop every document whose registered
+    domain falls below the language-share threshold (the C4/RefinedWeb
+    move — curation decisions at DOMAIN granularity, then applied to
+    documents).  Derives the blocklist from ``domain_stats`` on the same
+    input; production would read a persisted stats snapshot instead —
+    same plan shape either way.
+
+    The blocklist is the small side by construction (a subset of
+    domains, itself bounded), so it broadcasts for a shuffle-free
+    left-anti join; at extreme domain cardinality drop the explicit
+    broadcast hint and let AQE choose.
+
+    Output: ``domain, doc_id, lang`` for every KEPT document.
+    """
+    blocked = (
+        domain_stats(docs, url_col)
+        .where(F.col("en_frac") < min_lang_frac)
+        .select("domain")
+    )
+    staged = docs.select(
+        registered_domain(url_host(F.col(url_col))).alias("domain"),
+        "doc_id",
+        "lang",
+    )
+    return staged.join(F.broadcast(blocked), "domain", "left_anti")
+
+
 def domain_stats(docs: DataFrame, url_col: str = "url") -> DataFrame:
     """Per-registered-domain curation rollup: the table a domain
     blocklist / per-domain quality prior is derived from.

@@ -122,6 +122,21 @@ def test_domain_stats_rollup(spark):
     assert got["other.com"]["en_frac"] == 0.0
 
 
+def test_domain_blocklist_filter_drops_low_lang_domains(spark):
+    from ocr_spark.operators.web import domain_blocklist_filter
+
+    rows = [
+        (1, "https://good.com/a", "en", 10),
+        (2, "https://good.com/b", "en", 10),
+        (3, "https://good.com/c", "pt", 10),   # 2/3 en → kept
+        (4, "https://bad.com/a", "pt", 10),
+        (5, "https://bad.com/b", "zh", 10),    # 0/2 en → blocked
+    ]
+    kept = domain_blocklist_filter(_docs(spark, rows)).collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 2, 3]
+    assert {r["domain"] for r in kept} == {"good.com"}
+
+
 def test_parse_hostless_and_portful(spark):
     host = (
         spark.range(1)
