@@ -693,6 +693,18 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GR.neardup_clusters(pairs)
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster canonicalization (operators/graph.py
+    canonical_select): within each transitive near-dup cluster keep the
+    highest-n_chars document, doc_id tie-break — the KEEP policy on top
+    of dedup_components."""
+    pairs = D.minhash_lsh_dedup(_docs(spark, sf_dir), threshold=0.0)
+    scores = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").alias("score")
+    )
+    return GR.canonical_select(GR.neardup_clusters(pairs), scores)
+
+
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate removal (CCNet/RefinedWeb paragraph-dedup
     shape): 16-token windows shared by >2 docs are dropped and the
@@ -2566,6 +2578,19 @@ where s.en_frac >= 0.3
 
 _url_sqls()
 
+# dedup_canonical twin: the recursive-CTE components closure joined with
+# the n_chars score, best row per cluster under the same (score desc,
+# doc_id asc) order
+_ORACLES["dedup_canonical"] = f"""
+with comps as ({_ORACLES["dedup_components"]}),
+sc as (select c.component, c.doc_id, c.cluster_size, d.n_chars as score
+       from comps c join documents d using (doc_id))
+select component, doc_id as keep_doc_id, cluster_size, score as best_score
+from sc
+qualify row_number() over (partition by component
+                           order by score desc, doc_id asc) = 1
+"""
+
 # shard_stats twin (jobs/shards.py): the pack_sequences twin wrapped with
 # the md5 shard assignment and the order-invariant fingerprint sum
 _ORACLES["shard_stats"] = f"""
@@ -2906,6 +2931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
+        "dedup_canonical": q_dedup_canonical,
         "chunk_dedup": q_chunk_dedup,
         "doc_repetition": q_doc_repetition,
         "dedup_incremental": q_dedup_incremental,

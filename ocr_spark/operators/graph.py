@@ -144,6 +144,42 @@ def connected_components(
     return members.union(roots).distinct()
 
 
+def canonical_select(
+    clusters: DataFrame,
+    scores: DataFrame,
+    score_col: str = "score",
+) -> DataFrame:
+    """The dedup KEEP policy: within each near-dup cluster keep the
+    highest-scoring document (quality-aware canonicalization — pipelines
+    keep the best copy, not an arbitrary one), doc_id ascending as the
+    deterministic tie-break.
+
+    ``clusters`` is neardup_clusters output (``doc_id, component,
+    cluster_size``); ``scores`` maps ``doc_id`` to a comparable
+    ``score_col`` (any exact-ordered column — char count, quality rank).
+    One shuffle on ``component`` (the same key the cluster table was just
+    aggregated on) + a bounded per-cluster window.
+
+    Output: ``component, keep_doc_id, cluster_size, best_score``.
+    """
+    from pyspark.sql.window import Window
+
+    j = clusters.join(scores, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keep_doc_id"),
+            "cluster_size",
+            F.col(score_col).alias("best_score"),
+        )
+    )
+
+
 def neardup_clusters(pairs: DataFrame) -> DataFrame:
     """Near-dup pairs (a, b, …) → per-doc cluster assignment with the
     cluster representative (= min doc_id, the same keep-rule as exact

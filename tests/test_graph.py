@@ -89,3 +89,21 @@ def test_neardup_clusters_shape(spark):
     assert rows[3]["component"] == 1
     assert rows[11]["component"] == 10 and rows[11]["cluster_size"] == 2
     assert len(rows) == 5
+
+
+def test_canonical_select_keeps_best_scored(spark):
+    from ocr_spark.operators.graph import canonical_select
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a bigint, b bigint"
+    )
+    # doc 2 best in cluster {1,2,3}; tie in {10,11} → min doc_id wins
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9 - 2), (10, 4), (11, 4)],
+        "doc_id bigint, score bigint",
+    )
+    got = {
+        r["component"]: (r["keep_doc_id"], r["cluster_size"], r["best_score"])
+        for r in canonical_select(neardup_clusters(pairs), scores).collect()
+    }
+    assert got == {1: (2, 3, 9), 10: (10, 2, 4)}

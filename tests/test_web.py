@@ -137,6 +137,36 @@ def test_domain_blocklist_filter_drops_low_lang_domains(spark):
     assert {r["domain"] for r in kept} == {"good.com"}
 
 
+def test_url_normalize_idempotent_exhaustive(spark):
+    """norm(norm(u)) == norm(u) over the full component grid (1,920
+    combos): normalization output must be a fixed point, or dedup keys
+    would depend on how many times a pipeline stage normalized."""
+    import itertools
+
+    schemes = ["http", "HTTPS", "https", "HtTp"]
+    hosts = ["a.com", "WWW.Shop.CO.UK", "x-1.example.io"]
+    ports = ["", ":80", ":443", ":8080", ":8443"]
+    paths = ["", "/", "/p/q", "/p/q///"]
+    queries = ["", "?id=9", "?utm_s=1", "?z=2&id=9", "?id=9&utm_c=x&a=b",
+               "?&&"]
+    frags = ["", "#sec"]
+    rows = [
+        ("".join([s, "://", h, po, pa, q, f]),)
+        for s, h, po, pa, q, f in itertools.product(
+            schemes, hosts, ports, paths, queries, frags
+        )
+    ]
+    df = spark.createDataFrame(rows, "url string").select(
+        url_normalize(F.col("url")).alias("n1")
+    )
+    bad = (
+        df.select("n1", url_normalize(F.col("n1")).alias("n2"))
+        .where(F.col("n1") != F.col("n2"))
+        .collect()
+    )
+    assert bad == [], bad[:5]
+
+
 def test_parse_hostless_and_portful(spark):
     host = (
         spark.range(1)
