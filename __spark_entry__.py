@@ -705,6 +705,16 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GR.canonical_select(GR.neardup_clusters(pairs), scores)
 
 
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment (operators/sampling.py
+    leakage_safe_split): split keyed on the near-dup CLUSTER
+    representative, so no near-duplicate pair ever straddles splits."""
+    pairs = D.minhash_lsh_dedup(_docs(spark, sf_dir), threshold=0.0)
+    return SP.leakage_safe_split(
+        _docs(spark, sf_dir), GR.neardup_clusters(pairs)
+    )
+
+
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate removal (CCNet/RefinedWeb paragraph-dedup
     shape): 16-token windows shared by >2 docs are dropped and the
@@ -2591,6 +2601,22 @@ qualify row_number() over (partition by component
                            order by score desc, doc_id asc) = 1
 """
 
+# train_split twin: components closure → coalesce singleton components →
+# the SAME _threshold_hex literals the Spark plan plants
+_ORACLES["train_split"] = f"""
+with comps as ({_ORACLES["dedup_components"]}),
+j as (select d.doc_id, coalesce(c.component, d.doc_id) as component
+      from documents d left join comps c using (doc_id)),
+k as (select doc_id, component,
+             substr(md5('42|' || cast(component as varchar)), 1, 12) as kk
+      from j)
+select doc_id, component,
+       case when kk < '{SP._threshold_hex(0.8)}' then 'train'
+            when kk < '{SP._threshold_hex(0.8 + 0.1)}' then 'val'
+            else 'test' end as split
+from k
+"""
+
 # shard_stats twin (jobs/shards.py): the pack_sequences twin wrapped with
 # the md5 shard assignment and the order-invariant fingerprint sum
 _ORACLES["shard_stats"] = f"""
@@ -2932,6 +2958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
         "dedup_canonical": q_dedup_canonical,
+        "train_split": q_train_split,
         "chunk_dedup": q_chunk_dedup,
         "doc_repetition": q_doc_repetition,
         "dedup_incremental": q_dedup_incremental,

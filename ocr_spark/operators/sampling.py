@@ -285,3 +285,46 @@ def dsir_select(
         .orderBy(F.desc("key_micro"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    train_frac: float = 0.8,
+    val_frac: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic train/val/test assignment that can never leak a
+    near-duplicate across splits: the split key is the md5 sample key of
+    the document's near-dup CLUSTER representative, not of the document —
+    every member of a cluster lands in the same split by construction
+    (the standard eval-leakage defense; splitting per-doc after dedup
+    still leaks whenever dedup keeps borderline pairs).
+
+    ``clusters`` is ``neardup_clusters`` output (``doc_id, component``);
+    documents absent from it are singletons and key on their own doc_id
+    (``component = coalesce(component, doc_id)``).
+
+    Thresholding reuses the exact sampling discipline of this module:
+    one shared 12-hex key per component, cumulative hex thresholds for
+    (train, train+val), the SAME literal strings planted in the DuckDB
+    twin.  Scale shape: one broadcast-or-shuffle left join onto the
+    bounded cluster table + a narrow projection; no aggregation at all.
+
+    Output: ``doc_id, component, split`` with split ∈ train|val|test.
+    """
+    t_train = _threshold_hex(train_frac)
+    t_val = _threshold_hex(train_frac + val_frac)
+    j = docs.select("doc_id").join(
+        clusters.select("doc_id", "component"), "doc_id", "left"
+    )
+    comp = F.coalesce(F.col("component"), F.col("doc_id"))
+    k = sample_key(comp, seed)
+    return j.select(
+        "doc_id",
+        comp.alias("component"),
+        F.when(k < F.lit(t_train), "train")
+        .when(k < F.lit(t_val), "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -146,3 +146,35 @@ def test_sample_key_matches_duckdb(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.graph import neardup_clusters
+    from ocr_spark.operators.sampling import leakage_safe_split
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "a bigint, b bigint"
+    )
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    out = leakage_safe_split(docs, neardup_clusters(pairs))
+    assert out.count() == 200
+    # every component maps to exactly one split
+    straddle = (
+        out.groupBy("component")
+        .agg(F.countDistinct("split").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert straddle == 0
+    # paired docs share their component's split
+    by_id = {r["doc_id"]: r["split"] for r in out.collect()}
+    for i in range(0, 40, 2):
+        assert by_id[i] == by_id[i + 1]
+    # all three splits appear and train dominates
+    from collections import Counter
+
+    c = Counter(by_id.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
