@@ -705,6 +705,17 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GR.canonical_select(GR.neardup_clusters(pairs), scores)
 
 
+def q_web_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed web-curation pipeline (jobs/web_curate.py): url dedup
+    → domain prior → repetition filter → near-dup canonical keep →
+    leakage-safe split, end-to-end hash-gated against one recursive
+    DuckDB twin."""
+    from ocr_spark.jobs.web_curate import curate_web
+
+    out, _ = curate_web(_docs(spark, sf_dir).withColumn("url", _synth_url()))
+    return out
+
+
 def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test assignment (operators/sampling.py
     leakage_safe_split): split keyed on the near-dup CLUSTER
@@ -1289,14 +1300,18 @@ from s
 
 
 def _minhash_sql(
-    threshold: float = 0.0, k: int = 16, bands: int = 8, max_bucket: int = 1000
+    threshold: float = 0.0,
+    k: int = 16,
+    bands: int = 8,
+    max_bucket: int = 1000,
+    src: str = "documents",
 ) -> str:
     rows = k // bands
     band_key = " || '|' || ".join(
         f"cast(sig[band * {rows} + {r + 1}] as varchar)" for r in range(rows)
     )
     return f"""
-with toks as (select doc_id, {_NT} as t from documents),
+with toks as (select doc_id, {_NT} as t from {src}),
 sh as (select doc_id,
               list_distinct(list_transform(range(1, len(t) - 1),
                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) as shingles
@@ -1385,6 +1400,35 @@ votes as (select doc_id, bit,
 select doc_id,
        cast(sum(case when v > 0 then (cast(1 as bigint) << cast(bit as int)) else cast(0 as bigint) end) as bigint) as simhash
 from votes group by doc_id
+"""
+
+
+def _doc_repetition_sql(src: str = "documents") -> str:
+    """doc_repetition twin over any documents-shaped table (also the rep
+    stage inside web_curate): raw n-grams via 1-indexed range transforms,
+    exact integer ratios rounded identically, same >=3-token gate."""
+    return f"""
+with t as (select doc_id, {_NT} as toks from {src}),
+base as (select doc_id,
+                cast(len(toks) as bigint) as n_tokens,
+                list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) as tri,
+                list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1]) as bi
+         from t where len(toks) >= 3),
+tstat as (select doc_id, n_tokens,
+                 round(cast(len(tri) - len(list_distinct(tri)) as double)
+                       / len(tri), 6) as dup_trigram_frac,
+                 bi from base),
+grams as (select doc_id, n_tokens, dup_trigram_frac, unnest(bi) as bigram
+          from tstat),
+per as (select doc_id, n_tokens, dup_trigram_frac, bigram, count(*) as c
+        from grams group by doc_id, n_tokens, dup_trigram_frac, bigram)
+select doc_id, n_tokens, dup_trigram_frac,
+       round(cast(max(c) as double) / sum(c), 6) as top_bigram_frac,
+       (round(cast(max(c) as double) / sum(c), 6) > 0.20
+        or dup_trigram_frac > 0.30) as flagged
+from per group by doc_id, n_tokens, dup_trigram_frac
 """
 
 
@@ -1852,29 +1896,7 @@ from w group by doc_id, word
     "chunk_dedup": _chunk_dedup_sql(16, 2),
     # doc_repetition twin: raw n-grams via 1-indexed range transforms;
     # exact integer ratios rounded identically; same >=3-token gate
-    "doc_repetition": f"""
-with t as (select doc_id, {_NT} as toks from documents),
-base as (select doc_id,
-                cast(len(toks) as bigint) as n_tokens,
-                list_transform(range(1, len(toks) - 1),
-                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) as tri,
-                list_transform(range(1, len(toks)),
-                    i -> toks[i] || ' ' || toks[i+1]) as bi
-         from t where len(toks) >= 3),
-tstat as (select doc_id, n_tokens,
-                 round(cast(len(tri) - len(list_distinct(tri)) as double)
-                       / len(tri), 6) as dup_trigram_frac,
-                 bi from base),
-grams as (select doc_id, n_tokens, dup_trigram_frac, unnest(bi) as bigram
-          from tstat),
-per as (select doc_id, n_tokens, dup_trigram_frac, bigram, count(*) as c
-        from grams group by doc_id, n_tokens, dup_trigram_frac, bigram)
-select doc_id, n_tokens, dup_trigram_frac,
-       round(cast(max(c) as double) / sum(c), 6) as top_bigram_frac,
-       (round(cast(max(c) as double) / sum(c), 6) > 0.20
-        or dup_trigram_frac > 0.30) as flagged
-from per group by doc_id, n_tokens, dup_trigram_frac
-""",
+    "doc_repetition": _doc_repetition_sql(),
     "dedup_incremental": _incremental_minhash_sql(),
     "substring_scrub": _substring_scrub_sql(8, 2),
     "html_extract": _html_spans_sql(),
@@ -2584,6 +2606,54 @@ select d.domain, d.doc_id, d.lang
 from dom d join stats s using (domain)
 where s.en_frac >= 0.3
 """
+    # web_curate twin: the WHOLE composed web pipeline
+    # (jobs/web_curate.py) — url dedup → domain prior → repetition →
+    # components closure → canonical keep → leakage-safe split — in one
+    # recursive query built from the same stage twins
+    _ORACLES["web_curate"] = f"""
+with recursive {dom_ctes},
+keepu as (select min(doc_id) as doc_id from normed group by norm_url),
+dom1 as (select dm.domain, dm.doc_id, dm.lang from dom dm
+         join keepu using (doc_id)),
+dstat as (select domain,
+                 round(sum(case when lang = 'en' then 1 else 0 end)
+                       / count(*), 6) as en_frac
+          from dom1 group by domain),
+s2ids as (select dom1.doc_id from dom1 join dstat using (domain)
+          where dstat.en_frac >= 0.3),
+s2docs as (select d.* from documents d join s2ids using (doc_id)),
+rep as ({_doc_repetition_sql("s2docs")}),
+s3ids as (select s2docs.doc_id from s2docs left join rep using (doc_id)
+          where rep.flagged is null or not rep.flagged),
+s3docs as (select d.* from documents d join s3ids using (doc_id)),
+mhp as ({_minhash_sql(0.0, src="s3docs")}),
+nodes as (select a as n from mhp union select b as n from mhp),
+bidir as (select a as x, b as y from mhp union select b, a from mhp),
+walk(n, m) as (
+  select n, n from nodes
+  union
+  select w.n, b.y from walk w join bidir b on w.m = b.x
+),
+comp as (select n as doc_id, min(m) as component from walk group by n),
+scoredk as (select c.doc_id, c.component, d.n_chars from comp c
+            join documents d using (doc_id)),
+keepers as (select doc_id from scoredk
+            qualify row_number() over (partition by component
+                    order by n_chars desc, doc_id asc) = 1),
+s4ids as (select doc_id from s3ids
+          where doc_id not in (select doc_id from comp)
+          union all
+          select doc_id from keepers),
+fin as (select s.doc_id, coalesce(c.component, s.doc_id) as component
+        from s4ids s left join comp c using (doc_id))
+select doc_id, component,
+       case when substr(md5('42|' || cast(component as varchar)), 1, 12)
+                 < '{SP._threshold_hex(0.8)}' then 'train'
+            when substr(md5('42|' || cast(component as varchar)), 1, 12)
+                 < '{SP._threshold_hex(0.8 + 0.1)}' then 'val'
+            else 'test' end as split
+from fin
+"""
 
 
 _url_sqls()
@@ -2959,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_canonical": q_dedup_canonical,
         "train_split": q_train_split,
+        "web_curate": q_web_curate,
         "chunk_dedup": q_chunk_dedup,
         "doc_repetition": q_doc_repetition,
         "dedup_incremental": q_dedup_incremental,
