@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
 from collections.abc import Callable
 
 # the driver may import this file from any CWD; make the package resolvable
@@ -712,7 +713,7 @@ def q_web_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin."""
     from ocr_spark.jobs.web_curate import curate_web
 
-    out, _ = curate_web(_docs(spark, sf_dir).withColumn("url", _synth_url()))
+    out, _ = curate_web(_docs_with_url(spark, sf_dir))
     return out
 
 
@@ -1059,12 +1060,36 @@ def _synth_url() -> F.Column:
     return F.concat(scheme, F.lit("://"), hostraw, port, path, query, frag)
 
 
+def _docs_with_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ⊕ the deterministic synthesized ``url``, materialized
+    ONCE per (session, sf_dir) to a session-scoped temp parquet.
+
+    In production the URL is a real parquet column; the fixture must
+    behave like one.  Left as a live expression, the big ``_synth_url``
+    md5/CASE tree gets re-inlined into every reference ``url_normalize``
+    and ``registered_domain`` make (~8×), and the downstream hashAgg's
+    generated grouping-key method exceeds the JVM 64 KB limit — Spark
+    falls back to interpreted evaluation for the whole agg stage.
+    Materializing restores both the production plan shape (column scan →
+    codegen agg) and whole-stage compilation."""
+    key = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"ocr_spark_urls_{key}_{spark.sparkContext.applicationId}.parquet",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _docs(spark, sf_dir).withColumn("url", _synth_url()).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registered-domain curation rollup (operators/web.py) over
     synthesized URLs — the domain-blocklist / per-domain-prior table."""
     from ocr_spark.operators.web import domain_stats
 
-    return domain_stats(_docs(spark, sf_dir).withColumn("url", _synth_url()))
+    return domain_stats(_docs_with_url(spark, sf_dir))
 
 
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1072,7 +1097,7 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/web.py url_dedup + functions/url.py url_normalize)."""
     from ocr_spark.operators.web import url_dedup
 
-    return url_dedup(_docs(spark, sf_dir).withColumn("url", _synth_url()))
+    return url_dedup(_docs_with_url(spark, sf_dir))
 
 
 def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1081,9 +1106,7 @@ def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     en_frac < 0.3 — the per-domain prior acting at document level."""
     from ocr_spark.operators.web import domain_blocklist_filter
 
-    return domain_blocklist_filter(
-        _docs(spark, sf_dir).withColumn("url", _synth_url())
-    )
+    return domain_blocklist_filter(_docs_with_url(spark, sf_dir))
 
 
 def q_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
