@@ -273,3 +273,47 @@ def test_sorted_layout_skips_row_groups(spark, tmp_path):
     plan = checks.physical_plan(scan)
     assert "PushedFilters: [" in plan and "LessThanOrEqual(ts" in plan, plan
     assert scan.count() > 0
+
+
+def test_url_queries_survive_strict_codegen(spark):
+    """Whole-stage codegen must actually COMPILE for the URL family.
+
+    The trap (BENCH/BASELINE.md §3 finding 17): composing the live
+    synthesized-URL expression into url_normalize/registered_domain
+    re-inlines its md5/CASE tree ~8x, the generated hashAgg grouping-key
+    method exceeds the JVM 64 KB limit, and Spark silently drops the agg
+    stage to interpreted mode — correct results, big perf loss, zero
+    plan-shape change.  ``spark.sql.codegen.fallback=false`` turns that
+    silent fallback into an error, so this test fails if anyone
+    reintroduces an oversized expression into these paths.
+    """
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()
+    old = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        for name in ("url_dedup", "domain_stats", "domain_filter"):
+            assert q[name](spark, SF).count() > 0
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+def test_strict_codegen_gate_detects_the_trap(spark):
+    """Canary for the gate itself: the OLD inline-fixture form (the
+    synthesized URL left as a live expression under the domain rollup)
+    must THROW under fallback=false — proving the strict-codegen test
+    above can actually catch the 64 KB regression it guards against."""
+    import __spark_entry__ as entry_mod
+    from ocr_spark.operators.web import domain_blocklist_filter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "url", entry_mod._synth_url()
+    )
+    old = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        with pytest.raises(Exception, match="(?i)compil|codegen|64 ?KB|grows"):
+            domain_blocklist_filter(docs).count()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
