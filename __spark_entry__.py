@@ -1109,6 +1109,45 @@ def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_blocklist_filter(_docs_with_url(spark, sf_dir))
 
 
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level PageRank (operators/graph.py pagerank): the link-graph
+    quality prior over the registered-domain graph.  Links are synthesized
+    deterministically (each doc links to the domains of 3 arithmetically
+    derived peer docs — mirrored verbatim by the oracle's ``tgt`` CTE);
+    10 integer fixed-point iterations, damping 0.85, exact bigint ranks
+    (no float tolerance anywhere — see the operator docstring)."""
+    from ocr_spark.functions.url import registered_domain, url_host
+    from ocr_spark.operators.graph import pagerank
+
+    t = _docs_with_url(spark, sf_dir).select(
+        "doc_id", registered_domain(url_host(F.col("url"))).alias("domain")
+    )
+    n_docs = t.count()
+    tgt = t.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    ((F.col("doc_id") * 31 + k * 101) % n_docs)
+                    for k in (1, 2, 3)
+                ]
+            )
+        ).alias("dst_doc"),
+    )
+    edges = (
+        tgt.join(t.select("doc_id", F.col("domain").alias("src")), "doc_id")
+        .join(
+            t.select(
+                F.col("doc_id").alias("dst_doc"),
+                F.col("domain").alias("dst"),
+            ),
+            "dst_doc",
+        )
+        .select("src", "dst")
+    )
+    return pagerank(edges).select(F.col("node").alias("domain"), "rank")
+
+
 def q_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard manifest table (jobs/shards.py): pack → md5 shard
     assignment → per-shard counts + order-invariant fingerprint sums —
@@ -2677,6 +2716,48 @@ select doc_id, component,
             else 'test' end as split
 from fin
 """
+    # domain_pagerank twin: 10 unrolled integer fixed-point iterations —
+    # all-bigint arithmetic (sums cast back from hugeint) so the ranks
+    # hash-match Spark's bit-for-bit; damping 85/100, scale 1e9, dangling
+    # mass redistributed uniformly each round (graph.py pagerank).
+    scale, damp = 10**9, 85
+    pr_iters = ""
+    for i in range(1, 11):
+        p = f"r{i - 1}"
+        pr_iters += f""",
+d{i} as materialized (select cast(coalesce(sum(rank), 0) as bigint) as s
+         from {p} left join pro on {p}.node = pro.src
+         where pro.src is null),
+i{i} as materialized (select e.dst as node,
+                cast(sum((r.rank * {damp}) // (100 * o.d)) as bigint) as s
+         from pr_edges e join {p} r on e.src = r.node
+         join pro o on o.src = e.src
+         group by e.dst),
+r{i} as materialized (select n.node,
+                cast({scale * (100 - damp)} // (100 * (select c from prc))
+                     + ((select s from d{i}) * {damp})
+                       // (100 * (select c from prc))
+                     + coalesce(i{i}.s, 0) as bigint) as rank
+         from prn n left join i{i} on n.node = i{i}.node)"""
+    _ORACLES["domain_pagerank"] = f"""
+with {dom_ctes},
+tgt as (select d.doc_id,
+               (d.doc_id * 31 + k.k * 101)
+                   % (select count(*) from documents) as dst_doc
+        from documents d, (values (1), (2), (3)) as k(k)),
+pr_edges as materialized (select distinct s.domain as src, t.domain as dst
+             from tgt join dom s using (doc_id)
+             join dom t on tgt.dst_doc = t.doc_id
+             where s.domain <> t.domain),
+prn as materialized (select src as node from pr_edges
+                     union select dst from pr_edges),
+prc as materialized (select count(*) as c from prn),
+pro as materialized (select src, count(*) as d from pr_edges group by src),
+r0 as materialized (select node,
+              cast({scale} // (select c from prc) as bigint) as rank
+       from prn){pr_iters}
+select node as domain, rank from r10
+"""
 
 
 _url_sqls()
@@ -3061,6 +3142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
         "shard_stats": q_shard_stats,
+        "domain_pagerank": q_domain_pagerank,
         "html_extract": q_html_extract,
         "lm_quality": q_lm_quality,
         "nb_quality": q_nb_quality,

@@ -120,7 +120,7 @@ def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
         "range_join", "bm25_rank", "dsir_select", "bigram_lm",
         "ccnet_buckets", "pack_interleaved", "simhash_neardup",
         "nb_quality", "url_dedup", "domain_stats", "domain_filter",
-        "shard_stats", "web_curate",
+        "shard_stats", "web_curate", "domain_pagerank",
     ]
     # Per-workload scan tuning (the conf is runtime-settable): thin
     # TPC-H-ish tables are scan-bound and want the vectorized reader's

@@ -107,3 +107,67 @@ def test_canonical_select_keeps_best_scored(spark):
         for r in canonical_select(neardup_clusters(pairs), scores).collect()
     }
     assert got == {1: (2, 3, 9), 10: (10, 2, 4)}
+
+
+def _pagerank_model(edges, n_iter=10, damp=85, scale=10**9):
+    """Driver-side integer PageRank model mirroring graph.py pagerank
+    exactly (floor div everywhere, uniform dangling redistribution)."""
+    edges = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outd = {}
+    for s, _ in edges:
+        outd[s] = outd.get(s, 0) + 1
+    rank = {v: scale // n for v in nodes}
+    base = (scale * (100 - damp)) // (100 * n)
+    for _ in range(n_iter):
+        dang = sum(r for v, r in rank.items() if v not in outd)
+        flat = base + (dang * damp) // (100 * n)
+        inc = {v: 0 for v in nodes}
+        for s, d in edges:
+            inc[d] += (rank[s] * damp) // (100 * outd[s])
+        rank = {v: flat + inc[v] for v in nodes}
+    return rank
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # cycle + dangling sink: A<->B, C->A, A->D (D dangles)
+        [(1, 2), (2, 1), (3, 1), (1, 4)],
+        # star hub: everyone links to 0, 0 links nowhere (dangling hub)
+        [(1, 0), (2, 0), (3, 0), (4, 0)],
+        # chain with a self-loop and a duplicate edge (both must cancel)
+        [(1, 2), (2, 3), (3, 3), (1, 2), (3, 1)],
+    ],
+)
+def test_pagerank_matches_integer_model(spark, edges):
+    from ocr_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    assert got == _pagerank_model(edges)
+
+
+def test_pagerank_hub_outranks_and_mass_bounded(spark):
+    """Semantics sanity: the all-inlinks hub gets the top rank, and total
+    mass stays within floor-loss of the scale (never grows)."""
+    from ocr_spark.operators.graph import pagerank
+
+    edges = [(k, 0) for k in range(1, 8)] + [(0, 1)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    rows = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    # the 0<->1 cycle still oscillates at iteration 10, so assert the
+    # phase-independent property: both cycle members dwarf every leaf
+    leaves = [rows[k] for k in range(2, 8)]
+    assert min(rows[0], rows[1]) > 3 * max(leaves)
+    assert sum(rows.values()) <= 10**9
+    # floor losses are <= 1 micro-unit per edge+node per iteration
+    assert sum(rows.values()) >= 10**9 - 10 * (len(edges) + len(rows) + 2)
+
+
+def test_pagerank_empty_edges(spark):
+    from ocr_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([], "src bigint, dst bigint")
+    assert pagerank(df).count() == 0
