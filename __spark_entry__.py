@@ -2955,6 +2955,41 @@ def _q_contract_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
 
 
+def _q_media_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image–text pair mining (operators/multimodal.py caption_pairs)
+    over the REAL interleaved extraction output: kernel → span sequence →
+    nearest-8-words-per-side captions for every media span.  Exact DuckDB
+    twin composes the contract-extract twin with the same window math."""
+    from ocr_spark.operators.multimodal import caption_pairs
+
+    return caption_pairs(_q_contract_extract(spark, sf_dir), window=8)
+
+
+def _media_captions_sql(path: str, window: int = 8) -> str:
+    """caption_pairs twin: the contract-extract span projection, two
+    bounded string_agg window frames (NULL-skipping, like Spark's
+    collect_list of a CASE), longer-side-wins caption with before on
+    ties."""
+    return f"""
+with ce as ({_contract_extract_sql(path)}),
+cap as (
+  select doc_id, kind, media_ref,
+         coalesce(string_agg(case when kind = 'text' then text end, ' ')
+             over (partition by doc_id order by "offset"
+                   rows between {window} preceding and 1 preceding),
+             '') as cap_before,
+         coalesce(string_agg(case when kind = 'text' then text end, ' ')
+             over (partition by doc_id order by "offset"
+                   rows between 1 following and {window} following),
+             '') as cap_after
+  from ce)
+select doc_id, media_ref, cap_before, cap_after,
+       case when len(cap_after) > len(cap_before) then cap_after
+            else cap_before end as caption
+from cap where kind = 'media_ref'
+"""
+
+
 def _q_contract_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pipeline (extract → fingerprint → exact dedup →
     minhash-LSH near-dup removal → quality gate) on the deterministic
@@ -3176,6 +3211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,                 # iterative — pytest-gated
         "semantic_dedup": q_semantic_dedup,         # exact (seed-centroid), SQL twin
         "contract_extract": _q_contract_extract,    # exact SQL twin + pytest
+        "media_captions": _q_media_captions,
         "pack_interleaved": _q_pack_interleaved,    # exact SQL twin + pytest
         "contract_curate": _q_contract_curate,      # exact SQL twin + pytest
         "contract_ingest": _q_contract_ingest,      # pytest-oracled — binary input, no SQL
@@ -3396,4 +3432,5 @@ def oracle_sql() -> dict[str, str]:
         "contract_extract": _contract_extract_sql(path),
         "contract_curate": _contract_curate_sql(path),
         "pack_interleaved": _pack_interleaved_sql(path),
+        "media_captions": _media_captions_sql(path),
     }

@@ -317,3 +317,63 @@ def media_avg_hash(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(fn, AHASH_SCHEMA)
+
+
+def caption_pairs(spans: DataFrame, window: int = 8) -> DataFrame:
+    """Image–text pair mining over an interleaved span sequence — the
+    LAION/MMC4-style assignment step that turns an interleaved corpus
+    into (media, caption) training pairs, using the classic
+    text-adjacency baseline (MMC4 §3 assigns by CLIP score; its candidate
+    set is exactly this adjacency neighborhood).
+
+    Input: exploded reading-order span rows ``(doc_id, kind, text,
+    media_ref, offset)`` — the BASELINE.json span-sequence projection
+    (one word per text span).  For every ``media_ref`` span, collect the
+    nearest ``window`` text words on each side (media neighbors
+    contribute nothing — their slot is skipped, not their words
+    re-ordered), and pick the longer side as the caption (tie → before,
+    the side human captions favor).
+
+    Pure Catalyst: one shuffle on ``doc_id``, two bounded window frames,
+    media rows filtered after the frames.  Determinism: ``collect_list``
+    over a ``rowsBetween`` frame follows the frame's ``orderBy``, and the
+    per-word span rank is dense and unique within a doc, so the joined
+    caption string is exact — the DuckDB twin (``media_captions``)
+    hash-matches it.  Skew note: a mega-document is one window partition
+    (same bound as every per-doc window in this engine); frames stay
+    O(window), so the straggler cost is the doc's row count, never
+    O(doc²).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("offset")
+        .rowsBetween(-window, -1)
+    )
+    w_next = (
+        Window.partitionBy("doc_id").orderBy("offset").rowsBetween(1, window)
+    )
+    word = F.when(F.col("kind") == "text", F.col("text"))
+    return (
+        spans.withColumn(
+            "cap_before", F.concat_ws(" ", F.collect_list(word).over(w_prev))
+        )
+        .withColumn(
+            "cap_after", F.concat_ws(" ", F.collect_list(word).over(w_next))
+        )
+        .where(F.col("kind") == "media_ref")
+        .select(
+            "doc_id",
+            "media_ref",
+            "cap_before",
+            "cap_after",
+            F.when(
+                F.length("cap_after") > F.length("cap_before"),
+                F.col("cap_after"),
+            )
+            .otherwise(F.col("cap_before"))
+            .alias("caption"),
+        )
+    )
