@@ -1109,6 +1109,39 @@ def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_blocklist_filter(_docs_with_url(spark, sf_dir))
 
 
+def _snapshots(spark: SparkSession, sf_dir: str):
+    """Deterministic two-snapshot split of the documents table for the
+    drift family: A = even doc_ids, B = odd (same predicate in the
+    oracle)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    )
+
+
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 drifted vocabulary between two corpus snapshots
+    (operators/quality.py vocab_drift): per-word JSD contribution in
+    integer micro-nats on the common denominator — the crawl-monitoring
+    table.  Exactness per the lm_quality rule: one double ratio + one ln
+    per word, quantized immediately; everything after is bigint."""
+    from ocr_spark.operators.quality import vocab_drift
+
+    a, b = _snapshots(spark, sf_dir)
+    return vocab_drift(a, b, top_k=200)
+
+
+def q_corpus_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus-divergence summary (operators/quality.py
+    corpus_jsd): snapshot JSD in integer micro-nats + vocab/token counts
+    per side — the scalar a drift alarm thresholds on."""
+    from ocr_spark.operators.quality import corpus_jsd
+
+    a, b = _snapshots(spark, sf_dir)
+    return corpus_jsd(a, b)
+
+
 def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level PageRank (operators/graph.py pagerank): the link-graph
     quality prior over the registered-domain graph.  Links are synthesized
@@ -1491,6 +1524,61 @@ select doc_id, n_tokens, dup_trigram_frac,
        (round(cast(max(c) as double) / sum(c), 6) > 0.20
         or dup_trigram_frac > 0.30) as flagged
 from per group by doc_id, n_tokens, dup_trigram_frac
+"""
+
+
+def _drift_ctes() -> str:
+    """Shared CTEs for the drift family (quality.py _drift_counts):
+    even/odd snapshot split, full-outer word counts, per-word quantized
+    JSD contributions — the one double ratio + ln mirrored
+    token-for-token, everything downstream bigint."""
+    return f"""
+ta as (select unnest({_NT}) as word from documents where doc_id % 2 = 0),
+tb as (select unnest({_NT}) as word from documents where doc_id % 2 = 1),
+cta as (select word, cast(count(*) as bigint) as cnt_a from ta group by word),
+ctb as (select word, cast(count(*) as bigint) as cnt_b from tb group by word),
+na as (select cast(coalesce(sum(cnt_a), 0) as bigint) as n from cta),
+nb as (select cast(coalesce(sum(cnt_b), 0) as bigint) as n from ctb),
+dj as (select word,
+              coalesce(cnt_a, 0) as cnt_a, coalesce(cnt_b, 0) as cnt_b,
+              coalesce(cnt_a, 0) * (select n from nb) as ca_nb,
+              coalesce(cnt_b, 0) * (select n from na) as cb_na
+       from cta full outer join ctb using (word)),
+dc as (select word, cnt_a, cnt_b,
+              case when cnt_a > 0
+                   then cnt_a * cast(round(ln(2.0 * cast(ca_nb as double)
+                        / cast(ca_nb + cb_na as double)) * 1e6, 0) as bigint)
+                   else 0 end as contrib_a,
+              case when cnt_b > 0
+                   then cnt_b * cast(round(ln(2.0 * cast(cb_na as double)
+                        / cast(ca_nb + cb_na as double)) * 1e6, 0) as bigint)
+                   else 0 end as contrib_b
+       from dj)
+"""
+
+
+def _vocab_drift_sql(top_k: int = 200) -> str:
+    return f"""
+with {_drift_ctes()}
+select word, cnt_a, cnt_b,
+       contrib_a * (select n from nb) + contrib_b * (select n from na)
+           as drift
+from dc order by drift desc, word asc limit {top_k}
+"""
+
+
+def _corpus_jsd_sql() -> str:
+    return f"""
+with {_drift_ctes()}
+select cast(sum(contrib_a * (select n from nb)
+                + contrib_b * (select n from na)) as bigint)
+           // (2 * (select n from na) * (select n from nb)) as jsd_micro,
+       cast(count(*) as bigint) as vocab_union,
+       cast(sum(case when cnt_a > 0 then 1 else 0 end) as bigint) as vocab_a,
+       cast(sum(case when cnt_b > 0 then 1 else 0 end) as bigint) as vocab_b,
+       (select n from na) as tokens_a,
+       (select n from nb) as tokens_b
+from dc
 """
 
 
@@ -1959,6 +2047,8 @@ from w group by doc_id, word
     # doc_repetition twin: raw n-grams via 1-indexed range transforms;
     # exact integer ratios rounded identically; same >=3-token gate
     "doc_repetition": _doc_repetition_sql(),
+    "vocab_drift": _vocab_drift_sql(),
+    "corpus_jsd": _corpus_jsd_sql(),
     "dedup_incremental": _incremental_minhash_sql(),
     "substring_scrub": _substring_scrub_sql(8, 2),
     "html_extract": _html_spans_sql(),
@@ -3178,6 +3268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "shard_stats": q_shard_stats,
         "domain_pagerank": q_domain_pagerank,
+        "vocab_drift": q_vocab_drift,
+        "corpus_jsd": q_corpus_jsd,
         "html_extract": q_html_extract,
         "lm_quality": q_lm_quality,
         "nb_quality": q_nb_quality,

@@ -330,3 +330,129 @@ def ccnet_partition(
         .otherwise(F.lit(False))
         .alias("kept"),
     )
+
+
+def _drift_counts(a_docs: DataFrame, b_docs: DataFrame):
+    """Shared builder for the drift family: full-outer word counts of two
+    snapshots plus per-word quantized JSD contributions.
+
+    Returns ``(df, n_a, n_b)`` with columns ``word, cnt_a, cnt_b,
+    contrib_a, contrib_b``:
+
+        p = cnt_a/N_a, q = cnt_b/N_b, m = (p+q)/2
+        contrib_a = cnt_a · round(ln(p/m)·1e6)   (0 when cnt_a = 0)
+        contrib_b = cnt_b · round(ln(q/m)·1e6)   (0 when cnt_b = 0)
+
+    with ``p/m = 2·cnt_a·N_b / (cnt_a·N_b + cnt_b·N_a)`` — a ratio of
+    exact integers evaluated in one double division, so (lm_quality rule)
+    the ONLY float steps are that ratio and its ``ln``, quantized to
+    integer micro-nats immediately; everything downstream is bigint and
+    order-independent.  Snapshot totals are two driver scalars (the
+    tfidf/doc-count precedent).  Scale shape: one shuffle per snapshot on
+    ``word`` + one full-outer merge join on the same key; no broadcast of
+    anything corpus-sized.
+    """
+    def counts(docs: DataFrame, name: str) -> DataFrame:
+        return (
+            docs.select(F.explode(norm_tokens(F.col("text"))).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    ca, cb = counts(a_docs, "cnt_a"), counts(b_docs, "cnt_b")
+    n_a = int(ca.agg(F.coalesce(F.sum("cnt_a"), F.lit(0))).first()[0])
+    n_b = int(cb.agg(F.coalesce(F.sum("cnt_b"), F.lit(0))).first()[0])
+    j = (
+        ca.join(cb, "word", "full_outer")
+        .select(
+            "word",
+            F.coalesce("cnt_a", F.lit(0)).cast("bigint").alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).cast("bigint").alias("cnt_b"),
+        )
+        .withColumn("ca_nb", F.col("cnt_a") * F.lit(n_b))
+        .withColumn("cb_na", F.col("cnt_b") * F.lit(n_a))
+    )
+
+    def contrib(cnt: str, num: str) -> F.Column:
+        ratio = (F.lit(2.0) * F.col(num).cast("double")) / (
+            F.col("ca_nb") + F.col("cb_na")
+        ).cast("double")
+        micro = F.round(F.log(ratio) * 1e6, 0).cast("bigint")
+        return F.when(F.col(cnt) > 0, F.col(cnt) * micro).otherwise(
+            F.lit(0).cast("bigint")
+        )
+
+    out = j.select(
+        "word",
+        "cnt_a",
+        "cnt_b",
+        contrib("cnt_a", "ca_nb").alias("contrib_a"),
+        contrib("cnt_b", "cb_na").alias("contrib_b"),
+    )
+    return out, n_a, n_b
+
+
+def vocab_drift(
+    a_docs: DataFrame, b_docs: DataFrame, top_k: int = 200
+) -> DataFrame:
+    """Top-k drifted vocabulary between two corpus snapshots — the
+    monitoring table a continuously-crawled training corpus needs: which
+    words' frequencies moved most between yesterday's and today's crawl
+    (new spam campaign, source gone dark, language shift).
+
+    Per-word drift = the word's Jensen-Shannon divergence contribution
+    on the common denominator: ``contrib_a·N_b + contrib_b·N_a``
+    (bigint; ≥ 0 by JSD pointwise convexity — each word's two KL terms
+    can't both be negative).  Deterministic order: drift desc, word asc.
+    100 TB note: the rank key is ≤ N_a·N_b·ln2·1e6 — at trillion-token
+    snapshots cast the two products to ``decimal(38,0)`` before the sum;
+    bigint holds comfortably to ~10⁵-token snapshots per side squared.
+
+    Output: ``word, cnt_a, cnt_b, drift`` (top_k rows).
+    """
+    d, n_a, n_b = _drift_counts(a_docs, b_docs)
+    return (
+        d.select(
+            "word",
+            "cnt_a",
+            "cnt_b",
+            (
+                F.col("contrib_a") * F.lit(n_b)
+                + F.col("contrib_b") * F.lit(n_a)
+            ).alias("drift"),
+        )
+        .orderBy(F.col("drift").desc(), F.col("word").asc())
+        .limit(top_k)
+    )
+
+
+def corpus_jsd(a_docs: DataFrame, b_docs: DataFrame) -> DataFrame:
+    """One-row snapshot-divergence summary: the corpus-level JSD in
+    integer micro-nats, ``(Σcontrib_a div N_a + Σcontrib_b div N_b)
+    div 2``, plus the vocab and token counts per side — the scalar a
+    drift alarm thresholds on.  All-bigint after the per-word
+    quantization, so exact across engines.
+
+    The division happens on the NONNEGATIVE common-denominator form
+    ``Σ(contrib_a·N_b + contrib_b·N_a) div (2·N_a·N_b)`` — per-word that
+    numerator is ≥ 0 (JSD pointwise convexity), while ``Σcontrib_a``
+    alone can be negative, and negative integer division is where
+    engines disagree (Spark ``div`` truncates toward zero, DuckDB ``//``
+    floors)."""
+    d, n_a, n_b = _drift_counts(a_docs, b_docs)
+    return d.agg(
+        F.expr(
+            f"cast(sum(contrib_a * {max(n_b, 1)}"
+            f" + contrib_b * {max(n_a, 1)}) as bigint)"
+            f" div {2 * max(n_a, 1) * max(n_b, 1)}"
+        ).alias("jsd_micro"),
+        F.count(F.lit(1)).alias("vocab_union"),
+        F.sum(F.when(F.col("cnt_a") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("vocab_a"),
+        F.sum(F.when(F.col("cnt_b") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("vocab_b"),
+        F.lit(n_a).cast("bigint").alias("tokens_a"),
+        F.lit(n_b).cast("bigint").alias("tokens_b"),
+    )
