@@ -2573,6 +2573,38 @@ group by l_orderkey, o_orderdate
 order by revenue desc, l_orderkey asc
 limit 10
 """,
+    "q7_volume_shipping": """
+select supp_nation, cust_nation, year(l_shipdate) as l_year,
+       cast(sum(cast(l_extendedprice as decimal(18,2))
+                * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as double) as revenue,
+       count(*) as n_items
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join supplier on l_suppkey = s_suppkey
+join (select n_nationkey as s_nk, n_name as supp_nation from nation) n1
+  on s_nationkey = s_nk
+join (select n_nationkey as c_nk, n_name as cust_nation from nation) n2
+  on c_nationkey = c_nk
+where l_shipdate >= date '1996-01-01' and l_shipdate < date '1998-01-01'
+  and ((supp_nation = 'NATION_1' and cust_nation = 'NATION_2')
+       or (supp_nation = 'NATION_2' and cust_nation = 'NATION_1'))
+group by supp_nation, cust_nation, year(l_shipdate)
+""",
+    "q10_returned_items": """
+select c_custkey, c_name, c_acctbal, n_name,
+       cast(sum(cast(l_extendedprice as decimal(18,2))
+                * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as double) as revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+where l_returnflag = 'R'
+  and o_orderdate >= date '1996-01-01' and o_orderdate < date '1996-07-01'
+group by c_custkey, c_name, c_acctbal, n_name
+order by revenue desc, c_custkey asc
+limit 20
+""",
     "q5_region_revenue": """
 select r_name, n_name,
        cast(sum(cast(l_extendedprice as decimal(18,2))
@@ -3312,6 +3344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing": R.q1_pricing_summary,
         "q3_topk": R.q3_shipping_topk,
         "q5_region_revenue": R.q5_region_revenue,
+        "q7_volume_shipping": R.q7_volume_shipping,
+        "q10_returned_items": R.q10_returned_items,
         "window_top_customers": R.window_top_customers,
         "rollup_nation_region": R.rollup_nation_region,
         "setop_customer_churn": R.setop_customer_churn,

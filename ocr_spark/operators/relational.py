@@ -480,3 +480,112 @@ def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by o_orderkey
         """
     )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade flow — the one join graph where
+    the SAME dimension enters twice under different roles (supplier's
+    nation vs customer's nation) with a disjunctive pair predicate and
+    year bucketing.
+
+    Plan intent: nation broadcasts twice as two independent tiny hashed
+    relations (role-aliased projections — never a self-join shuffle);
+    the ship-date filter pushes to the lineitem scan; fact joins run on
+    pruned 2-3 column projections with AQE free to pick sides; the pair
+    predicate applies after both nation joins, pruning before the agg.
+    """
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+            "l_discount",
+        )
+        .where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue report — selective fact
+    filter (l_returnflag = 'R'), a quarter-window order filter, 4-way
+    join, per-customer agg, top-20 by revenue.
+
+    Plan intent: both selective filters push to their scans BEFORE the
+    join (the order-date window cuts orders ~12×, the return flag cuts
+    lineitem ~3×); nation broadcasts; the final top-20 is
+    TakeOrderedAndProject, never a global sort."""
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-07-01")
+        )
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+        .where(F.col("l_returnflag") == "R")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
