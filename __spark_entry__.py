@@ -1142,6 +1142,53 @@ def q_corpus_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_jsd(a, b)
 
 
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (operators/quality.py
+    compression_ratio): the Gopher-era zlib proxy — repetitive templates
+    compress far below prose, noise barely compresses.  Arrow-batched
+    kernel; rows-only gate (no SQL engine ships zlib) + pytest with
+    planted repetitive/noise/prose docs."""
+    from ocr_spark.operators.quality import compression_ratio
+
+    return compression_ratio(_docs(spark, sf_dir))
+
+
+# C4 fixture: multi-line synthesized pages over the word-soup documents
+# table, one rule-branch per residue class (ANSI, valid in both engines).
+# The word-soup substring line has no terminal punctuation — it exercises
+# the non-terminal drop on REAL table text, not only on planted literals.
+_C4_SYNTH = """concat_ws(chr(10),
+ concat('Paragraph one of doc ', cast(doc_id as string), ' opens with ',
+        substring(coalesce(text, ''), 1, 24), ' and ends cleanly.'),
+ case when doc_id % 2 = 0
+      then 'A second thought arrives here, and a third one follows it. So!'
+      end,
+ case when doc_id % 3 = 0 then 'Too short.' end,
+ case when doc_id % 4 = 0
+      then 'Please enable javascript to view the comments on this page.'
+      end,
+ substring(coalesce(text, ''), 1, 32),
+ case when doc_id % 5 = 0
+      then 'The classic lorem ipsum filler text shows up on this line.'
+      end,
+ case when doc_id % 7 = 0
+      then 'var config = { mode: full } runs on page load every time.'
+      end,
+ 'Trailing navigation crumbs')"""
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic cleaning (operators/quality.py c4_line_filter,
+    Raffel et al. 2020 §2.2): line-level terminal-punct / ≥5-word /
+    no-javascript keeps, page-level ≥3-sentence / lorem / brace kills,
+    over ``_C4_SYNTH`` multi-line pages.  Zero shuffle — one staged
+    array filter HOF fused into the scan stage."""
+    from ocr_spark.operators.quality import c4_line_filter
+
+    docs = _docs(spark, sf_dir).withColumn("text", F.expr(_C4_SYNTH))
+    return c4_line_filter(docs)
+
+
 def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level PageRank (operators/graph.py pagerank): the link-graph
     quality prior over the registered-domain graph.  Links are synthesized
@@ -2931,6 +2978,49 @@ from sh group by shard
 """
 
 
+def _c4_clean_sql() -> str:
+    """c4_clean twin: every rule replayed from the SAME frozen constants
+    in operators/quality.py — list_filter mirrors the Spark filter HOF,
+    regexp semantics line up (RE2 '[.!?\"]$' on the rtrimmed line ==
+    Java's, no MULTILINE in play), and the sentence counter is the same
+    '[.!?]' extract-all length."""
+    from ocr_spark.operators import quality as Q
+
+    min_w, min_s = int(Q.C4_MIN_WORDS), int(Q.C4_MIN_SENTENCES)
+    return f"""
+with synth as (select doc_id, {_C4_SYNTH} as text from documents),
+ls as (select doc_id, string_split(coalesce(text, ''), chr(10)) as ls
+       from synth),
+kept as (select doc_id, cast(len(ls) as bigint) as n_lines,
+                list_filter(ls, l ->
+                    regexp_matches(rtrim(l), '{Q.C4_TERMINAL_RE}')
+                    and len(regexp_split_to_array(trim(l), '\\s+'))
+                        >= {min_w}
+                    and not contains(lower(l), '{Q.C4_LINE_BAD}')) as kls
+         from ls),
+staged as (select doc_id, n_lines,
+                  cast(len(kls) as bigint) as n_kept_lines,
+                  array_to_string(kls, chr(10)) as text_clean
+           from kept),
+page as (select doc_id, n_lines, n_kept_lines,
+                cast(len(regexp_extract_all(text_clean, '[.!?]'))
+                     as bigint) as n_sentences,
+                contains(lower(text_clean), '{Q.C4_PAGE_LOREM}')
+                    as has_lorem,
+                contains(text_clean, '{Q.C4_PAGE_BRACE}') as has_brace,
+                text_clean
+         from staged)
+select doc_id, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace,
+       (n_sentences >= {min_s} and not has_lorem and not has_brace)
+           as keep,
+       text_clean
+from page
+"""
+
+
+_ORACLES["c4_clean"] = _c4_clean_sql()
+
+
 def _sampling_sqls() -> None:
     """Twins for the deterministic sampling family.  The predicate is the
     SAME 12-hex md5-prefix comparison the Spark operator plants (thresholds
@@ -3302,6 +3392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_pagerank": q_domain_pagerank,
         "vocab_drift": q_vocab_drift,
         "corpus_jsd": q_corpus_jsd,
+        "compression_ratio": q_compression_ratio,  # rows-only: zlib kernel
+        "c4_clean": q_c4_clean,
         "html_extract": q_html_extract,
         "lm_quality": q_lm_quality,
         "nb_quality": q_nb_quality,

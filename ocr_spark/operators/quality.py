@@ -456,3 +456,158 @@ def corpus_jsd(a_docs: DataFrame, b_docs: DataFrame) -> DataFrame:
         F.lit(n_a).cast("bigint").alias("tokens_a"),
         F.lit(n_b).cast("bigint").alias("tokens_b"),
     )
+
+
+def compression_ratio(
+    docs: DataFrame,
+    low: float = 0.30,
+    high: float = 0.75,
+    level: int = 6,
+) -> DataFrame:
+    """Compression-ratio quality signal (the Gopher-era zlib proxy, Rae
+    et al. 2021 App. A): ``compressed_bytes / raw_bytes`` of the UTF-8
+    text.  Highly repetitive boilerplate compresses far below normal
+    prose (ratio < ``low`` → flagged repetitive); random/binary-ish
+    noise barely compresses (ratio > ``high`` → flagged noise; note
+    random *ASCII* tops out near 0.78 — entropy coding of a 62-symbol
+    alphabet costs ~5.95 bits/char — so the noise bar sits at 0.75,
+    not near 1.0 as it would for raw bytes).  It
+    catches repetition structures the n-gram rules miss (long-period
+    templates, interleaved repeats) at one pass over the bytes.
+
+    Arrow-batched ``mapInArrow`` kernel (zlib is C-speed; the Python loop
+    is per-document, not per-token, and each batch is one GIL-held burst)
+    — no shuffle, linear scan, the narrow-stage shape of the extraction
+    kernel.  Ratios are quantized to integer micro-units
+    (``round(c/r·1e6)``) so downstream thresholds are exact integer
+    comparisons; zlib output length is deterministic for a fixed level
+    and library version, and the container pins one zlib — the gate is
+    rows-only + pytest (no SQL engine ships zlib), same class as the
+    multimodal kernels.
+
+    Output: ``doc_id, raw_bytes, comp_bytes, ratio_micro, flag``
+    (flag ∈ ok|repetitive|noise; empty docs flag ``noise`` — zero signal).
+    """
+    import pyarrow as pa
+
+    lo_q, hi_q = int(low * 1e6), int(high * 1e6)
+    ddl = (
+        "doc_id bigint, raw_bytes bigint, comp_bytes bigint, "
+        "ratio_micro bigint, flag string"
+    )
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("raw_bytes", pa.int64()),
+            ("comp_bytes", pa.int64()),
+            ("ratio_micro", pa.int64()),
+            ("flag", pa.string()),
+        ]
+    )
+
+    def fn(it):
+        import zlib
+
+        for batch in it:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            raw, comp, ratio, flag = [], [], [], []
+            for t in texts:
+                b = (t or "").encode("utf-8")
+                c = zlib.compress(b, level) if b else b""
+                r_q = round(len(c) / len(b) * 1e6) if b else 10**6 * 2
+                raw.append(len(b))
+                comp.append(len(c))
+                ratio.append(r_q)
+                flag.append(
+                    "repetitive"
+                    if r_q < lo_q
+                    else ("noise" if r_q > hi_q else "ok")
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(raw, pa.int64()),
+                    pa.array(comp, pa.int64()),
+                    pa.array(ratio, pa.int64()),
+                    pa.array(flag, pa.string()),
+                ],
+                schema=out_schema,
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(fn, ddl)
+
+
+# --- C4 heuristic clean (Raffel et al. 2020 §2.2) -----------------------
+
+# Frozen C4 constants, shared verbatim with the DuckDB twin.
+C4_MIN_WORDS = 5          # a line must carry >= 5 whitespace words
+C4_MIN_SENTENCES = 3      # a page must keep >= 3 sentences
+C4_TERMINAL_RE = '[.!?"]$'  # line must end in terminal punctuation
+C4_LINE_BAD = "javascript"  # cookie-warning marker (line-level drop)
+C4_PAGE_LOREM = "lorem ipsum"  # page-level drops
+C4_PAGE_BRACE = "{"
+
+
+def c4_line_filter(docs: DataFrame) -> DataFrame:
+    """C4 heuristic cleaning (Raffel et al. 2020 §2.2) — the line-level
+    rule-set every large text corpus since C4 starts from:
+
+    * keep only lines that end in terminal punctuation (``. ! ? "``),
+    * carry >= ``C4_MIN_WORDS`` whitespace words,
+    * and do not mention "javascript" (the cookie-warning heuristic);
+    * then keep only pages whose retained text has >=
+      ``C4_MIN_SENTENCES`` sentences (terminal-punct occurrences — the
+      deterministic cross-engine analog of the paper's nltk splitter),
+      no "lorem ipsum", and no ``{`` (code page marker).
+
+    Pure Catalyst, zero shuffle: one ``split`` on newline into a staged
+    array column, one ``filter`` HOF whose lambda touches only the line
+    element (per-element regexps are inherently per-element — the
+    HOF-staging rule bars *re-inlined shared* subexpressions, not these),
+    one ``array_join`` back.  At 10^12 docs this is a narrow scan stage
+    fused into whole-stage codegen — the same shape as `doc_repetition`.
+
+    Output: ``doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
+    has_brace, keep, text_clean`` (one row per document; null text =
+    empty page, dropped).  The DuckDB twin mirrors every rule from the
+    same frozen constants.
+    """
+    min_w = int(C4_MIN_WORDS)
+    lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
+    base = docs.select("doc_id", lines.alias("_lines"))
+    kept = F.filter(
+        F.col("_lines"),
+        lambda l: (
+            F.rtrim(l).rlike(C4_TERMINAL_RE)
+            & (F.size(F.split(F.trim(l), r"\s+")) >= min_w)
+            & ~F.lower(l).contains(C4_LINE_BAD)
+        ),
+    )
+    staged = base.select(
+        "doc_id",
+        F.size("_lines").cast("bigint").alias("n_lines"),
+        kept.alias("_kept"),
+    ).select(
+        "doc_id",
+        "n_lines",
+        F.size("_kept").cast("bigint").alias("n_kept_lines"),
+        F.array_join("_kept", "\n").alias("text_clean"),
+    )
+    n_sent = F.size(
+        F.regexp_extract_all(F.col("text_clean"), F.lit("[.!?]"), 0)
+    ).cast("bigint")
+    has_lorem = F.lower("text_clean").contains(C4_PAGE_LOREM)
+    has_brace = F.col("text_clean").contains(C4_PAGE_BRACE)
+    return staged.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        n_sent.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (
+            (n_sent >= int(C4_MIN_SENTENCES)) & ~has_lorem & ~has_brace
+        ).alias("keep"),
+        "text_clean",
+    )

@@ -83,3 +83,42 @@ def test_drift_ranks_the_moved_word_first(spark):
     b = _docs(spark, ["spam spam spam spam the cat"], start_id=10)
     top = vocab_drift(a, b).collect()[0]
     assert top["word"] == "spam"
+
+
+# --- compression-ratio signal (same quality module) ---------------------
+
+
+def test_compression_ratio_flags(spark):
+    import random
+    import string
+    import zlib
+
+    rng = random.Random(7)
+    prose = (
+        "In the spring of that year the valley flooded twice, once after "
+        "the thaw and again when a storm stalled over the ridge for three "
+        "days. Farmers moved their herds to higher pasture while engineers "
+        "argued about whether the old levee could be raised before autumn. "
+        "A survey crew mapped the channel, noting gravel bars that had "
+        "shifted half a mile downstream since the chart of 1987."
+    )
+    repetitive = "buy now click here " * 60
+    noise = "".join(rng.choice(string.ascii_letters + string.digits)
+                    for _ in range(800))
+    docs = spark.createDataFrame(
+        [(1, prose), (2, repetitive), (3, noise), (4, ""), (5, None)],
+        "doc_id bigint, text string",
+    )
+    from ocr_spark.operators.quality import compression_ratio
+
+    rows = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    assert rows[1]["flag"] == "ok"
+    assert rows[2]["flag"] == "repetitive"
+    assert rows[3]["flag"] == "noise"
+    assert rows[4]["flag"] == "noise" and rows[4]["raw_bytes"] == 0
+    assert rows[5]["flag"] == "noise"
+    # ratio is the exact zlib micro-ratio, same library the kernel uses
+    b = prose.encode()
+    assert rows[1]["ratio_micro"] == round(
+        len(zlib.compress(b, 6)) / len(b) * 1e6
+    )
