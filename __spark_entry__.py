@@ -727,6 +727,14 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle (operators/
+    sampling.py epoch_shuffle): md5(seed|epoch|doc_id) order key, global
+    order expressed as (shard, pos-within-shard) — never a single-task
+    global row_number.  2 epochs × 8 shards over documents."""
+    return SP.epoch_shuffle(_docs(spark, sf_dir), epochs=2, n_shards=8)
+
+
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate removal (CCNet/RefinedWeb paragraph-dedup
     shape): 16-token windows shared by >2 docs are dropped and the
@@ -3020,6 +3028,24 @@ from page
 
 _ORACLES["c4_clean"] = _c4_clean_sql()
 
+# epoch_shuffle twin (operators/sampling.py): identical md5(seed|epoch|
+# doc_id) key, identical 12-hex-prefix shard, rank within (epoch, shard)
+_ORACLES["epoch_shuffle"] = """
+with e as (select unnest(range(0, 2)) as epoch),
+k as (select e.epoch, d.doc_id,
+             md5('42|' || cast(e.epoch as varchar) || '|'
+                 || cast(d.doc_id as varchar)) as key
+      from documents d cross join e),
+s as (select epoch, doc_id, key,
+             cast(('0x' || substr(key, 1, 12)) as bigint) % 8 as shard
+      from k)
+select epoch, shard,
+       cast(row_number() over (partition by epoch, shard
+                               order by key, doc_id) as bigint) as pos,
+       doc_id
+from s
+"""
+
 
 def _sampling_sqls() -> None:
     """Twins for the deterministic sampling family.  The predicate is the
@@ -3380,6 +3406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_canonical": q_dedup_canonical,
         "train_split": q_train_split,
+        "epoch_shuffle": q_epoch_shuffle,
         "web_curate": q_web_curate,
         "chunk_dedup": q_chunk_dedup,
         "doc_repetition": q_doc_repetition,

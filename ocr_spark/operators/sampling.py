@@ -328,3 +328,67 @@ def leakage_safe_split(
         .otherwise("test")
         .alias("split"),
     )
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    epochs: int = 2,
+    n_shards: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle — the data-loader
+    contract of every LLM training run: each epoch must visit the corpus
+    in a fresh pseudo-random order, the order must be reproducible from
+    (seed, epoch) alone, and at 10^12 docs it must materialize WITHOUT a
+    global sort into one reducer.
+
+    Order key: ``md5(seed|epoch|doc_id)`` — a new independent permutation
+    per epoch, stable under any partitioning or engine.  The global order
+    is expressed as ``(shard, pos)``: shard is the bigint of the key's
+    first 12 hex chars mod ``n_shards`` (the shards.py idiom), pos is the
+    rank *within* the (epoch, shard) partition.  A consumer reads shards
+    0..n-1 sequentially (or round-robins them); because the key is
+    md5-uniform, interleaving shards is itself an unbiased shuffle.
+
+    Scale shape: ONE shuffle per epoch — the window partitions by
+    (epoch, shard), so rank assignment runs ``epochs × n_shards``
+    independent bounded tasks; there is deliberately NO
+    ``row_number() OVER (ORDER BY key)`` anywhere — a global dense rank
+    would funnel the entire corpus through a single task.  In production
+    n_shards is sized so docs/n_shards fits a task (~10^5 shards at
+    10^12 docs).
+
+    Output: ``epoch, shard, pos, doc_id`` (pos is 1-based, dense within
+    its shard).  Beyond-reference scope (training-data pipeline tier,
+    SURVEY.md §2 LLM-data table); the DuckDB twin replays the identical
+    key and window.
+    """
+    e = F.explode(
+        F.array(*[F.lit(i).cast("bigint") for i in range(int(epochs))])
+    ).alias("epoch")
+    keyed = docs.select("doc_id", e).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(int(seed))),
+                F.col("epoch").cast("string"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("_key"),
+    )
+    shard = (
+        F.conv(F.substring("_key", 1, _HEX_DIGITS), 16, 10).cast("bigint")
+        % F.lit(int(n_shards))
+    ).alias("shard")
+    w = Window.partitionBy("epoch", "shard").orderBy("_key", "doc_id")
+    return (
+        keyed.select("epoch", shard, "doc_id", "_key")
+        .select(
+            "epoch",
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+            "doc_id",
+        )
+    )
