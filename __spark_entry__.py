@@ -1161,6 +1161,35 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio(_docs(spark, sf_dir))
 
 
+def q_fix_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding repair + NFC normalization (operators/textfix.py
+    fix_text, the ftfy-lite pass): mojibake planted on every 3rd doc
+    (utf-8-as-cp1252 'cafÃ©'), NFD on every 5th, NBSP on every 7th —
+    the kernel must repair exactly those and pass the rest through.
+    Rows-only gate (no SQL engine transcodes encodings) + pytest
+    anchors in tests/test_textfix.py."""
+    from ocr_spark.operators.textfix import fix_text
+
+    moj = "café naïve".encode("utf-8").decode("cp1252")
+    nfd = "étude"
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" " + moj)).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" " + nfd)).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" end")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return fix_text(docs)
+
+
 # C4 fixture: multi-line synthesized pages over the word-soup documents
 # table, one rule-branch per residue class (ANSI, valid in both engines).
 # The word-soup substring line has no terminal punctuation — it exercises
@@ -3421,6 +3450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_jsd": q_corpus_jsd,
         "compression_ratio": q_compression_ratio,  # rows-only: zlib kernel
         "c4_clean": q_c4_clean,
+        "fix_text": q_fix_text,  # rows-only: transcoding kernel
         "html_extract": q_html_extract,
         "lm_quality": q_lm_quality,
         "nb_quality": q_nb_quality,
