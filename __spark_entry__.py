@@ -1190,6 +1190,31 @@ def q_fix_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fix_text(docs)
 
 
+# JSONL fixture: plant every escape-relevant special through chr() codes
+# (NEVER backslash string literals — Spark SQL processes them, DuckDB
+# standard strings don't; chr() sidesteps both engines' literal rules).
+_JSONL_SYNTH = """concat_ws('',
+ coalesce(text, ''),
+ case when doc_id % 4 = 0
+      then concat(' said ', chr(34), 'quoted', chr(34)) end,
+ case when doc_id % 5 = 0 then concat(' back', chr(92), 'slash') end,
+ case when doc_id % 6 = 0 then concat(' line', chr(10), 'break') end,
+ case when doc_id % 7 = 0
+      then concat(' tab', chr(9), 'cr', chr(13), 'end') end)"""
+
+
+def q_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL training export (sources/exporters.py jsonl_records):
+    compact one-object-per-line records assembled by deterministic
+    concatenation, hash-gated byte-for-byte against the DuckDB twin
+    over text with planted quotes/backslashes/newlines/tabs."""
+    from ocr_spark.sources.exporters import jsonl_records
+
+    return jsonl_records(
+        _docs(spark, sf_dir).withColumn("text", F.expr(_JSONL_SYNTH))
+    )
+
+
 # C4 fixture: multi-line synthesized pages over the word-soup documents
 # table, one rule-branch per residue class (ANSI, valid in both engines).
 # The word-soup substring line has no terminal punctuation — it exercises
@@ -3015,6 +3040,40 @@ from sh group by shard
 """
 
 
+# jsonl_export twin (sources/exporters.py jsonl_records): identical
+# escape chain, constants built from chr() on both sides (see
+# _JSONL_SYNTH note); backslash first, then quote, \n, \r, \t.
+def _jsonl_sql() -> str:
+    def esc_chain(field: str) -> str:
+        e = f"replace({field}, chr(92), chr(92) || chr(92))"
+        e = f"replace({e}, chr(34), chr(92) || chr(34))"
+        e = f"replace({e}, chr(10), chr(92) || 'n')"
+        e = f"replace({e}, chr(13), chr(92) || 'r')"
+        return f"replace({e}, chr(9), chr(92) || 't')"
+
+    def jstr(field: str) -> str:
+        return (
+            f"case when {field} is null then 'null' "
+            f"else chr(34) || {esc_chain(field)} || chr(34) end"
+        )
+
+    return f"""
+with synth as (select doc_id, {_JSONL_SYNTH} as text, lang, source
+               from documents)
+select doc_id,
+       '{{"doc_id":' ||
+       case when doc_id is null then 'null'
+            else cast(doc_id as varchar) end ||
+       ',"text":' || {jstr('text')} ||
+       ',"lang":' || {jstr('lang')} ||
+       ',"source":' || {jstr('source')} || '}}' as value
+from synth
+"""
+
+
+_ORACLES["jsonl_export"] = _jsonl_sql()
+
+
 def _c4_clean_sql() -> str:
     """c4_clean twin: every rule replayed from the SAME frozen constants
     in operators/quality.py — list_filter mirrors the Spark filter HOF,
@@ -3451,6 +3510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": q_compression_ratio,  # rows-only: zlib kernel
         "c4_clean": q_c4_clean,
         "fix_text": q_fix_text,  # rows-only: transcoding kernel
+        "jsonl_export": q_jsonl_export,
         "html_extract": q_html_extract,
         "lm_quality": q_lm_quality,
         "nb_quality": q_nb_quality,

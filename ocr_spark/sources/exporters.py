@@ -256,3 +256,56 @@ def alto_pages(page_ir: DataFrame, page_w: int = 2480, page_h: int = 3508) -> Da
         "'</PrintSpace></Page></Layout></alto>')"
     )
     return page_ir.select("doc_id", "page_no", alto.alias("alto_xml"))
+
+
+def _json_escape(c: Column) -> Column:
+    """The five JSON string escapes the training-JSONL surface needs,
+    applied in the only safe order (backslash first).  Exactly mirrored
+    by the DuckDB twin (built from chr() codes on both sides, so neither
+    engine's string-literal backslash rules can skew the constants).
+    Control characters outside ``\\n \\r \\t`` are assumed already
+    stripped by the fix_text/extraction path (documented contract)."""
+    c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit('"'), F.lit('\\"'))
+    c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+    c = F.replace(c, F.lit("\r"), F.lit("\\r"))
+    return F.replace(c, F.lit("\t"), F.lit("\\t"))
+
+
+def _json_str(c: Column) -> Column:
+    return F.when(c.isNull(), F.lit("null")).otherwise(
+        F.concat(F.lit('"'), _json_escape(c), F.lit('"'))
+    )
+
+
+def jsonl_records(docs: DataFrame) -> DataFrame:
+    """JSONL training export — the format every LLM data loader consumes:
+    one compact JSON object per document,
+    ``{"doc_id":N,"text":"…","lang":"…","source":"…"}`` (the
+    ``json.dumps(separators=(',',':'), ensure_ascii=False)`` shape; null
+    fields render as JSON ``null``).  Assembled with deterministic
+    string concatenation — NOT the engine's ``to_json`` — so the bytes
+    are bit-identical across engines/versions and the export is
+    hash-gated like export_csv; non-ASCII passes through as raw UTF-8.
+
+    Pure Catalyst, zero shuffle, narrow scan→project — the file fan-out
+    (``.write.text`` with whatever partitioning) is the caller's choice.
+    Beyond-reference scope (the reference exports txt/csv/ALTO/METS for
+    humans; this is the machine-consumer sink of the training pipeline).
+
+    Output: ``doc_id, value`` (the JSON line), matching txt_lines' shape.
+    """
+    value = F.concat(
+        F.lit('{"doc_id":'),
+        F.when(
+            F.col("doc_id").isNull(), F.lit("null")
+        ).otherwise(F.col("doc_id").cast("string")),
+        F.lit(',"text":'),
+        _json_str(F.col("text")),
+        F.lit(',"lang":'),
+        _json_str(F.col("lang")),
+        F.lit(',"source":'),
+        _json_str(F.col("source")),
+        F.lit("}"),
+    )
+    return docs.select("doc_id", value.alias("value"))
