@@ -1215,6 +1215,32 @@ def q_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher fixture: word-soup docs + one planted rule-violation per
+# residue class.  %3!=0 docs get two extra canonical stopwords (the soup
+# itself carries ~1 hit, so r_stop splits on the residue); %4 hashes,
+# %5 bullet floods, %6 ellipsis lines, %7 digit-word floods.
+_GOPHER_SYNTH = """concat_ws('',
+ coalesce(text, ''),
+ case when doc_id % 3 <> 0 then ' of that have' end,
+ case when doc_id % 4 = 0 then ' ### ## #' end,
+ case when doc_id % 5 = 0
+      then repeat(concat(chr(10), '• bullet item'), 10) end,
+ case when doc_id % 6 = 0 then concat(chr(10), 'to be continued...') end,
+ case when doc_id % 7 = 0 then ' 0 1 2 3 4 5 6 7 8 9 0 1 2 3 4 5' end)"""
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (operators/quality.py gopher_rules, Rae et
+    al. 2021 App. A1): word-count / mean-word-length / symbol-ratio /
+    bullet-line / ellipsis-line / alpha-word / stopword gates, every
+    ratio an integer cross-multiplication.  Zero shuffle."""
+    from ocr_spark.operators.quality import gopher_rules
+
+    return gopher_rules(
+        _docs(spark, sf_dir).withColumn("text", F.expr(_GOPHER_SYNTH))
+    )
+
+
 # C4 fixture: multi-line synthesized pages over the word-soup documents
 # table, one rule-branch per residue class (ANSI, valid in both engines).
 # The word-soup substring line has no terminal punctuation — it exercises
@@ -3074,6 +3100,71 @@ from synth
 _ORACLES["jsonl_export"] = _jsonl_sql()
 
 
+def _gopher_sql() -> str:
+    """gopher_rules twin: same staged words/lines arrays, same
+    length-diff symbol counts, same integer cross-multiplied thresholds
+    from the frozen constants in operators/quality.py."""
+    from ocr_spark.operators import quality as Q
+
+    stop_sum = " + ".join(
+        f"cast(list_contains(lwords, '{s}') as int)"
+        for s in Q.GOPHER_STOPWORDS
+    )
+    bullets = ", ".join(f"'{b}'" for b in Q.GOPHER_BULLETS)
+    return f"""
+with synth as (select doc_id, {_GOPHER_SYNTH} as text from documents),
+t as (select doc_id, coalesce(text, '') as txt from synth),
+staged as (select doc_id,
+  list_filter(regexp_split_to_array(trim(txt), '\\s+'),
+              w -> w <> '') as words,
+  string_split(txt, chr(10)) as lines,
+  cast(length(txt) - length(replace(txt, '#', '')) as bigint) as n_hash,
+  cast((length(txt) - length(replace(txt, '...', ''))) / 3
+       + (length(txt) - length(replace(txt, '…', ''))) as bigint)
+      as n_ellipsis
+ from t),
+lw as (select *, list_transform(words, w -> lower(w)) as lwords
+       from staged),
+counted as (select doc_id,
+  cast(len(words) as bigint) as n_words,
+  cast(coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+       as bigint) as sum_word_len,
+  cast(len(lines) as bigint) as n_lines,
+  cast(len(list_filter(lines,
+       l -> substr(ltrim(l), 1, 1) in ({bullets}))) as bigint)
+      as n_bullet_lines,
+  cast(len(list_filter(lines,
+       l -> ends_with(rtrim(l), '...') or ends_with(rtrim(l), '…')))
+       as bigint) as n_ellipsis_lines,
+  cast(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+       as bigint) as n_alpha_words,
+  n_hash, n_ellipsis,
+  cast({stop_sum} as bigint) as n_stop_hits
+ from lw),
+flagged as (select *,
+  (n_words >= {Q.GOPHER_MIN_WORDS} and n_words <= {Q.GOPHER_MAX_WORDS})
+      as r_word_count,
+  (sum_word_len >= {Q.GOPHER_MIN_MEAN_LEN} * n_words
+   and sum_word_len <= {Q.GOPHER_MAX_MEAN_LEN} * n_words) as r_mean_len,
+  (10 * n_hash <= {Q.GOPHER_SYMBOL_RATIO_10} * n_words
+   and 10 * n_ellipsis <= {Q.GOPHER_SYMBOL_RATIO_10} * n_words)
+      as r_symbol,
+  (10 * n_bullet_lines <= {Q.GOPHER_BULLET_RATIO_10} * n_lines)
+      as r_bullet,
+  (10 * n_ellipsis_lines <= {Q.GOPHER_ELLIPSIS_RATIO_10} * n_lines)
+      as r_ellipsis,
+  (5 * n_alpha_words >= {Q.GOPHER_ALPHA_RATIO_5} * n_words) as r_alpha,
+  (n_stop_hits >= {Q.GOPHER_MIN_STOP_HITS}) as r_stop
+ from counted)
+select *, (r_word_count and r_mean_len and r_symbol and r_bullet
+           and r_ellipsis and r_alpha and r_stop) as keep
+from flagged
+"""
+
+
+_ORACLES["gopher_rules"] = _gopher_sql()
+
+
 def _c4_clean_sql() -> str:
     """c4_clean twin: every rule replayed from the SAME frozen constants
     in operators/quality.py — list_filter mirrors the Spark filter HOF,
@@ -3511,6 +3602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "fix_text": q_fix_text,  # rows-only: transcoding kernel
         "jsonl_export": q_jsonl_export,
+        "gopher_rules": q_gopher_rules,
         "html_extract": q_html_extract,
         "lm_quality": q_lm_quality,
         "nb_quality": q_nb_quality,

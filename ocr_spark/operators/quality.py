@@ -611,3 +611,133 @@ def c4_line_filter(docs: DataFrame) -> DataFrame:
         ).alias("keep"),
         "text_clean",
     )
+
+
+# --- Gopher quality rules (Rae et al. 2021, App. A1) --------------------
+
+# Frozen constants, shared verbatim with the DuckDB twin.  All ratio
+# thresholds are applied as integer cross-multiplications (house rule:
+# no float anywhere → bit-identical across engines).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3          # 3 <= sum_len/n_words <= 10
+GOPHER_MAX_MEAN_LEN = 10
+GOPHER_SYMBOL_RATIO_10 = 1       # n_sym/n_words <= 0.1  ⇔ 10·n_sym <= n_words
+GOPHER_BULLET_RATIO_10 = 9       # <= 90% lines bullet-led
+GOPHER_ELLIPSIS_RATIO_10 = 3     # <= 30% lines ellipsis-ended
+GOPHER_ALPHA_RATIO_5 = 4         # >= 80% words alphabetic ⇔ 5·n_alpha >= 4·n
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_BULLETS = ("•", "-", "*")
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher repetition-free quality rules (Rae et al. 2021 App. A1) —
+    the rule-set MassiveText/Gopher filtered on and every corpus since
+    (RefinedWeb, Dolma, FineWeb) inherited:
+
+    * r_word_count  — 50 ≤ words ≤ 100,000 (whitespace tokens),
+    * r_mean_len    — mean word length in [3, 10],
+    * r_symbol      — '#' and '…'/'...' each ≤ 0.1 per word,
+    * r_bullet      — ≤ 90% of lines start with a bullet (• - *),
+    * r_ellipsis    — ≤ 30% of lines end with an ellipsis,
+    * r_alpha       — ≥ 80% of words contain an alphabetic char,
+    * r_stop        — ≥ 2 DISTINCT hits from the canonical 8-stopword
+      list (the, be, to, of, and, that, have, with),
+    * keep = all of the above.
+
+    All ratios are integer cross-multiplications of bigint counts — no
+    division, no float, so the DuckDB twin is hash-exact.  Symbol counts
+    use the length-difference-after-replace idiom (both engines replace
+    non-overlapping left-to-right).  Pure Catalyst, zero shuffle: staged
+    array columns (lines, words) + size/filter HOFs fused into the scan
+    stage — the same narrow shape as ``c4_line_filter``.
+
+    Output: ``doc_id, n_words, sum_word_len, n_lines, n_bullet_lines,
+    n_ellipsis_lines, n_alpha_words, n_hash, n_ellipsis, n_stop_hits,
+    r_* flags, keep``.
+    """
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    staged = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(txt), r"\s+"), lambda w: w != ""
+        ).alias("_words"),
+        F.split(txt, "\n").alias("_lines"),
+        (
+            F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+        ).cast("bigint").alias("n_hash"),
+        (
+            (
+                F.length(txt)
+                - F.length(F.replace(txt, F.lit("..."), F.lit("")))
+            )
+            / 3
+            + (
+                F.length(txt)
+                - F.length(F.replace(txt, F.lit("…"), F.lit("")))
+            )
+        ).cast("bigint").alias("n_ellipsis"),
+    )
+    bullet_led = F.filter(
+        F.col("_lines"),
+        lambda l: F.substring(F.ltrim(l), 1, 1).isin(*GOPHER_BULLETS),
+    )
+    ellipsis_ended = F.filter(
+        F.col("_lines"),
+        lambda l: F.rtrim(l).endswith("...")
+        | F.rtrim(l).endswith("…"),
+    )
+    alpha_words = F.filter(
+        F.col("_words"), lambda w: w.rlike("[A-Za-z]")
+    )
+    lower_words = F.transform(F.col("_words"), F.lower)
+    stop_hits = sum(
+        F.array_contains(lower_words, s).cast("int")
+        for s in GOPHER_STOPWORDS
+    ).cast("bigint")
+    sum_len = F.aggregate(
+        F.transform(F.col("_words"), lambda w: F.length(w).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    counted = staged.select(
+        "doc_id",
+        F.size("_words").cast("bigint").alias("n_words"),
+        sum_len.alias("sum_word_len"),
+        F.size("_lines").cast("bigint").alias("n_lines"),
+        F.size(bullet_led).cast("bigint").alias("n_bullet_lines"),
+        F.size(ellipsis_ended).cast("bigint").alias("n_ellipsis_lines"),
+        F.size(alpha_words).cast("bigint").alias("n_alpha_words"),
+        "n_hash",
+        "n_ellipsis",
+        stop_hits.alias("n_stop_hits"),
+    )
+    c = F.col
+    rules = {
+        "r_word_count": (c("n_words") >= GOPHER_MIN_WORDS)
+        & (c("n_words") <= GOPHER_MAX_WORDS),
+        "r_mean_len": (
+            c("sum_word_len") >= GOPHER_MIN_MEAN_LEN * c("n_words")
+        )
+        & (c("sum_word_len") <= GOPHER_MAX_MEAN_LEN * c("n_words")),
+        "r_symbol": (
+            10 * c("n_hash") <= GOPHER_SYMBOL_RATIO_10 * c("n_words")
+        )
+        & (10 * c("n_ellipsis") <= GOPHER_SYMBOL_RATIO_10 * c("n_words")),
+        "r_bullet": 10 * c("n_bullet_lines")
+        <= GOPHER_BULLET_RATIO_10 * c("n_lines"),
+        "r_ellipsis": 10 * c("n_ellipsis_lines")
+        <= GOPHER_ELLIPSIS_RATIO_10 * c("n_lines"),
+        "r_alpha": 5 * c("n_alpha_words")
+        >= GOPHER_ALPHA_RATIO_5 * c("n_words"),
+        "r_stop": c("n_stop_hits") >= GOPHER_MIN_STOP_HITS,
+    }
+    keep = None
+    for expr in rules.values():
+        keep = expr if keep is None else (keep & expr)
+    return counted.select(
+        "*",
+        *[expr.alias(name) for name, expr in rules.items()],
+        keep.alias("keep"),
+    )

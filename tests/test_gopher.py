@@ -1,0 +1,72 @@
+"""Gopher quality rules (operators/quality.py gopher_rules): one planted
+violation per rule over a passing base page, plus count anchors."""
+
+import pytest
+
+from ocr_spark.operators.quality import gopher_rules
+
+# 60 words, mean len in [3,10], >=2 stopword hits, all alphabetic
+BASE = (
+    "the survey crew walked north along the levee and mapped every "
+    "gravel bar that the spring flood have moved since the chart was "
+    "drawn years ago noting where willows took root and where the bank "
+    "had slumped into the channel while herons watched from the far "
+    "side of the water standing still between passing clouds overhead "
+    "quietly"
+)
+
+CASES = {
+    1: BASE,                                        # keeps
+    2: "too few words of that",                     # r_word_count
+    3: BASE + " " + "# " * 10,                      # r_symbol (hash)
+    4: BASE + "\n" + "\n".join(["• item"] * 60),    # r_bullet
+    5: BASE + "\n" + "\n".join(["trailing off..."] * 2),  # r_ellipsis
+    6: BASE + " " + "7 " * 20,                      # r_alpha
+    7: BASE.replace("the ", "xx ").replace("of ", "yy ").replace(
+        "and ", "zz "
+    ).replace(" have ", " qq "),                    # r_stop
+    8: BASE + " " + "a " * 200,                     # r_mean_len (short)
+    9: None,                                        # null text
+}
+
+
+@pytest.fixture(scope="module")
+def rows(spark):
+    docs = spark.createDataFrame(
+        list(CASES.items()), "doc_id bigint, text string"
+    )
+    return {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+
+
+def test_base_page_keeps(rows):
+    r = rows[1]
+    assert r["keep"], {k: r[k] for k in r.asDict() if k.startswith("r_")}
+    assert r["n_words"] == 57 and r["n_stop_hits"] >= 2
+
+
+def test_each_planted_violation_trips_exactly_its_rule(rows):
+    expect = {
+        2: "r_word_count",
+        3: "r_symbol",
+        4: "r_bullet",
+        5: "r_ellipsis",
+        6: "r_alpha",
+        7: "r_stop",
+        8: "r_mean_len",
+    }
+    for doc_id, rule in expect.items():
+        r = rows[doc_id]
+        assert not r[rule], (doc_id, rule)
+        assert not r["keep"]
+
+
+def test_symbol_counts_anchor(rows):
+    assert rows[3]["n_hash"] == 10
+    r5 = rows[5]
+    assert r5["n_ellipsis"] == 2 and r5["n_ellipsis_lines"] == 2
+
+
+def test_null_text_fails_word_count_only_dims(rows):
+    r = rows[9]
+    assert r["n_words"] == 0 and not r["keep"]
+    assert not r["r_word_count"] and not r["r_stop"]
