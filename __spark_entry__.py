@@ -1241,6 +1241,35 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher-repetition fixture: %4 floods duplicate lines, %5 duplicate
+# paragraphs, %7 plants one long duplicated line among uniques (trips
+# the CHAR fraction while the count fraction stays legal).
+_GOPHER_REP_SYNTH = """concat_ws('',
+ coalesce(text, ''),
+ case when doc_id % 4 = 0
+      then repeat(concat(chr(10), 'dup line'), 6) end,
+ case when doc_id % 5 = 0
+      then repeat(concat(chr(10), chr(10), 'dup para'), 3) end,
+ case when doc_id % 7 = 0
+      then concat(chr(10), 'u1', chr(10), 'u2', chr(10), 'u3',
+                  chr(10), 'u4', chr(10), 'u5', chr(10), 'u6',
+                  chr(10), 'u7', chr(10), 'u8', chr(10), 'u9',
+                  chr(10), 'u10',
+                  chr(10), substring(coalesce(text, ''), 1, 200),
+                  chr(10), substring(coalesce(text, ''), 1, 200)) end)"""
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-line/paragraph rules (operators/quality.py
+    gopher_repetition): per-row sorted-array adjacent-equality stats,
+    integer cross-multiplied fractions, zero shuffle."""
+    from ocr_spark.operators.quality import gopher_repetition
+
+    return gopher_repetition(
+        _docs(spark, sf_dir).withColumn("text", F.expr(_GOPHER_REP_SYNTH))
+    )
+
+
 # C4 fixture: multi-line synthesized pages over the word-soup documents
 # table, one rule-branch per residue class (ANSI, valid in both engines).
 # The word-soup substring line has no terminal punctuation — it exercises
@@ -3165,6 +3194,53 @@ from flagged
 _ORACLES["gopher_rules"] = _gopher_sql()
 
 
+def _gopher_repetition_sql() -> str:
+    """gopher_repetition twin: the same sorted-array adjacent-equality
+    statistics via DuckDB's 1-based index lambdas, thresholds from the
+    frozen constants."""
+    from ocr_spark.operators import quality as Q
+
+    def stats(arr: str, p: str) -> str:
+        dup = (
+            f"list_transform({arr}, (x, i) -> case when i > 1"
+            f" and x = {arr}[i-1] then 1 else 0 end)"
+        )
+        dupc = (
+            f"list_transform({arr}, (x, i) -> case when i > 1"
+            f" and x = {arr}[i-1] then length(x) else 0 end)"
+        )
+        return f"""
+  cast(len({arr}) as bigint) as n_{p}s,
+  cast(coalesce(list_sum({dup}), 0) as bigint) as dup_{p}s,
+  cast(coalesce(list_sum({dupc}), 0) as bigint) as dup_{p}_chars,
+  cast(coalesce(list_sum(list_transform({arr}, x -> length(x))), 0)
+       as bigint) as {p}_chars"""
+
+    f10, c5 = int(Q.GOPHER_DUP_FRAC_10), int(Q.GOPHER_DUP_CHAR_FRAC_5)
+    return f"""
+with synth as (select doc_id, {_GOPHER_REP_SYNTH} as text from documents),
+t as (select doc_id, coalesce(text, '') as txt from synth),
+arrs as (select doc_id,
+  list_sort(string_split(txt, chr(10))) as sl,
+  list_sort(string_split(txt, chr(10) || chr(10))) as sp
+ from t),
+counted as (select doc_id, {stats('sl', 'line')}, {stats('sp', 'para')}
+ from arrs),
+flagged as (select *,
+  (10 * dup_lines <= {f10} * n_lines) as r_dup_lines,
+  (5 * dup_line_chars <= {c5} * line_chars) as r_dup_line_chars,
+  (10 * dup_paras <= {f10} * n_paras) as r_dup_paras,
+  (5 * dup_para_chars <= {c5} * para_chars) as r_dup_para_chars
+ from counted)
+select *, (r_dup_lines and r_dup_line_chars and r_dup_paras
+           and r_dup_para_chars) as keep
+from flagged
+"""
+
+
+_ORACLES["gopher_repetition"] = _gopher_repetition_sql()
+
+
 def _c4_clean_sql() -> str:
     """c4_clean twin: every rule replayed from the SAME frozen constants
     in operators/quality.py — list_filter mirrors the Spark filter HOF,
@@ -3603,6 +3679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_text": q_fix_text,  # rows-only: transcoding kernel
         "jsonl_export": q_jsonl_export,
         "gopher_rules": q_gopher_rules,
+        "gopher_repetition": q_gopher_repetition,
         "html_extract": q_html_extract,
         "lm_quality": q_lm_quality,
         "nb_quality": q_nb_quality,

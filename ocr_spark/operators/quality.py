@@ -741,3 +741,93 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
         *[expr.alias(name) for name, expr in rules.items()],
         keep.alias("keep"),
     )
+
+
+# Gopher repetition-rule constants (Rae et al. 2021 App. A1, the
+# duplicate-line/paragraph half of the rule set; the n-gram half lives
+# in doc_repetition).  Integer cross-multiplication thresholds.
+GOPHER_DUP_FRAC_10 = 3        # dup line/para fraction <= 0.30
+GOPHER_DUP_CHAR_FRAC_5 = 1    # dup line/para CHAR fraction <= 0.20
+
+
+def gopher_repetition(docs: DataFrame) -> DataFrame:
+    """Gopher duplicate-line / duplicate-paragraph rules (Rae et al.
+    2021 App. A1): a page fails when
+
+    * > 30% of its lines (or paragraphs) are duplicate OCCURRENCES
+      (occurrences beyond the first of each distinct value), or
+    * > 20% of its characters sit in those duplicate occurrences.
+
+    Per-row, zero shuffle: lines (split on ``\\n``) and paragraphs
+    (split on blank line) are sorted once into staged array columns;
+    duplicate occurrences and their character mass come from ONE
+    adjacent-equality ``zip_with`` over each sorted array (the
+    doc_repetition idiom) — no explode, no per-doc groupBy, so at
+    10^12 docs this stays a narrow scan stage.  Fractions are never
+    materialized: all four rules are integer cross-multiplied bigint
+    comparisons, hash-exact against the DuckDB twin.
+
+    Output: ``doc_id, n_lines, dup_lines, dup_line_chars,
+    line_chars, n_paras, dup_paras, dup_para_chars, para_chars,
+    r_dup_lines, r_dup_line_chars, r_dup_paras, r_dup_para_chars,
+    keep``.
+    """
+    txt = F.coalesce(F.col("text"), F.lit(""))
+
+    def dup_stats(arr_col: str, prefix: str) -> list:
+        dup_flags = F.expr(
+            f"zip_with(slice({arr_col}, 1, size({arr_col}) - 1),"
+            f" slice({arr_col}, 2, size({arr_col}) - 1), (a, b) -> a = b)"
+        )
+        dup_n = F.aggregate(
+            dup_flags,
+            F.lit(0).cast("bigint"),
+            lambda acc, e: acc + F.when(e, 1).otherwise(0).cast("bigint"),
+        )
+        dup_chars = F.expr(
+            f"aggregate(zip_with(slice({arr_col}, 1, size({arr_col}) - 1),"
+            f" slice({arr_col}, 2, size({arr_col}) - 1),"
+            " (a, b) -> if(a = b, length(b), 0)),"
+            " 0L, (acc, v) -> acc + cast(v as bigint))"
+        )
+        total_chars = F.aggregate(
+            F.transform(F.col(arr_col), lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        return [
+            F.size(arr_col).cast("bigint").alias(f"n_{prefix}s"),
+            dup_n.alias(f"dup_{prefix}s"),
+            dup_chars.alias(f"dup_{prefix}_chars"),
+            total_chars.alias(f"{prefix}_chars"),
+        ]
+
+    staged = docs.select(
+        "doc_id",
+        F.array_sort(F.split(txt, "\n")).alias("_sl"),
+        F.array_sort(F.split(txt, "\n\n")).alias("_sp"),
+    )
+    counted = staged.select(
+        "doc_id",
+        *dup_stats("_sl", "line"),
+        *dup_stats("_sp", "para"),
+    )
+    c = F.col
+    rules = {
+        "r_dup_lines": 10 * c("dup_lines")
+        <= GOPHER_DUP_FRAC_10 * c("n_lines"),
+        "r_dup_line_chars": 5 * c("dup_line_chars")
+        <= GOPHER_DUP_CHAR_FRAC_5 * c("line_chars"),
+        "r_dup_paras": 10 * c("dup_paras")
+        <= GOPHER_DUP_FRAC_10 * c("n_paras"),
+        "r_dup_para_chars": 5 * c("dup_para_chars")
+        <= GOPHER_DUP_CHAR_FRAC_5 * c("para_chars"),
+    }
+    keep = None
+    for expr in rules.values():
+        keep = expr if keep is None else (keep & expr)
+    return counted.select(
+        "*",
+        *[expr.alias(name) for name, expr in rules.items()],
+        keep.alias("keep"),
+    )

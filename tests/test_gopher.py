@@ -70,3 +70,58 @@ def test_null_text_fails_word_count_only_dims(rows):
     r = rows[9]
     assert r["n_words"] == 0 and not r["keep"]
     assert not r["r_word_count"] and not r["r_stop"]
+
+
+# --- duplicate-line / paragraph rules (gopher_repetition) ---------------
+
+from ocr_spark.operators.quality import gopher_repetition  # noqa: E402
+
+UNIQ = "\n".join(f"unique line number {i} with words" for i in range(10))
+
+
+@pytest.fixture(scope="module")
+def rep_rows(spark):
+    cases = {
+        1: UNIQ,                                    # keeps
+        2: UNIQ + "\n" + "\n".join(["same line"] * 8),   # line count+chars
+        3: UNIQ + "\n\n" + "\n\n".join(["same para"] * 8),  # para rules
+        4: UNIQ + "\n" + ("x" * 400) + "\n" + ("x" * 400),  # chars only
+        5: "",                                      # empty
+    }
+    docs = spark.createDataFrame(
+        list(cases.items()), "doc_id bigint, text string"
+    )
+    return {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+
+
+def test_unique_page_keeps(rep_rows):
+    r = rep_rows[1]
+    assert r["keep"] and r["dup_lines"] == 0 and r["dup_paras"] == 0
+    assert r["n_lines"] == 10
+
+
+def test_duplicate_lines_trip_count_and_chars(rep_rows):
+    r = rep_rows[2]
+    assert r["dup_lines"] == 7  # 8 occurrences -> 7 beyond the first
+    assert not r["r_dup_lines"] and not r["keep"]
+
+
+def test_duplicate_paragraphs_trip_para_rules(rep_rows):
+    r = rep_rows[3]
+    assert r["dup_paras"] == 7
+    assert not r["r_dup_paras"] and not r["keep"]
+    # line-level: the 8 'same para' lines are duplicates too
+    assert not r["r_dup_lines"]
+
+
+def test_char_fraction_trips_without_count_fraction(rep_rows):
+    r = rep_rows[4]
+    # 1 duplicate line of 12 -> count rule fine; 400 of ~1100 chars dup
+    assert r["dup_lines"] == 1 and r["r_dup_lines"]
+    assert r["dup_line_chars"] == 400
+    assert not r["r_dup_line_chars"] and not r["keep"]
+
+
+def test_empty_page_trivially_keeps(rep_rows):
+    r = rep_rows[5]
+    assert r["n_lines"] == 1 and r["dup_lines"] == 0 and r["keep"]
