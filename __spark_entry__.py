@@ -1193,6 +1193,30 @@ def q_fix_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # JSONL fixture: plant every escape-relevant special through chr() codes
 # (NEVER backslash string literals — Spark SQL processes them, DuckDB
 # standard strings don't; chr() sidesteps both engines' literal rules).
+# C4 fixture: multi-line synthesized pages over the word-soup documents
+# table, one rule-branch per residue class (ANSI, valid in both engines).
+# The word-soup substring line has no terminal punctuation — it exercises
+# the non-terminal drop on REAL table text, not only on planted literals.
+_C4_SYNTH = """concat_ws(chr(10),
+ concat('Paragraph one of doc ', cast(doc_id as string), ' opens with ',
+        substring(coalesce(text, ''), 1, 24), ' and ends cleanly.'),
+ case when doc_id % 2 = 0
+      then 'A second thought arrives here, and a third one follows it. So!'
+      end,
+ case when doc_id % 3 = 0 then 'Too short.' end,
+ case when doc_id % 4 = 0
+      then 'Please enable javascript to view the comments on this page.'
+      end,
+ substring(coalesce(text, ''), 1, 32),
+ case when doc_id % 5 = 0
+      then 'The classic lorem ipsum filler text shows up on this line.'
+      end,
+ case when doc_id % 7 = 0
+      then 'var config = { mode: full } runs on page load every time.'
+      end,
+ 'Trailing navigation crumbs')"""
+
+
 _JSONL_SYNTH = """concat_ws('',
  coalesce(text, ''),
  case when doc_id % 4 = 0
@@ -1259,6 +1283,35 @@ _GOPHER_REP_SYNTH = """concat_ws('',
                   chr(10), substring(coalesce(text, ''), 1, 200)) end)"""
 
 
+# Stack fixture: the C4 multi-line page plus per-residue casualties for
+# the LATER stages — both planted lines survive C4 (terminal punct, >=5
+# words) so they reach the stage they are aimed at: %11 duplicates trip
+# gopher_repetition, %13 hash spam trips gopher_rules' symbol ratio.
+_STACK_SYNTH = f"""concat_ws(chr(10),
+ {_C4_SYNTH},
+ case when doc_id % 11 = 0 then concat_ws(chr(10),
+   'This duplicated line is long enough and ends with a period.',
+   'This duplicated line is long enough and ends with a period.',
+   'This duplicated line is long enough and ends with a period.',
+   'This duplicated line is long enough and ends with a period.') end,
+ case when doc_id % 13 = 0
+      then 'Big sale #### today #### only #### here #### now.' end)"""
+
+
+def q_quality_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed filter funnel (operators/quality.py quality_stack):
+    C4 clean → Gopher rules (word floor 10) → Gopher repetition, stages
+    2-3 reading the C4-cleaned text; the whole battery is ONE narrow
+    scan stage (plan-asserted in tests/test_quality_stack.py).  Oracle
+    composes the three stage twins verbatim."""
+    from ocr_spark.operators.quality import quality_stack
+
+    return quality_stack(
+        _docs(spark, sf_dir).withColumn("text", F.expr(_STACK_SYNTH)),
+        min_words=10,
+    )
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher duplicate-line/paragraph rules (operators/quality.py
     gopher_repetition): per-row sorted-array adjacent-equality stats,
@@ -1269,29 +1322,6 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir).withColumn("text", F.expr(_GOPHER_REP_SYNTH))
     )
 
-
-# C4 fixture: multi-line synthesized pages over the word-soup documents
-# table, one rule-branch per residue class (ANSI, valid in both engines).
-# The word-soup substring line has no terminal punctuation — it exercises
-# the non-terminal drop on REAL table text, not only on planted literals.
-_C4_SYNTH = """concat_ws(chr(10),
- concat('Paragraph one of doc ', cast(doc_id as string), ' opens with ',
-        substring(coalesce(text, ''), 1, 24), ' and ends cleanly.'),
- case when doc_id % 2 = 0
-      then 'A second thought arrives here, and a third one follows it. So!'
-      end,
- case when doc_id % 3 = 0 then 'Too short.' end,
- case when doc_id % 4 = 0
-      then 'Please enable javascript to view the comments on this page.'
-      end,
- substring(coalesce(text, ''), 1, 32),
- case when doc_id % 5 = 0
-      then 'The classic lorem ipsum filler text shows up on this line.'
-      end,
- case when doc_id % 7 = 0
-      then 'var config = { mode: full } runs on page load every time.'
-      end,
- 'Trailing navigation crumbs')"""
 
 
 def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3129,20 +3159,22 @@ from synth
 _ORACLES["jsonl_export"] = _jsonl_sql()
 
 
-def _gopher_sql() -> str:
-    """gopher_rules twin: same staged words/lines arrays, same
-    length-diff symbol counts, same integer cross-multiplied thresholds
-    from the frozen constants in operators/quality.py."""
+def _gopher_query(src: str, min_words: int | None = None) -> str:
+    """gopher_rules twin body over any (doc_id, text) relation ``src``:
+    same staged words/lines arrays, same length-diff symbol counts, same
+    integer cross-multiplied thresholds from the frozen constants in
+    operators/quality.py."""
     from ocr_spark.operators import quality as Q
 
+    if min_words is None:
+        min_words = Q.GOPHER_MIN_WORDS
     stop_sum = " + ".join(
         f"cast(list_contains(lwords, '{s}') as int)"
         for s in Q.GOPHER_STOPWORDS
     )
     bullets = ", ".join(f"'{b}'" for b in Q.GOPHER_BULLETS)
     return f"""
-with synth as (select doc_id, {_GOPHER_SYNTH} as text from documents),
-t as (select doc_id, coalesce(text, '') as txt from synth),
+with t as (select doc_id, coalesce(text, '') as txt from {src}),
 staged as (select doc_id,
   list_filter(regexp_split_to_array(trim(txt), '\\s+'),
               w -> w <> '') as words,
@@ -3171,7 +3203,7 @@ counted as (select doc_id,
   cast({stop_sum} as bigint) as n_stop_hits
  from lw),
 flagged as (select *,
-  (n_words >= {Q.GOPHER_MIN_WORDS} and n_words <= {Q.GOPHER_MAX_WORDS})
+  (n_words >= {int(min_words)} and n_words <= {Q.GOPHER_MAX_WORDS})
       as r_word_count,
   (sum_word_len >= {Q.GOPHER_MIN_MEAN_LEN} * n_words
    and sum_word_len <= {Q.GOPHER_MAX_MEAN_LEN} * n_words) as r_mean_len,
@@ -3191,13 +3223,18 @@ from flagged
 """
 
 
-_ORACLES["gopher_rules"] = _gopher_sql()
+_ORACLES["gopher_rules"] = f"""
+with synth as (select doc_id, {_GOPHER_SYNTH} as text from documents),
+q as ({_gopher_query('synth')})
+select * from q
+"""
 
 
-def _gopher_repetition_sql() -> str:
-    """gopher_repetition twin: the same sorted-array adjacent-equality
-    statistics via DuckDB's 1-based index lambdas, thresholds from the
-    frozen constants."""
+def _gopher_rep_query(src: str) -> str:
+    """gopher_repetition twin body over any (doc_id, text) relation
+    ``src``: the same sorted-array adjacent-equality statistics via
+    DuckDB's 1-based index lambdas, thresholds from the frozen
+    constants."""
     from ocr_spark.operators import quality as Q
 
     def stats(arr: str, p: str) -> str:
@@ -3218,8 +3255,7 @@ def _gopher_repetition_sql() -> str:
 
     f10, c5 = int(Q.GOPHER_DUP_FRAC_10), int(Q.GOPHER_DUP_CHAR_FRAC_5)
     return f"""
-with synth as (select doc_id, {_GOPHER_REP_SYNTH} as text from documents),
-t as (select doc_id, coalesce(text, '') as txt from synth),
+with t as (select doc_id, coalesce(text, '') as txt from {src}),
 arrs as (select doc_id,
   list_sort(string_split(txt, chr(10))) as sl,
   list_sort(string_split(txt, chr(10) || chr(10))) as sp
@@ -3238,12 +3274,19 @@ from flagged
 """
 
 
-_ORACLES["gopher_repetition"] = _gopher_repetition_sql()
+_ORACLES["gopher_repetition"] = f"""
+with synth as (select doc_id, {_GOPHER_REP_SYNTH} as text from documents),
+q as ({_gopher_rep_query('synth')})
+select * from q
+"""
 
 
-def _c4_clean_sql() -> str:
-    """c4_clean twin: every rule replayed from the SAME frozen constants
-    in operators/quality.py — list_filter mirrors the Spark filter HOF,
+
+
+def _c4_clean_query(src: str) -> str:
+    """c4_clean twin body over any (doc_id, text) relation ``src``:
+    every rule replayed from the SAME frozen constants in
+    operators/quality.py — list_filter mirrors the Spark filter HOF,
     regexp semantics line up (RE2 '[.!?\"]$' on the rtrimmed line ==
     Java's, no MULTILINE in play), and the sentence counter is the same
     '[.!?]' extract-all length."""
@@ -3251,9 +3294,8 @@ def _c4_clean_sql() -> str:
 
     min_w, min_s = int(Q.C4_MIN_WORDS), int(Q.C4_MIN_SENTENCES)
     return f"""
-with synth as (select doc_id, {_C4_SYNTH} as text from documents),
-ls as (select doc_id, string_split(coalesce(text, ''), chr(10)) as ls
-       from synth),
+with ls as (select doc_id, string_split(coalesce(text, ''), chr(10)) as ls
+       from {src}),
 kept as (select doc_id, cast(len(ls) as bigint) as n_lines,
                 list_filter(ls, l ->
                     regexp_matches(rtrim(l), '{Q.C4_TERMINAL_RE}')
@@ -3281,7 +3323,25 @@ from page
 """
 
 
-_ORACLES["c4_clean"] = _c4_clean_sql()
+_ORACLES["c4_clean"] = f"""
+with synth as (select doc_id, {_C4_SYNTH} as text from documents),
+q as ({_c4_clean_query('synth')})
+select * from q
+"""
+
+# quality_stack twin: the three stage twins composed exactly as the
+# operator composes them — stages 2-3 read c4's text_clean.
+_ORACLES["quality_stack"] = f"""
+with synth as (select doc_id, {_STACK_SYNTH} as text from documents),
+c4 as ({_c4_clean_query('synth')}),
+clean as (select doc_id, text_clean as text from c4),
+g as ({_gopher_query('clean', min_words=10)}),
+r as ({_gopher_rep_query('clean')})
+select c4.doc_id, c4.keep as c4_keep, g.keep as gopher_keep,
+       r.keep as rep_keep,
+       (c4.keep and g.keep and r.keep) as keep
+from c4 join g using (doc_id) join r using (doc_id)
+"""
 
 # epoch_shuffle twin (operators/sampling.py): identical md5(seed|epoch|
 # doc_id) key, identical 12-hex-prefix shard, rank within (epoch, shard)
@@ -3680,6 +3740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_export": q_jsonl_export,
         "gopher_rules": q_gopher_rules,
         "gopher_repetition": q_gopher_repetition,
+        "quality_stack": q_quality_stack,
         "html_extract": q_html_extract,
         "lm_quality": q_lm_quality,
         "nb_quality": q_nb_quality,

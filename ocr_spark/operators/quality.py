@@ -631,7 +631,11 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 GOPHER_BULLETS = ("•", "-", "*")
 
 
-def gopher_rules(docs: DataFrame) -> DataFrame:
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = GOPHER_MIN_WORDS,
+    keep_cols: tuple = (),
+) -> DataFrame:
     """Gopher repetition-free quality rules (Rae et al. 2021 App. A1) —
     the rule-set MassiveText/Gopher filtered on and every corpus since
     (RefinedWeb, Dolma, FineWeb) inherited:
@@ -660,6 +664,7 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
     txt = F.coalesce(F.col("text"), F.lit(""))
     staged = docs.select(
         "doc_id",
+        *keep_cols,
         F.filter(
             F.split(F.trim(txt), r"\s+"), lambda w: w != ""
         ).alias("_words"),
@@ -703,6 +708,7 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
     )
     counted = staged.select(
         "doc_id",
+        *keep_cols,
         F.size("_words").cast("bigint").alias("n_words"),
         sum_len.alias("sum_word_len"),
         F.size("_lines").cast("bigint").alias("n_lines"),
@@ -715,7 +721,7 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
     )
     c = F.col
     rules = {
-        "r_word_count": (c("n_words") >= GOPHER_MIN_WORDS)
+        "r_word_count": (c("n_words") >= int(min_words))
         & (c("n_words") <= GOPHER_MAX_WORDS),
         "r_mean_len": (
             c("sum_word_len") >= GOPHER_MIN_MEAN_LEN * c("n_words")
@@ -750,7 +756,7 @@ GOPHER_DUP_FRAC_10 = 3        # dup line/para fraction <= 0.30
 GOPHER_DUP_CHAR_FRAC_5 = 1    # dup line/para CHAR fraction <= 0.20
 
 
-def gopher_repetition(docs: DataFrame) -> DataFrame:
+def gopher_repetition(docs: DataFrame, keep_cols: tuple = ()) -> DataFrame:
     """Gopher duplicate-line / duplicate-paragraph rules (Rae et al.
     2021 App. A1): a page fails when
 
@@ -804,11 +810,13 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
 
     staged = docs.select(
         "doc_id",
+        *keep_cols,
         F.array_sort(F.split(txt, "\n")).alias("_sl"),
         F.array_sort(F.split(txt, "\n\n")).alias("_sp"),
     )
     counted = staged.select(
         "doc_id",
+        *keep_cols,
         *dup_stats("_sl", "line"),
         *dup_stats("_sp", "para"),
     )
@@ -830,4 +838,42 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
         "*",
         *[expr.alias(name) for name, expr in rules.items()],
         keep.alias("keep"),
+    )
+
+
+def quality_stack(docs: DataFrame, min_words: int = 10) -> DataFrame:
+    """The standard web-text filter funnel, composed: C4 line/page clean
+    → Gopher quality rules → Gopher repetition rules, with stages 2–3
+    reading the C4-CLEANED text (the order every production pipeline
+    uses — rule stats over text whose boilerplate lines are already
+    gone).  ``min_words`` relaxes the Gopher word floor for short-page
+    corpora (frozen 50 default upstream).
+
+    The whole stack is projections over staged array columns — the
+    composed job is still ONE narrow scan stage, zero Exchange
+    (plan-asserted in tests): at 10^12 docs the full filter battery
+    costs exactly one pass over the bytes.  Per-stage verdicts are kept
+    so retention-by-stage is one cheap aggregate downstream.
+
+    Output: ``doc_id, c4_keep, gopher_keep, rep_keep, keep``.
+    """
+    s1 = c4_line_filter(docs).select(
+        "doc_id",
+        F.col("keep").alias("c4_keep"),
+        F.col("text_clean").alias("text"),
+    )
+    s2 = gopher_rules(
+        s1, min_words=min_words, keep_cols=("c4_keep", "text")
+    ).select(
+        "doc_id", "c4_keep", F.col("keep").alias("gopher_keep"), "text"
+    )
+    s3 = gopher_repetition(s2, keep_cols=("c4_keep", "gopher_keep"))
+    return s3.select(
+        "doc_id",
+        "c4_keep",
+        "gopher_keep",
+        F.col("keep").alias("rep_keep"),
+        (
+            F.col("c4_keep") & F.col("gopher_keep") & F.col("keep")
+        ).alias("keep"),
     )
