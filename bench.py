@@ -121,6 +121,8 @@ def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
         "ccnet_buckets", "pack_interleaved", "simhash_neardup",
         "nb_quality", "url_dedup", "domain_stats", "domain_filter",
         "shard_stats", "web_curate", "domain_pagerank",
+        # round-2 wrap-up: the composed one-scan filter battery
+        "quality_stack",
     ]
     # Per-workload scan tuning (the conf is runtime-settable): thin
     # TPC-H-ish tables are scan-bound and want the vectorized reader's

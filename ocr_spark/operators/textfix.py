@@ -31,8 +31,13 @@ is a marker-scan fast path (ASCII-clean strings never pay the repair
 attempt; ``str.encode``/``unicodedata.normalize`` are C-speed).  At
 10^12 docs this fuses with the ingest scan.
 
-Correctness gate: rows-only + pytest anchors (no SQL engine exposes
-encoding transcoding), same class as the multimodal/zlib kernels.
+Correctness gate: rows-only + pytest anchors and hypothesis properties
+(no SQL engine exposes encoding transcoding), same class as the
+multimodal/zlib kernels.  The pass is idempotent on its contract inputs
+(text without C0/C1 controls or combining marks); outside the contract,
+stripping a control or NFC-composing a mark can CREATE a new
+mojibake-signature adjacency that a second pass would then repair
+('Â\\x08€' → strip → 'Â€') — the same non-guarantee ftfy makes.
 
 Reference tie-in: the reference trusts Tesseract's UTF-8 output and has
 no transcoding pass; this is beyond-reference scope (training-data

