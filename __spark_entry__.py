@@ -876,6 +876,65 @@ _HTML_SYNTH = """concat(
  '<footer>(c) 2026 Example Site</footer></body></html>')"""
 
 
+# Outlink fixture (html_links / link_edges): depends ONLY on doc_id (so the
+# twin composes with the urls CTE without re-joining documents) and — like
+# _HTML_SYNTH — is valid Spark SQL AND DuckDB SQL verbatim.  Branches
+# exercised: absolute href (graph edge), absolute multi-suffix-TLD target,
+# protocol-relative + single-quoted href, root-relative (self-domain →
+# dropped from edges), conditional rel=nofollow, mailto (no edge), relative
+# path (no edge), uppercase no-href anchor, a literal href="…" inside the
+# anchor BODY (must not be read), and a comment-wrapped ghost anchor (must
+# not be extracted).
+_LINKS_SYNTH = """concat(
+ '<html><body><p>Intro text for the outlink fixture page.</p>',
+ '<a href="https://peer-', cast(doc_id % 7 as string), '.example.org/p/',
+ cast(doc_id % 200 as string), '">Peer <b>', cast(doc_id % 200 as string),
+ '</b> page</a>',
+ '<a href="http://news.outlet-', cast(doc_id % 5 as string),
+ '.co.uk/story">News &amp; views</a>',
+ '<a href=''//cdn.assets-', cast(doc_id % 3 as string),
+ '.net/lib.js''>CDN asset</a>',
+ '<a href="/self/page-', cast(doc_id % 200 as string), '">Local nav</a>',
+ case when doc_id % 2 = 0
+      then '<a rel="nofollow" href="https://ads.sponsor-net.com/buy">Sponsored</a>'
+      else '' end,
+ '<a href="mailto:ed@example.com">Mail the editor</a>',
+ '<a href="other/page.html">Relative link</a>',
+ '<A NAME="top">No href anchor</A>',
+ '<a href="/trap">quoted href="https://fake.example.com/" in body</a>',
+ '<!-- <a href="https://ghost.example.com/">ghost</a> -->',
+ '</body></html>')"""
+
+
+def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction (operators/html.py html_links): synthesized web
+    pages → one row per anchor element with href, normalized anchor text,
+    nofollow flag, and the resolved absolute target (absolute /
+    protocol-relative / root-relative forms; everything else NULL).
+    NULL dst_url projected to '' for driver-hashable output (the
+    inverted_index lesson)."""
+    from ocr_spark.operators.html import html_links
+
+    docs = _docs_with_url(spark, sf_dir).withColumn(
+        "html", F.expr(_LINKS_SYNTH)
+    )
+    out = html_links(docs)
+    return out.withColumn("dst_url", F.coalesce(F.col("dst_url"), F.lit("")))
+
+
+def q_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain link graph from REAL extracted anchors
+    (operators/web.py link_edges): nofollow and unresolvable hrefs
+    excluded, same-domain edges dropped, (src, dst) pairs counted — the
+    edge table domain PageRank consumes."""
+    from ocr_spark.operators.web import link_edges
+
+    docs = _docs_with_url(spark, sf_dir).withColumn(
+        "html", F.expr(_LINKS_SYNTH)
+    )
+    return link_edges(docs)
+
+
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML main-content extraction (operators/html.py): the north rule's
     'HTML boilerplate strip / DOM heuristics' leg — synthesized web pages
@@ -3032,6 +3091,82 @@ select doc_id, component,
             else 'test' end as split
 from fin
 """
+    # html_links / link_edges twins: built from the SAME regex constants as
+    # operators/html.py (pattern drift impossible).  DuckDB deltas: 'g'
+    # flag on the comment strip, regexp_extract with no group = whole
+    # match, regexp_matches for rlike, parallel unnest+range for posexplode.
+    from ocr_spark.operators import html as H
+
+    def hsq(p: str) -> str:
+        return p.replace("'", "''")
+
+    def hnorm(v: str) -> str:
+        out = f"regexp_replace({v}, '{hsq(H.TAG_RE)}', ' ', 'g')"
+        for ent, rep in H.ENTITY_RULES:
+            out = f"replace({out}, '{hsq(ent)}', '{hsq(rep)}')"
+        return f"trim(regexp_replace({out}, '{hsq(H.WS_RE)}', ' ', 'g'))"
+
+    def regdom(parts: str, host: str) -> str:
+        return f"""case when len({parts}) >= 3
+                  and ({parts}[-2] || '.' || {parts}[-1]) in ({multi})
+             then {parts}[-3] || '.' || {parts}[-2] || '.' || {parts}[-1]
+             when len({parts}) >= 2 then {parts}[-2] || '.' || {parts}[-1]
+             else {host} end"""
+
+    links_ctes = f"""{ctes},
+pg as (select u.doc_id, u.url, {_LINKS_SYNTH} as html from urls u),
+tl as (select doc_id, url,
+              regexp_extract_all(
+                  regexp_replace(html, '{hsq(H.COMMENT_RE)}', ' ', 'g'),
+                  '{hsq(H.A_TAG_RE)}') as tags
+       from pg),
+el as (select doc_id, url,
+              cast(unnest(range(0, len(tags))) as int) as link_pos,
+              unnest(tags) as tag
+       from tl),
+ho as (select doc_id, url, link_pos, tag,
+              regexp_extract(tag, '{hsq(H.A_OPEN_RE)}') as ot
+       from el),
+lk as (select doc_id, url, link_pos, tag, ot,
+              case when regexp_extract(ot, '{hsq(H.HREF_DQ_RE)}', 1) <> ''
+                   then regexp_extract(ot, '{hsq(H.HREF_DQ_RE)}', 1)
+                   else regexp_extract(ot, '{hsq(H.HREF_SQ_RE)}', 1) end
+                  as href,
+              lower(regexp_extract(url, '{URL_RE}', 1)) as psch,
+              lower(regexp_extract(url, '{URL_RE}', 2)) as phst
+       from ho),
+rl as (select doc_id, url, link_pos, href,
+              {hnorm(f"regexp_extract(tag, '{hsq(H.ANCHOR_RE)}', 1)")}
+                  as anchor,
+              regexp_matches(ot, '{hsq(H.NOFOLLOW_RE)}') as nofollow,
+              case when regexp_matches(href, '{hsq(H.ABS_URL_RE)}')
+                        then href
+                   when starts_with(href, '//')
+                        then psch || ':' || href
+                   when starts_with(href, '/')
+                        then psch || '://' || phst || href
+                   else null end as dst_url
+       from lk)"""
+    _ORACLES["html_links"] = f"""
+with {links_ctes}
+select doc_id, url, link_pos, href, anchor, nofollow,
+       coalesce(dst_url, '') as dst_url
+from rl
+"""
+    _ORACLES["link_edges"] = f"""
+with {links_ctes},
+ed0 as (select lower(regexp_extract(url, '{URL_RE}', 2)) as sh,
+               lower(regexp_extract(dst_url, '{URL_RE}', 2)) as dh
+        from rl where not nofollow and dst_url is not null),
+ed1 as (select sh, dh, string_split(sh, '.') as sp,
+               string_split(dh, '.') as dp from ed0),
+ed as (select {regdom('sp', 'sh')} as src_domain,
+              {regdom('dp', 'dh')} as dst_domain
+       from ed1)
+select src_domain, dst_domain, cast(count(*) as bigint) as n_links
+from ed where src_domain <> dst_domain
+group by src_domain, dst_domain
+"""
     # domain_pagerank twin: 10 unrolled integer fixed-point iterations —
     # all-bigint arithmetic (sums cast back from hugeint) so the ranks
     # hash-match Spark's bit-for-bit; damping 85/100, scale 1e9, dangling
@@ -3742,6 +3877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "quality_stack": q_quality_stack,
         "html_extract": q_html_extract,
+        "html_links": q_html_links,
+        "link_edges": q_link_edges,
         "lm_quality": q_lm_quality,
         "nb_quality": q_nb_quality,
         "dsir_select": q_dsir_select,

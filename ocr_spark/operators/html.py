@@ -95,6 +95,24 @@ ENTITY_RULES: tuple[tuple[str, str], ...] = (
 )
 
 
+# --- outlink extraction constants (html_links; twin in __spark_entry__) --
+
+# One full anchor ELEMENT per match (open tag through first close tag) —
+# `\b` keeps <abbr>/<article>/<aside>/<address> from matching.  Anchors
+# with no close tag don't match and emit no link (documented limitation,
+# shared by both engines).
+A_TAG_RE = r"(?is)<a\b[^>]*>.*?</a\s*>"
+# The OPEN tag alone — href/rel are attribute facts and must never be read
+# from the anchor BODY (which may quote literal 'href=' text).
+A_OPEN_RE = r"(?is)^<a\b[^>]*>"
+HREF_DQ_RE = r'(?is)\bhref\s*=\s*"([^"]*)"'
+HREF_SQ_RE = r"(?is)\bhref\s*=\s*'([^']*)'"
+# Quoted rel value containing the nofollow token; unquoted rel=nofollow is
+# not recognized (documented limitation, shared by both engines).
+NOFOLLOW_RE = "(?is)\\brel\\s*=\\s*[\"'][^\"']*nofollow"
+ABS_URL_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+
+
 def container_re(tag: str) -> str:
     """Content-dropping pattern for one chrome container tag."""
     return rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>"
@@ -174,4 +192,105 @@ def html_spans(
         F.col("s.kind").alias("kind"),
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def html_links(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """``(doc_id, url, html)`` → one row per anchor element: the outlink
+    table a crawl frontier / link graph is built from (the edge source for
+    :func:`ocr_spark.operators.graph.pagerank` and anchor-text signals).
+
+    Output: ``doc_id, url, link_pos int, href, anchor, nofollow boolean,
+    dst_url`` — ``link_pos`` is the anchor's document position, ``anchor``
+    the normalized (tag-stripped, entity-decoded, whitespace-collapsed)
+    anchor text, ``dst_url`` the resolved absolute target:
+
+    * absolute ``scheme://…`` hrefs pass through;
+    * protocol-relative ``//host/…`` inherit the page scheme;
+    * root-relative ``/path`` resolve against the page scheme+host;
+    * everything else (relative paths, ``mailto:``, fragments, empty)
+      → NULL — those never produce cross-site edges, which is what the
+      link graph consumes.  Directory-relative resolution needs the full
+      RFC-3986 merge algorithm; deliberately out of scope in BOTH engines
+      so parity always holds.
+
+    href reads the double-quoted form first, then single-quoted, from the
+    OPEN tag only (the body may quote literal ``href=`` text).  Comments
+    are stripped first so commented-out markup emits no links.  Chrome is
+    deliberately NOT stripped: nav/footer links are real edges — the link
+    graph wants the whole page, unlike main-content extraction.
+
+    Scale shape: one narrow ``posexplode`` stage, zero shuffle; fan-out is
+    bounded by anchors-per-page.  All regexes are in the Java↔RE2-agreeing
+    subset, so the driver query has an exact DuckDB twin
+    (``__spark_entry__`` builds it from THESE constants).
+
+    Plan discipline (BENCH/BASELINE.md §3 re-inlining trap, third
+    instance): every heavy per-tag regex is staged ONCE into named struct
+    fields inside the tags array (the html_spans pattern), so downstream
+    consumers — the href CASE, the dst resolution, link_edges'
+    registered-domain trees, pushed-down filters — duplicate only cheap
+    field references.  The first (flat) formulation inlined the open-tag
+    extract ~100× through href→dst→registered_domain and pushed the fused
+    Generate-consume method past the JVM 64 KB limit: silent whole-stage
+    interpreted fallback (caught by the strict-codegen gate in
+    tests/test_plan_shapes.py).
+    """
+    from ocr_spark.functions.url import url_host, url_scheme
+
+    tags = F.regexp_extract_all(
+        F.regexp_replace(F.col(html_col), COMMENT_RE, " "),
+        F.lit(A_TAG_RE),
+        F.lit(0),
+    )
+
+    def _lex(t: Column) -> Column:
+        return F.struct(
+            F.regexp_extract(t, A_OPEN_RE, 0).alias("ot"),
+            F.regexp_extract(t, ANCHOR_RE, 1).alias("body"),
+        )
+
+    def _attrs(s: Column) -> Column:
+        return F.struct(
+            F.regexp_extract(s["ot"], HREF_DQ_RE, 1).alias("dq"),
+            F.regexp_extract(s["ot"], HREF_SQ_RE, 1).alias("sq"),
+            s["ot"].rlike(NOFOLLOW_RE).alias("nofollow"),
+            _normalize(s["body"]).alias("anchor"),
+        )
+
+    def _link(s: Column) -> Column:
+        return F.struct(
+            F.when(s["dq"] != "", s["dq"]).otherwise(s["sq"]).alias("href"),
+            s["anchor"].alias("anchor"),
+            s["nofollow"].alias("nofollow"),
+        )
+
+    staged = F.transform(F.transform(F.transform(tags, _lex), _attrs), _link)
+    out = df.select(
+        "doc_id",
+        F.col(url_col).alias("_u"),
+        F.posexplode(staged).alias("link_pos", "s"),
+    )
+    href = F.col("s.href")
+    scheme = F.lower(url_scheme(F.col("_u")))
+    host = F.lower(url_host(F.col("_u")))
+    dst = (
+        F.when(href.rlike(ABS_URL_RE), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(
+            href.startswith("/"),
+            F.concat(scheme, F.lit("://"), host, href),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return out.select(
+        "doc_id",
+        F.col("_u").alias("url"),
+        "link_pos",
+        href.alias("href"),
+        F.col("s.anchor").alias("anchor"),
+        F.col("s.nofollow").alias("nofollow"),
+        dst.alias("dst_url"),
     )

@@ -91,6 +91,45 @@ def domain_blocklist_filter(
     return staged.join(F.broadcast(blocked), "domain", "left_anti")
 
 
+def link_edges(
+    docs: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """``(doc_id, url, html)`` → the registered-domain link graph:
+    ``src_domain, dst_domain, n_links`` — the edge table
+    :func:`ocr_spark.operators.graph.pagerank` consumes, built from REAL
+    extracted anchors (operators/html.py ``html_links``) instead of a
+    synthesized graph.
+
+    Semantics: nofollow links are excluded (the hyperlink-graph
+    convention they exist for), unresolvable hrefs (relative paths,
+    mailto, fragments) produce no edge, and same-domain edges are dropped
+    (intra-site navigation is noise for a cross-site quality prior).
+    ``n_links`` counts anchor OCCURRENCES, so a domain citing another
+    many times weighs more — the weight a degree-normalizing consumer
+    like PageRank expects to see before its own normalization.
+
+    Scale shape: the link fan-out stays a narrow posexplode stage; the
+    only shuffle is the final (src, dst) count agg — map-side partial
+    aggregation collapses repeated site-to-site pairs before the
+    exchange, so the shuffled volume is O(distinct domain pairs), not
+    O(anchors).
+    """
+    from ocr_spark.operators.html import html_links
+
+    links = html_links(docs, html_col=html_col, url_col=url_col)
+    staged = links.where(
+        (~F.col("nofollow")) & F.col("dst_url").isNotNull()
+    ).select(
+        registered_domain(url_host(F.col("url"))).alias("src_domain"),
+        registered_domain(url_host(F.col("dst_url"))).alias("dst_domain"),
+    )
+    return (
+        staged.where(F.col("src_domain") != F.col("dst_domain"))
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
 def domain_stats(docs: DataFrame, url_col: str = "url") -> DataFrame:
     """Per-registered-domain curation rollup: the table a domain
     blocklist / per-domain quality prior is derived from.

@@ -293,7 +293,13 @@ def test_url_queries_survive_strict_codegen(spark):
     old = spark.conf.get("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try:
-        for name in ("url_dedup", "domain_stats", "domain_filter"):
+        for name in (
+            "url_dedup",
+            "domain_stats",
+            "domain_filter",
+            "html_links",
+            "link_edges",
+        ):
             assert q[name](spark, SF).count() > 0
     finally:
         spark.conf.set("spark.sql.codegen.fallback", old)
