@@ -40,11 +40,20 @@ from ocr_spark.operators import similarity as S
 # ---------------------------------------------------------------------------
 
 _PUNCT_SQL = T.PUNCT_CHARS.replace("'", "''")
+
+
+def _nt_of(col: str) -> str:
+    """Normalized non-empty tokens of an arbitrary text column (the
+    functions/text.py norm_tokens twin)."""
+    return (
+        f"list_filter(list_transform(regexp_split_to_array(trim({col}), "
+        f"'\\s+'), w -> lower(translate(w, '{_PUNCT_SQL}', ''))), "
+        "x -> x <> '')"
+    )
+
+
 # normalized non-empty tokens of documents.text
-_NT = (
-    "list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'), "
-    f"w -> lower(translate(w, '{_PUNCT_SQL}', ''))), x -> x <> '')"
-)
+_NT = _nt_of("text")
 # raw non-empty tokens
 _RT = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
 
@@ -933,6 +942,29 @@ def q_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "html", F.expr(_LINKS_SYNTH)
     )
     return link_edges(docs)
+
+
+def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incoming anchor-text index (operators/web.py anchor_terms): per
+    destination registered domain, the normalized terms citing sites use
+    in their anchors, with mention counts and exact citing-domain
+    diversity — nofollow/same-domain/unresolvable anchors excluded."""
+    from ocr_spark.operators.web import anchor_terms
+
+    docs = _docs_with_url(spark, sf_dir).withColumn(
+        "html", F.expr(_LINKS_SYNTH)
+    )
+    return anchor_terms(docs)
+
+
+def q_c4_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 §2.2 blocklist page-kill (operators/quality.py
+    c4_badword_filter): pages whose normalized tokens hit the frozen
+    blocklist are dropped wholesale — the companion rule to c4_clean's
+    line filters."""
+    from ocr_spark.operators.quality import c4_badword_filter
+
+    return c4_badword_filter(_docs(spark, sf_dir))
 
 
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3167,6 +3199,23 @@ select src_domain, dst_domain, cast(count(*) as bigint) as n_links
 from ed where src_domain <> dst_domain
 group by src_domain, dst_domain
 """
+    _ORACLES["anchor_terms"] = f"""
+with {links_ctes},
+ak0 as (select lower(regexp_extract(url, '{URL_RE}', 2)) as sh,
+               lower(regexp_extract(dst_url, '{URL_RE}', 2)) as dh,
+               anchor
+        from rl where not nofollow and dst_url is not null),
+ak1 as (select sh, dh, anchor, string_split(sh, '.') as sp,
+               string_split(dh, '.') as dp from ak0),
+ak as (select {regdom('sp', 'sh')} as src_domain,
+              {regdom('dp', 'dh')} as dst_domain, anchor
+       from ak1),
+tx as (select dst_domain, src_domain, unnest({_nt_of('anchor')}) as term
+       from ak where src_domain <> dst_domain)
+select dst_domain, term, cast(count(*) as bigint) as n_mentions,
+       cast(count(distinct src_domain) as bigint) as n_src_domains
+from tx group by dst_domain, term
+"""
     # domain_pagerank twin: 10 unrolled integer fixed-point iterations —
     # all-bigint arithmetic (sums cast back from hugeint) so the ranks
     # hash-match Spark's bit-for-bit; damping 85/100, scale 1e9, dangling
@@ -3463,6 +3512,23 @@ with synth as (select doc_id, {_C4_SYNTH} as text from documents),
 q as ({_c4_clean_query('synth')})
 select * from q
 """
+
+
+def _c4_badwords_sql() -> str:
+    """Twin of operators/quality.py c4_badword_filter, built from the
+    SAME frozen C4_BADWORDS constant (list drift impossible)."""
+    from ocr_spark.operators.quality import C4_BADWORDS
+
+    inlist = ", ".join(f"'{w}'" for w in C4_BADWORDS)
+    nt = _nt_of("coalesce(text, '')")  # null page = no tokens (c4 rule)
+    hits = f"cast(len(list_filter({nt}, t -> t in ({inlist}))) as bigint)"
+    return f"""
+select doc_id, {hits} as n_bad_hits, {hits} = 0 as keep
+from documents
+"""
+
+
+_ORACLES["c4_badwords"] = _c4_badwords_sql()
 
 # quality_stack twin: the three stage twins composed exactly as the
 # operator composes them — stages 2-3 read c4's text_clean.
@@ -3879,6 +3945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "html_links": q_html_links,
         "link_edges": q_link_edges,
+        "anchor_terms": q_anchor_terms,
+        "c4_badwords": q_c4_badwords,
         "lm_quality": q_lm_quality,
         "nb_quality": q_nb_quality,
         "dsir_select": q_dsir_select,

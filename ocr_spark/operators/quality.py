@@ -613,6 +613,48 @@ def c4_line_filter(docs: DataFrame) -> DataFrame:
     )
 
 
+# C4's remaining §2.2 page rule: any page containing a word on the "bad
+# words" blocklist is removed wholesale.  The production pipeline uses the
+# LDNOOBW obscenity list (~400 English entries); shipping that list adds
+# nothing to the mechanics, so this frozen placeholder stands in — chosen
+# to intersect the synthetic corpus vocabulary so the driver fixture
+# exercises both the kill and keep branches.  Swap the real list in (or
+# pass one) in production.
+C4_BADWORDS: tuple[str, ...] = ("dup", "slow")
+
+
+def c4_badword_filter(
+    docs: DataFrame, badwords: tuple[str, ...] = C4_BADWORDS
+) -> DataFrame:
+    """C4 §2.2 blocklist page-kill (Raffel et al. 2020): drop every page
+    whose normalized tokens contain ANY blocklisted word — the companion
+    to :func:`c4_line_filter`'s line rules (C4 applies both).
+
+    Zero shuffle, pure Catalyst: normalized tokens staged once, one
+    ``filter``-HOF membership count whose lambda touches only the token
+    element (the list is a literal IN-set, codegen'd as a hash lookup).
+    At a realistic ~400-word list prefer exactly this shape over a
+    broadcast join: the list is far below broadcast overhead and the scan
+    stays a single narrow stage.
+
+    Output: ``doc_id, n_bad_hits, keep`` (hits counted with multiplicity;
+    ``keep = n_bad_hits == 0``).  DuckDB twin mirrors the same frozen
+    constants via ``len(list_filter(toks, t -> t in (...)))``.
+    """
+    from ocr_spark.functions.text import count_in
+
+    staged = docs.select(
+        "doc_id",
+        norm_tokens(F.coalesce(F.col("text"), F.lit(""))).alias("_toks"),
+    )
+    hits = count_in(F.col("_toks"), badwords).cast("bigint")
+    return staged.select(
+        "doc_id",
+        hits.alias("n_bad_hits"),
+        (hits == 0).alias("keep"),
+    )
+
+
 # --- Gopher quality rules (Rae et al. 2021, App. A1) --------------------
 
 # Frozen constants, shared verbatim with the DuckDB twin.  All ratio

@@ -130,6 +130,54 @@ def link_edges(
     )
 
 
+def anchor_terms(
+    docs: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """``(doc_id, url, html)`` → the incoming anchor-text index: per
+    destination registered domain, the normalized terms other sites use
+    when linking to it — the classic off-page description signal (search
+    ranking, site classification, spam priors all consume it: a domain is
+    what OTHERS call it, not what it calls itself).
+
+    Semantics match ``link_edges``: nofollow links, unresolvable hrefs,
+    and same-domain anchors (navigation "home"/"read more" noise) are
+    excluded.  Terms come from the same ``norm_tokens`` normalization as
+    the word index, so anchor vocabulary joins against corpus vocabulary.
+
+    Output: ``dst_domain, term, n_mentions bigint, n_src_domains bigint``
+    — mentions counted with multiplicity, ``n_src_domains`` the exact
+    distinct citing-domain count (citation DIVERSITY — one domain saying
+    "best widgets" 10 000 times is a spam signal, 10 000 domains saying
+    it once is reputation).
+
+    Scale shape: anchors are short (a few tokens), so the explode fan-out
+    is bounded; the one shuffle keys on (dst_domain, term) with map-side
+    partial aggregation, and the distinct count rewrites into a two-level
+    aggregate on the natural (dst_domain, term, src_domain) key — the
+    same uniform skew-defusing expansion as ``domain_stats``.
+    """
+    from ocr_spark.functions.text import norm_tokens
+    from ocr_spark.operators.html import html_links
+
+    links = html_links(docs, html_col=html_col, url_col=url_col)
+    staged = links.where(
+        (~F.col("nofollow")) & F.col("dst_url").isNotNull()
+    ).select(
+        registered_domain(url_host(F.col("url"))).alias("src_domain"),
+        registered_domain(url_host(F.col("dst_url"))).alias("dst_domain"),
+        "anchor",
+    )
+    ex = staged.where(F.col("src_domain") != F.col("dst_domain")).select(
+        "src_domain",
+        "dst_domain",
+        F.explode(norm_tokens(F.col("anchor"))).alias("term"),
+    )
+    return ex.groupBy("dst_domain", "term").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("src_domain").alias("n_src_domains"),
+    )
+
+
 def domain_stats(docs: DataFrame, url_col: str = "url") -> DataFrame:
     """Per-registered-domain curation rollup: the table a domain
     blocklist / per-domain quality prior is derived from.

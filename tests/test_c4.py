@@ -87,3 +87,24 @@ def test_empty_and_null_pages_drop(rows):
         r = rows[d]
         assert r["n_lines"] == 1 and r["n_kept_lines"] == 0
         assert r["text_clean"] == "" and not r["keep"]
+
+
+def test_badword_filter_kills_hit_pages(spark):
+    from ocr_spark.operators.quality import c4_badword_filter
+
+    docs = spark.createDataFrame(
+        [
+            (0, "clean text about tables and joins"),
+            (1, "this page mentions bad stuff twice: bad stuff"),
+            (2, "Punctuated BAD, normalizes to a hit"),
+            (3, None),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_bad_hits"], r["keep"])
+        for r in c4_badword_filter(docs, badwords=("bad",)).collect()
+    }
+    # multiplicity counted; punctuation-strip + lowercase normalize before
+    # the membership test; null page has no tokens and survives this rule
+    assert out == {0: (0, True), 1: (2, False), 2: (1, False), 3: (0, True)}

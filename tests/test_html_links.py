@@ -146,6 +146,38 @@ def test_link_edges_semantics(spark):
                      ("b.org", "a.com"): 1}
 
 
+def test_anchor_terms_index(spark):
+    from ocr_spark.operators.web import anchor_terms
+
+    rows = [
+        (
+            1,
+            "https://www.a.com/x",
+            '<a href="https://b.org/1">Best <b>Widgets</b></a>'
+            '<a href="https://b.org/2">best widgets!</a>'
+            '<a rel="nofollow" href="https://b.org/3">best spammy</a>'
+            '<a href="/nav">home</a>',
+        ),
+        (
+            2,
+            "http://c.net/y",
+            '<a href="https://sub.b.org/1">widgets shop</a>',
+        ),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, url string, html string")
+    out = {
+        (r["dst_domain"], r["term"]): (r["n_mentions"], r["n_src_domains"])
+        for r in anchor_terms(docs).collect()
+    }
+    # normalization strips '!' and lowercases; nofollow and the
+    # same-domain nav anchor contribute nothing; subdomain collapses.
+    assert out == {
+        ("b.org", "best"): (2, 1),
+        ("b.org", "widgets"): (3, 2),
+        ("b.org", "shop"): (1, 1),
+    }
+
+
 def test_pagerank_over_extracted_edges(spark):
     from ocr_spark.operators.graph import pagerank
 

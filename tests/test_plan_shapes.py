@@ -299,6 +299,7 @@ def test_url_queries_survive_strict_codegen(spark):
             "domain_filter",
             "html_links",
             "link_edges",
+            "anchor_terms",
         ):
             assert q[name](spark, SF).count() > 0
     finally:
