@@ -957,6 +957,16 @@ def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_terms(docs)
 
 
+def q_frontier_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polite crawl-frontier schedule (operators/web.py frontier_plan):
+    normalized-URL representatives → deterministic (host, slot) fetch
+    rounds, ≤2 URLs per host per slot, mega-host windows bounded by the
+    8-way bucket split."""
+    from ocr_spark.operators.web import frontier_plan
+
+    return frontier_plan(_docs_with_url(spark, sf_dir), per_host=2, buckets=8)
+
+
 def q_c4_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 §2.2 blocklist page-kill (operators/quality.py
     c4_badword_filter): pages whose normalized tokens hit the frozen
@@ -3216,6 +3226,26 @@ select dst_domain, term, cast(count(*) as bigint) as n_mentions,
        cast(count(distinct src_domain) as bigint) as n_src_domains
 from tx group by dst_domain, term
 """
+    # frontier_plan twin: same md5 order key, same (host, bucket) window,
+    # same slot arithmetic (// = Spark floor-div on exact small ints).
+    fp_host, fp_buckets = 2, 8
+    _ORACLES["frontier_plan"] = f"""
+with {ctes},
+rep as (select norm_url, host, min(doc_id) as doc_id
+        from normed group by norm_url, host),
+fst as (select *,
+               cast(cast(('0x' || substr(md5(norm_url), 1, 12)) as bigint)
+                    % {fp_buckets} as int) as bucket,
+               md5(norm_url) as o
+        from rep),
+frk as (select *, row_number() over (partition by host, bucket
+                                     order by o, norm_url) as rnk
+        from fst)
+select norm_url, host, doc_id, bucket,
+       cast(((rnk - 1) // {fp_host}) * {fp_buckets} + bucket as bigint)
+           as slot
+from frk
+"""
     # domain_pagerank twin: 10 unrolled integer fixed-point iterations —
     # all-bigint arithmetic (sums cast back from hugeint) so the ranks
     # hash-match Spark's bit-for-bit; damping 85/100, scale 1e9, dangling
@@ -3947,6 +3977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_edges": q_link_edges,
         "anchor_terms": q_anchor_terms,
         "c4_badwords": q_c4_badwords,
+        "frontier_plan": q_frontier_plan,
         "lm_quality": q_lm_quality,
         "nb_quality": q_nb_quality,
         "dsir_select": q_dsir_select,

@@ -178,6 +178,72 @@ def anchor_terms(
     )
 
 
+def frontier_plan(
+    docs: DataFrame,
+    url_col: str = "url",
+    per_host: int = 2,
+    buckets: int = 8,
+) -> DataFrame:
+    """Candidate URLs → a deterministic polite fetch schedule: the step
+    between URL dedup and actual fetching in every crawler (Heritrix/
+    Nutch frontier semantics — never hammer one host, keep global order
+    reproducible).
+
+    Each normalized-URL representative is assigned a ``slot`` (the fetch
+    round it belongs to) such that **no (host, slot) cell ever holds more
+    than ``per_host`` URLs** — the politeness budget.  Order within a
+    host is the md5 of the normalized URL, so the schedule is a pure
+    function of the URL set: engine-, partitioning- and run-invariant
+    (the deterministic_sample philosophy applied to scheduling).
+
+    Scale shape — the reason this isn't one ``row_number`` per host: a
+    mega-host (tens of millions of URLs) would make a host-partitioned
+    window one giant task.  Instead each URL hashes into one of
+    ``buckets`` sub-buckets and the window partitions on **(host,
+    bucket)** — the same bounded-window move as ``epoch_shuffle`` — with
+    ``slot = (rank-1) // per_host * buckets + bucket``.  A slot maps back
+    to exactly one bucket (``slot % buckets``), so the per-(host, slot)
+    cap holds by construction while the mega-host's sort spreads over
+    ``buckets`` tasks.  Raising ``buckets`` trades schedule compactness
+    for parallelism; both are deterministic.
+
+    Output: ``norm_url, host, doc_id, bucket int, slot bigint``.
+    """
+    from pyspark.sql.window import Window
+
+    rep = (
+        docs.select(
+            url_normalize(F.col(url_col)).alias("norm_url"),
+            F.lower(url_host(F.col(url_col))).alias("host"),
+            "doc_id",
+        )
+        .groupBy("norm_url", "host")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("norm_url").cast("binary")), 1, 12), 16, 10)
+        .cast("bigint")
+        % buckets
+    ).cast("int")
+    staged = rep.select(
+        "norm_url", "host", "doc_id", bucket.alias("bucket"),
+        F.md5(F.col("norm_url").cast("binary")).alias("_ord"),
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("host", "bucket").orderBy("_ord", "norm_url")
+    )
+    return staged.select(
+        "norm_url",
+        "host",
+        "doc_id",
+        "bucket",
+        (
+            F.floor((rank - 1) / F.lit(per_host)).cast("bigint") * buckets
+            + F.col("bucket")
+        ).alias("slot"),
+    )
+
+
 def domain_stats(docs: DataFrame, url_col: str = "url") -> DataFrame:
     """Per-registered-domain curation rollup: the table a domain
     blocklist / per-domain quality prior is derived from.

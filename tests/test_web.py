@@ -174,3 +174,63 @@ def test_parse_hostless_and_portful(spark):
         .collect()[0]["h"]
     )
     assert host == "h.io"
+
+
+def test_frontier_plan_politeness_and_determinism(spark):
+    from ocr_spark.operators.web import frontier_plan
+
+    rows = [
+        # one mega-host (20 URLs), one small host, plus a duplicate fetch
+        # of the same normalized URL (must collapse to one schedule row)
+        *[
+            (i, f"https://big.example.com/page-{i}")
+            for i in range(20)
+        ],
+        (100, "https://small.org/a"),
+        (101, "https://small.org/b"),
+        (102, "https://small.org/c"),
+        (103, "https://big.example.com/page-0#frag"),  # dup of page-0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, url string")
+    out = frontier_plan(docs, per_host=2, buckets=4).collect()
+
+    # duplicate normalized URL collapsed; min doc_id kept
+    assert len(out) == 23
+    page0 = [r for r in out if r["norm_url"].endswith("/page-0")]
+    assert len(page0) == 1 and page0[0]["doc_id"] == 0
+
+    # politeness: never more than per_host URLs of one host in one slot
+    from collections import Counter
+
+    cell = Counter((r["host"], r["slot"]) for r in out)
+    assert max(cell.values()) <= 2
+
+    # slot encodes its bucket
+    assert all(r["slot"] % 4 == r["bucket"] for r in out)
+
+    # deterministic under repartitioning
+    again = frontier_plan(
+        docs.repartition(7, "doc_id"), per_host=2, buckets=4
+    ).collect()
+    key = lambda rs: sorted((r["norm_url"], r["slot"]) for r in rs)
+    assert key(out) == key(again)
+
+
+def test_frontier_plan_window_is_bucket_bounded(spark):
+    """The window must partition on (host, bucket) — a host-only window
+    would put a mega-host in one task."""
+    from ocr_spark.operators.web import frontier_plan
+
+    docs = spark.createDataFrame(
+        [(1, "https://h.com/x")], "doc_id int, url string"
+    )
+    import re
+
+    plan = (
+        frontier_plan(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    # the shuffle and the window both key on (host, bucket), never host alone
+    assert re.search(r"hashpartitioning\(host#\d+, bucket#\d+", plan), plan
+    assert re.search(
+        r"windowspecdefinition\(host#\d+, bucket#\d+", plan
+    ), plan
