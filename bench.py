@@ -123,6 +123,9 @@ def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
         "shard_stats", "web_curate", "domain_pagerank",
         # round-2 wrap-up: the composed one-scan filter battery
         "quality_stack",
+        # round-2 continuation: web link family + C4 completion
+        "html_links", "link_edges", "anchor_terms", "frontier_plan",
+        "c4_badwords",
     ]
     # Per-workload scan tuning (the conf is runtime-settable): thin
     # TPC-H-ish tables are scan-bound and want the vectorized reader's
