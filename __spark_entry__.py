@@ -2844,6 +2844,83 @@ where cast(c_acctbal as decimal(18,2)) >
 group by c_mktsegment
 order by segment
 """,
+    "q14_promo": """
+select year(l_shipdate) as l_year,
+       cast(sum(case when p_type = 'PROMO'
+                     then cast(l_extendedprice as decimal(18,2))
+                          * (cast(1 as decimal(18,2))
+                             - cast(l_discount as decimal(18,2))) end)
+            as double) as promo_revenue,
+       cast(sum(cast(l_extendedprice as decimal(18,2))
+                * (cast(1 as decimal(18,2))
+                   - cast(l_discount as decimal(18,2)))) as double)
+           as total_revenue,
+       count(*) as n_items
+from lineitem join part on l_partkey = p_partkey
+where l_shipdate >= date '1996-01-01' and l_shipdate < date '1998-01-01'
+group by year(l_shipdate)
+order by l_year
+""",
+    "q15_top_supplier": """
+with revenue as (
+  select l_suppkey,
+         sum(cast(l_extendedprice as decimal(18,2))
+             * (cast(1 as decimal(18,2))
+                - cast(l_discount as decimal(18,2)))) as total_rev
+  from lineitem
+  where l_shipdate >= date '1996-01-01' and l_shipdate < date '1996-04-01'
+  group by l_suppkey)
+select s_suppkey, s_name, cast(total_rev as double) as total_revenue
+from revenue join supplier on l_suppkey = s_suppkey
+where total_rev = (select max(total_rev) from revenue)
+order by s_suppkey
+""",
+    "q17_small_qty": """
+with per_part as (
+  select l_partkey as pk,
+         sum(cast(l_quantity as bigint)) as sq,
+         count(*) as cq
+  from lineitem group by l_partkey)
+select count(*) as n_items,
+       cast(sum(cast(l_extendedprice as decimal(18,2))) as double)
+           as small_qty_revenue
+from lineitem
+join part on p_partkey = l_partkey
+join per_part on pk = l_partkey
+where p_brand = 'Brand#23' and p_size <= 10
+  and 5 * cast(l_quantity as bigint) * cq < sq
+""",
+    "q19_disjunctive": """
+select count(*) as n_items,
+       cast(sum(cast(l_extendedprice as decimal(18,2))
+                * (cast(1 as decimal(18,2))
+                   - cast(l_discount as decimal(18,2)))) as double)
+           as revenue
+from lineitem join part on p_partkey = l_partkey
+where (p_brand = 'Brand#12' and p_size between 1 and 5
+       and l_quantity between 1 and 11)
+   or (p_brand = 'Brand#23' and p_size between 1 and 10
+       and l_quantity between 10 and 20)
+   or (p_brand = 'Brand#34' and p_size between 1 and 15
+       and l_quantity between 20 and 30)
+""",
+    "q21_waiting": """
+select s_name, count(*) as numwait
+from supplier
+join lineitem l1 on s_suppkey = l1.l_suppkey
+join orders on o_orderkey = l1.l_orderkey
+where l1.l_shipdate > o_orderdate + interval 90 day
+  and exists (select 1 from lineitem l2
+              where l2.l_orderkey = l1.l_orderkey
+                and l2.l_suppkey <> l1.l_suppkey)
+  and not exists (select 1 from lineitem l3
+                  where l3.l_orderkey = l1.l_orderkey
+                    and l3.l_suppkey <> l1.l_suppkey
+                    and l3.l_shipdate > o_orderdate + interval 90 day)
+group by s_name
+order by numwait desc, s_name
+limit 25
+""",
     "q1_pricing": """
 select l_returnflag, l_linestatus,
        cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty,
@@ -4041,6 +4118,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_custdist": R.q13_custdist,
         "q18_large_volume": R.q18_large_volume,
         "q22_dormant": R.q22_dormant_customers,
+        "q14_promo": R.q14_promo_revenue,
+        "q15_top_supplier": R.q15_top_supplier,
+        "q17_small_qty": R.q17_small_quantity,
+        "q19_disjunctive": R.q19_disjunctive_join,
+        "q21_waiting": R.q21_waiting_supplier,
     }
 
 

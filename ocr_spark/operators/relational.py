@@ -589,3 +589,175 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a fact→dim join —
+    the promo-revenue share report.  The synthetic part table's p_type
+    domain is the bare class label ('PROMO', 'ECONOMY', …), so the
+    predicate is equality rather than LIKE 'PROMO%'; the shape (CASE
+    inside SUM over the joined row stream) is identical.
+
+    Exactness: both sums accumulate DECIMAL(18,2) products and cast to
+    double once at the end; the ratio is left to the reader (emitting
+    both sums instead of their quotient keeps the gate float-division
+    free).  Plan intent: the month window pushes to the lineitem scan,
+    part broadcasts (2k rows), one partial+final hash agg per year."""
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+    )
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", disc_price))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(disc_price).cast("double").alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_year")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate-as-view reused twice — per-supplier
+    revenue over a ship-date quarter, then the supplier(s) whose revenue
+    EQUALS the max of that same aggregate.  Catalyst plans the revenue
+    agg once per consumer; AQE's exchange reuse collapses the duplicate
+    shuffle when the subtrees match.
+
+    Exactness: the max-equality comparison happens on the DECIMAL sums
+    (exact in both engines); only the output column is cast to double."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(
+            _dec("l_extendedprice")
+            * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+        ).alias("total_rev")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    max_rev = revenue.agg(F.max("total_rev").alias("mx"))
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_rev") == F.col("mx"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar aggregate per join group —
+    revenue sitting in lineitems whose quantity is below 20% of their
+    part's average order quantity, for one brand's small parts.
+
+    The threshold comparison is integer-exact by cross-multiplication:
+    ``5 * l_quantity * count < sum`` instead of
+    ``l_quantity < 0.2 * avg`` — quantities are integral (1..50), so
+    both sides are exact BIGINTs and no float rounding can diverge
+    between engines.  Catalyst decorrelates the two scalar subqueries
+    into one per-part aggregate joined back to the filtered fact."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        with per_part as (
+          select l_partkey as pk,
+                 sum(cast(l_quantity as bigint)) as sq,
+                 count(*) as cq
+          from lineitem_v group by l_partkey)
+        select count(*) as n_items,
+               cast(sum(cast(l_extendedprice as decimal(18,2))) as double)
+                   as small_qty_revenue
+        from lineitem_v
+        join part_v on p_partkey = l_partkey
+        join per_part on pk = l_partkey
+        where p_brand = 'Brand#23' and p_size <= 10
+          and 5 * cast(l_quantity as bigint) * cq < sq
+        """
+    )
+
+
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a disjunction of conjunctive clauses spanning
+    BOTH join sides (brand/size on part × quantity band on lineitem) as
+    the join's residual predicate.  Catalyst extracts the part-only
+    hull of the OR and pushes it to the part scan while keeping the
+    full disjunction above the (broadcast) hash join — the classic
+    'common predicate extraction' rewrite that keeps this from being a
+    filter-after-cartesian."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        select count(*) as n_items,
+               cast(sum(cast(l_extendedprice as decimal(18,2))
+                        * (cast(1 as decimal(18,2))
+                           - cast(l_discount as decimal(18,2)))) as double)
+                   as revenue
+        from lineitem_v join part_v on p_partkey = l_partkey
+        where (p_brand = 'Brand#12' and p_size between 1 and 5
+               and l_quantity between 1 and 11)
+           or (p_brand = 'Brand#23' and p_size between 1 and 10
+               and l_quantity between 10 and 20)
+           or (p_brand = 'Brand#34' and p_size between 1 and 15
+               and l_quantity between 20 and 30)
+        """
+    )
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS against the SAME fact table,
+    both correlated on the outer row's order — 'the supplier who alone
+    shipped late on a multi-supplier order'.  The synthetic lineitem has
+    no receipt/commit dates, so lateness is adapted to ship-lag: a line
+    is late when it ships > 90 days after its order date (same
+    cross-table interval arithmetic as q4, exact in both engines).
+
+    Plan intent: the EXISTS becomes a left-semi and the NOT EXISTS a
+    left-anti hash join on l_orderkey; both correlated branches carry
+    the outer o_orderdate reference that forces true decorrelation (not
+    just an IN-set rewrite)."""
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        select s_name, count(*) as numwait
+        from supplier_v
+        join lineitem_v l1 on s_suppkey = l1.l_suppkey
+        join orders_v on o_orderkey = l1.l_orderkey
+        where l1.l_shipdate > o_orderdate + interval 90 days
+          and exists (select 1 from lineitem_v l2
+                      where l2.l_orderkey = l1.l_orderkey
+                        and l2.l_suppkey <> l1.l_suppkey)
+          and not exists (select 1 from lineitem_v l3
+                          where l3.l_orderkey = l1.l_orderkey
+                            and l3.l_suppkey <> l1.l_suppkey
+                            and l3.l_shipdate > o_orderdate
+                                                + interval 90 days)
+        group by s_name
+        order by numwait desc, s_name
+        limit 25
+        """
+    )

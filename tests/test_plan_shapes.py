@@ -324,3 +324,40 @@ def test_strict_codegen_gate_detects_the_trap(spark):
             domain_blocklist_filter(docs).count()
     finally:
         spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+def test_q19_or_hull_pushed_to_part_scan(spark):
+    """Q19's disjunction spans both join sides; Catalyst must extract the
+    part-only hull of the OR and push it into the part parquet scan (the
+    'common predicate extraction' rewrite) while the full residual stays
+    above the hash join — never a filter-over-cartesian."""
+    from ocr_spark.operators.relational import q19_disjunctive_join
+
+    df = q19_disjunctive_join(spark, SF)
+    plan = checks.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = checks.pushed_filters(df)
+    assert "p_brand" in pushed, pushed  # the OR hull reached the scan
+
+
+def test_q21_decorrelates_to_semi_plus_anti(spark):
+    """The EXISTS must compile to a left-semi and the NOT EXISTS to a
+    left-anti hash join — real decorrelation, no per-row subquery."""
+    from ocr_spark.operators.relational import q21_waiting_supplier
+
+    plan = checks.physical_plan(q21_waiting_supplier(spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q15_max_equality_is_hash_join(spark):
+    """The revenue-equals-max comparison joins on the decimal agg value —
+    an equi-key, so it must be a BroadcastHashJoin on the 1-row max
+    relation, never a nested loop."""
+    from ocr_spark.operators.relational import q15_top_supplier
+
+    plan = checks.physical_plan(q15_top_supplier(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
