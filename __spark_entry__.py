@@ -2921,6 +2921,137 @@ group by s_name
 order by numwait desc, s_name
 limit 25
 """,
+    "q2_min_cost": """
+with cost as (
+  select l_partkey as pk, l_suppkey as sk,
+         min(cast(l_extendedprice as decimal(18,2))) as supply_cost
+  from lineitem group by l_partkey, l_suppkey)
+select s_acctbal, s_name, n_name, p_partkey,
+       cast(supply_cost as double) as supply_cost
+from cost
+join supplier on sk = s_suppkey
+join nation on s_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+join part on pk = p_partkey
+where r_name = 'EUROPE' and p_size <= 15 and p_type = 'LARGE'
+  and supply_cost = (
+    select min(cast(l2.l_extendedprice as decimal(18,2)))
+    from lineitem l2
+    join supplier s2 on l2.l_suppkey = s2.s_suppkey
+    join nation n2 on s2.s_nationkey = n2.n_nationkey
+    join region r2 on n2.n_regionkey = r2.r_regionkey
+    where l2.l_partkey = pk and r2.r_name = 'EUROPE')
+order by s_acctbal desc, n_name, s_name, p_partkey
+limit 100
+""",
+    "q6_forecast": """
+select count(*) as n_items,
+       cast(sum(cast(l_extendedprice as decimal(18,2))
+                * cast(l_discount as decimal(18,2))) as double) as revenue
+from lineitem
+where l_shipdate >= date '1996-01-01' and l_shipdate < date '1997-01-01'
+  and cast(l_discount as decimal(18,2))
+      between cast('0.05' as decimal(18,2)) and cast('0.07' as decimal(18,2))
+  and l_quantity < 24
+""",
+    "q8_market_share": """
+select year(o_orderdate) as o_year,
+       cast(sum(case when r2.r_name = 'EUROPE'
+                     then cast(l_extendedprice as decimal(18,2))
+                          * (cast(1 as decimal(18,2))
+                             - cast(l_discount as decimal(18,2))) end)
+            as double) as europe_volume,
+       cast(sum(cast(l_extendedprice as decimal(18,2))
+                * (cast(1 as decimal(18,2))
+                   - cast(l_discount as decimal(18,2)))) as double)
+           as total_volume,
+       count(*) as n_items
+from lineitem
+join part on l_partkey = p_partkey
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join nation n1 on c_nationkey = n1.n_nationkey
+join region r1 on n1.n_regionkey = r1.r_regionkey
+join supplier on l_suppkey = s_suppkey
+join nation n2 on s_nationkey = n2.n_nationkey
+join region r2 on n2.n_regionkey = r2.r_regionkey
+where r1.r_name = 'ASIA' and p_type = 'ECONOMY'
+  and o_orderdate >= date '1996-01-01' and o_orderdate < date '1998-01-01'
+group by year(o_orderdate)
+order by o_year
+""",
+    "q9_product_profit": """
+select n_name, year(o_orderdate) as o_year,
+       cast(sum(cast(l_extendedprice as decimal(18,2))
+                * (cast(1 as decimal(18,2))
+                   - cast(l_discount as decimal(18,2)))
+                - cast(p_retailprice as decimal(18,2))
+                  * cast(l_quantity as decimal(18,2))) as double) as profit,
+       count(*) as n_items
+from lineitem
+join part on l_partkey = p_partkey
+join supplier on l_suppkey = s_suppkey
+join nation on s_nationkey = n_nationkey
+join orders on l_orderkey = o_orderkey
+where p_name like '%widget%'
+group by n_name, year(o_orderdate)
+order by n_name, o_year desc
+""",
+    "q11_important_stock": """
+with val as (
+  select l_partkey as p_partkey,
+         sum(cast(l_extendedprice as decimal(18,2))) as value_dec
+  from lineitem
+  join supplier on l_suppkey = s_suppkey
+  join nation on s_nationkey = n_nationkey
+  join region on n_regionkey = r_regionkey
+  where r_name = 'EUROPE'
+  group by l_partkey)
+select p_partkey, cast(value_dec as double) as part_value
+from val
+where value_dec * 1000 > (select sum(value_dec) from val)
+order by part_value desc, p_partkey
+""",
+    "q12_priority_lag": """
+select l_returnflag,
+       count(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                  then 1 end) as high_line_count,
+       count(case when o_orderpriority not in ('1-URGENT', '2-HIGH')
+                  then 1 end) as low_line_count
+from orders join lineitem on o_orderkey = l_orderkey
+where l_shipdate >= o_orderdate + interval 60 day
+  and l_shipdate < o_orderdate + interval 120 day
+group by l_returnflag
+order by l_returnflag
+""",
+    "q16_supplier_cnt": """
+select p_brand, p_type, p_size,
+       count(distinct l_suppkey) as supplier_cnt
+from (select distinct l_partkey, l_suppkey from lineitem) ps
+join part on l_partkey = p_partkey
+where p_brand <> 'Brand#23' and p_type <> 'PROMO'
+  and p_size in (1, 4, 9, 16, 25, 36, 49)
+  and l_suppkey not in
+      (select s_suppkey from supplier where s_acctbal < 1000)
+group by p_brand, p_type, p_size
+order by supplier_cnt desc, p_brand, p_type, p_size
+""",
+    "q20_excess_supplier": """
+with ps as (
+  select l_partkey as pk, l_suppkey as sk,
+         sum(case when l_shipdate >= date '1996-01-01'
+                   and l_shipdate < date '1997-01-01'
+                  then cast(l_quantity as bigint) else 0 end) as q96,
+         sum(cast(l_quantity as bigint)) as qall
+  from lineitem group by l_partkey, l_suppkey)
+select s_suppkey, s_name
+from supplier
+where s_suppkey in (
+  select sk from ps
+  where pk in (select p_partkey from part where p_name like '%widget%')
+    and 2 * q96 > qall)
+order by s_suppkey
+""",
     "q1_pricing": """
 select l_returnflag, l_linestatus,
        cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty,
@@ -4123,6 +4254,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty": R.q17_small_quantity,
         "q19_disjunctive": R.q19_disjunctive_join,
         "q21_waiting": R.q21_waiting_supplier,
+        "q2_min_cost": R.q2_min_cost_supplier,
+        "q6_forecast": R.q6_forecast_revenue,
+        "q8_market_share": R.q8_market_share,
+        "q9_product_profit": R.q9_product_profit,
+        "q11_important_stock": R.q11_important_stock,
+        "q12_priority_lag": R.q12_priority_lag,
+        "q16_supplier_cnt": R.q16_supplier_cnt,
+        "q20_excess_supplier": R.q20_excess_supplier,
     }
 
 

@@ -761,3 +761,362 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         limit 25
         """
     )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar MIN decorrelated into an
+    aggregate-join — 'the cheapest European supplier of each large part'.
+    The synthetic schema has no partsupp, so supply cost is derived as the
+    per-(part, supplier) MIN line price over lineitem (same join graph:
+    part × supplier × nation × region with the region filter inside the
+    correlated subquery).
+
+    Exactness: the min/equality comparison happens on DECIMAL(18,2) values
+    (exact in both engines); the output column is cast to double once.
+    Plan intent: one shuffle builds the (part, supplier) cost table; the
+    EUROPE dim chain broadcasts onto it; the per-part MIN re-aggregates the
+    same slim table and joins back as a broadcast on (pk, cost) — never a
+    per-row subquery.  The LIMIT rides a total order (acctbal desc with
+    unique (p_partkey, s_name) tie-breaks) so the top-100 is deterministic."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_dec("l_extendedprice")).alias("supply_cost_dec")
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eur_cost = (
+        cost.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    min_cost = eur_cost.groupBy(F.col("l_partkey").alias("mc_pk")).agg(
+        F.min("supply_cost_dec").alias("min_cost_dec")
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .where((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey")
+    )
+    return (
+        eur_cost.join(
+            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(
+            F.broadcast(min_cost),
+            (F.col("l_partkey") == F.col("mc_pk"))
+            & (F.col("supply_cost_dec") == F.col("min_cost_dec")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("supply_cost_dec").cast("double").alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-aggregate — no join at all.
+    Every predicate (ship-year window, discount band, quantity cap) must
+    push to the parquet scan; the agg is one partial+final over a single
+    narrow stage.  The discount band compares DECIMAL(18,2) casts on both
+    engines so the 0.05/0.07 boundary is exact, and revenue accumulates
+    decimal products cast to double once."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    )
+    lo = F.lit("0.05").cast("decimal(18,2)")
+    hi = F.lit("0.07").cast("decimal(18,2)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & _dec("l_discount").between(lo, hi)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: the two-role nation join — nation keys BOTH ends of
+    the order (customer side filters the market region, supplier side is
+    classified inside a conditional agg), so `nation`/`region` each appear
+    twice under different aliases.  Adapted numerator: the EUROPE supplier
+    share of ASIA-market ECONOMY volume per order year (emitting numerator
+    and denominator separately keeps the gate float-division free, the q14
+    convention).
+
+    Plan intent: part (filtered, 2k rows) and the supplier→nation→region
+    chain broadcast onto lineitem; the orders↔lineitem and customer↔orders
+    joins shuffle on their keys; customer is deliberately NOT forced
+    broadcast (TPC-H sf1k customer is ~15 GB — AQE decides)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    r1 = (
+        load(spark, sf_dir, "region")
+        .where(F.col("r_name") == "ASIA")
+        .select(F.col("r_regionkey").alias("c_rregion"))
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_regionkey").alias("s_rkey")
+    )
+    r2 = load(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("s_rregion"), F.col("r_name").alias("s_rname")
+    )
+    vol = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(r1), F.col("c_rkey") == F.col("c_rregion"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(r2), F.col("s_rkey") == F.col("s_rregion"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("s_rname") == "EUROPE", vol))
+            .cast("double")
+            .alias("europe_volume"),
+            F.sum(vol).cast("double").alias("total_volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: multi-fact profit report — revenue minus cost across
+    a part-name LIKE filter, grouped by supplier nation × order year.  No
+    partsupp exists, so cost is p_retailprice × quantity (same arithmetic
+    shape: a second decimal product subtracted inside the SUM).
+
+    Plan intent: the '%widget%' part filter broadcasts (it cannot push to
+    the scan as a range, but the contains-filtered dim is tiny); supplier
+    and nation broadcast; the only real shuffle is lineitem↔orders on
+    orderkey plus the final (nation, year) agg."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").contains("widget"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    ) - _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(amount).cast("double").alias("profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name", F.col("o_year").desc())
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: GROUP BY ... HAVING against a GLOBAL scalar of the
+    same aggregate — 'parts holding an outsized share of one region's line
+    value'.  The share threshold is integer cross-multiplication on the
+    DECIMAL sums (value × 1000 > Σvalue), never a float fraction, so both
+    engines agree bit-for-bit.
+
+    Plan intent: one shuffle builds the per-part value table; the global
+    total runs as a true scalar subquery over the same view (Catalyst
+    executes it once and substitutes the literal — no join of any kind in
+    the main plan, and the exchange under both aggregates is shared)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    val = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(_dec("l_extendedprice")).alias("value_dec"))
+    )
+    val.createOrReplaceTempView("q11_val_v")
+    return spark.sql(
+        """
+        select p_partkey, cast(value_dec as double) as part_value
+        from q11_val_v
+        where value_dec * 1000 > (select sum(value_dec) from q11_val_v)
+        order by part_value desc, p_partkey
+        """
+    )
+
+
+def q12_priority_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per-class conditional COUNT over a fact↔fact join
+    with cross-table date arithmetic.  No l_shipmode exists, so the class
+    column is l_returnflag and 'late receipt' is adapted to a 60–120-day
+    ship lag after the order date (exact timestamp interval comparison in
+    both engines); the high/low split is the original order-priority CASE."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+        , "o_orderdate"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("interval 60 days"))
+            & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("interval 120 days"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) over a deduplicated relationship
+    table, minus a NOT IN supplier blacklist.  The part↔supplier relation is
+    derived as DISTINCT (l_partkey, l_suppkey) from lineitem (no partsupp);
+    the 'complaints' blacklist is suppliers with s_acctbal < 1000.
+
+    Plan intent: the NOT IN compiles to a broadcast left-anti join (keys are
+    non-null, so no null-check nested loop); the part predicate set (brand ≠,
+    type ≠, size IN list) broadcasts filtered; one distinct shuffle on the
+    slim pair table, one (brand,type,size) agg with distinct expansion."""
+    pairs = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#23")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 1000)
+        .select("s_suppkey")
+    )
+    return (
+        pairs.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def q20_excess_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested IN chain — suppliers IN (pairs over parts
+    IN (name-filtered part set)) with a correlated quantity threshold.  The
+    availqty predicate is adapted to shipping history: a (part, supplier)
+    pair qualifies when its 1996 shipped quantity exceeds half its all-time
+    quantity (2·q96 > qall — integer cross-multiplication on BIGINT sums of
+    the integral quantities, exact in both engines).
+
+    Plan intent: both IN subqueries compile to left-semi hash joins (part
+    side broadcast; the supplier semi-join keys the slim qualifying-pair
+    projection), never correlated per-row execution."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    q96 = F.when(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01"),
+        F.col("l_quantity").cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(q96).alias("q96"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qall"),
+    )
+    widget_parts = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").contains("widget"))
+        .select("p_partkey")
+    )
+    qualifying = (
+        ps.join(
+            F.broadcast(widget_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .where(F.lit(2) * F.col("q96") > F.col("qall"))
+        .select("l_suppkey")
+    )
+    return (
+        load(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name")
+        .join(
+            F.broadcast(qualifying),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .orderBy("s_suppkey")
+    )

@@ -361,3 +361,57 @@ def test_q15_max_equality_is_hash_join(spark):
     plan = checks.physical_plan(q15_top_supplier(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q6_is_scan_only_aggregate(spark):
+    """Q6 is the pure scan-filter-agg: no join anywhere in the plan, and
+    the ship-date / quantity predicates must reach the parquet scan."""
+    from ocr_spark.operators.relational import q6_forecast_revenue
+
+    df = q6_forecast_revenue(spark, SF)
+    plan = checks.physical_plan(df)
+    assert "Join" not in plan, plan
+    checks.assert_filter_pushed(df, "l_shipdate")
+    checks.assert_filter_pushed(df, "l_quantity")
+
+
+def test_q16_not_in_compiles_to_anti_join(spark):
+    """The supplier blacklist NOT IN (non-null keys) must become a hash
+    left-anti join, never a null-aware nested loop."""
+    from ocr_spark.operators.relational import q16_supplier_cnt
+
+    plan = checks.physical_plan(q16_supplier_cnt(spark, SF))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_nested_in_is_semi_join_chain(spark):
+    """Both IN subqueries must compile to left-semi hash joins."""
+    from ocr_spark.operators.relational import q20_excess_supplier
+
+    plan = checks.physical_plan(q20_excess_supplier(spark, SF))
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_correlated_min_decorrelates(spark):
+    """Q2's correlated scalar MIN must run as an aggregate re-join (hash
+    joins throughout) — no per-row subquery, no cartesian."""
+    from ocr_spark.operators.relational import q2_min_cost_supplier
+
+    plan = checks.physical_plan(q2_min_cost_supplier(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q11_global_scalar_is_true_scalar_subquery(spark):
+    """The HAVING-vs-global-scalar comparison must run as a real scalar
+    subquery (Catalyst substitutes the one-row total as a literal) — no
+    join of any kind in the main plan; the non-equi join formulation
+    would compile to a BroadcastNestedLoopJoin."""
+    from ocr_spark.operators.relational import q11_important_stock
+
+    plan = checks.physical_plan(q11_important_stock(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Subquery subquery" in plan, plan
