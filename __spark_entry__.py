@@ -967,6 +967,140 @@ def q_frontier_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frontier_plan(_docs_with_url(spark, sf_dir), per_host=2, buckets=8)
 
 
+# Page-metadata fixture (html_meta / canonical_dedup): like _LINKS_SYNTH,
+# depends only on doc_id and is valid Spark SQL and DuckDB SQL verbatim.
+# Branches: lang present dq / present CAPS-sq / absent; title with an
+# entity and an inline tag (normalization must strip both); description
+# dq / sq / reversed-attribute-order / absent; canonical absolute /
+# root-relative / protocol-relative+reversed-attrs / commented-out ghost /
+# absent; og:image on even docs.  doc_id % 50 keys make canonical groups
+# collapse across docs (the consolidation canonical_dedup exists for).
+_META_SYNTH = """'<html'
+ || case when doc_id % 3 = 0 then ' lang="en-GB"'
+         when doc_id % 3 = 1 then ' LANG=''pt''' else '' end
+ || '><head><title> Doc ' || cast(doc_id as string)
+ || ' &amp; Co <b>bold</b> </title>'
+ || case when doc_id % 4 = 0
+         then '<meta name="description" content="Summary &lt;'
+              || cast(doc_id % 50 as string) || '&gt; of record">'
+         when doc_id % 4 = 1
+         then '<meta name=''description'' content=''Plain summary '
+              || cast(doc_id % 50 as string) || '''>'
+         when doc_id % 4 = 2
+         then '<meta content="Reversed desc '
+              || cast(doc_id % 50 as string) || '" name=''description''>'
+         else '' end
+ || case when doc_id % 5 = 0
+         then '<link rel="canonical" href="https://canon.example.com/page-'
+              || cast(doc_id % 50 as string) || '">'
+         when doc_id % 5 = 1
+         then '<link rel=''canonical'' href=''/canon/page-'
+              || cast(doc_id % 50 as string) || '''>'
+         when doc_id % 5 = 2
+         then '<link href="//cdn.canon.net/p-'
+              || cast(doc_id % 50 as string) || '" rel="canonical">'
+         when doc_id % 5 = 3
+         then '<!-- <link rel="canonical" href="https://ghost.example.com/"> -->'
+         else '' end
+ || case when doc_id % 2 = 0
+         then '<meta property=''og:image'' content=''img/og-'
+              || cast(doc_id as string) || '.png''>'
+         else '' end
+ || '</head><body><p>Body for doc ' || cast(doc_id as string)
+ || '.</p></body></html>'"""
+
+
+def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-metadata extraction (operators/html.py html_meta): title,
+    meta description, declared lang, og:image, and the rel=canonical URL
+    resolved absolute — zero-shuffle head-of-document projection."""
+    from ocr_spark.operators.html import html_meta
+
+    docs = _docs_with_url(spark, sf_dir).withColumn(
+        "html", F.expr(_META_SYNTH)
+    )
+    return html_meta(docs)
+
+
+def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL consolidation (operators/web.py canonical_dedup):
+    dedup keyed on the publisher-declared rel=canonical when present,
+    else the page's own normalized URL — the refinement over url_dedup
+    that collapses print/mobile/tracking variants."""
+    from ocr_spark.operators.web import canonical_dedup
+
+    docs = _docs_with_url(spark, sf_dir).withColumn(
+        "html", F.expr(_META_SYNTH)
+    )
+    return canonical_dedup(docs)
+
+
+# robots.txt fixture: deterministic per-HOST robots text (valid Spark SQL
+# and DuckDB SQL verbatim over a `host` column, like _LINKS_SYNTH).
+# Branches exercised: a non-star group that must be ignored (badbot), the
+# star group with a 3-level longest-match ladder (/src1 → /src1/page-1 →
+# /src1/page-11), an equal-length Allow/Disallow tie (/src2, Allow must
+# win), a CAPS directive with a trailing comment (/src5), an empty
+# Disallow (no-op), a host-conditional extra rule (/src7/), a
+# host-conditional multi-UA group (googlebot + * share one group → /src3
+# applies), a trailing non-star group after rules (/src4 ignored), and
+# length%5 hosts with NO robots at all (everything allowed).
+_ROBOTS_SYNTH = """case when length(host) % 5 = 0 then ''
+else '# robots fixture' || chr(10)
+  || 'User-agent: badbot' || chr(10) || 'Disallow: /' || chr(10) || chr(10)
+  || 'User-agent: *' || chr(10)
+  || 'Disallow: /src1' || chr(10)
+  || 'Allow: /src1/page-1' || chr(10)
+  || 'Disallow: /src1/page-11' || chr(10)
+  || 'Allow: /src2' || chr(10)
+  || 'Disallow: /src2' || chr(10)
+  || 'DISALLOW: /src5 # seasonal block' || chr(10)
+  || 'Disallow:' || chr(10)
+  || case when length(host) % 2 = 0
+          then 'Disallow: /src7/' || chr(10) else '' end
+  || chr(10)
+  || case when ascii(host) % 2 = 0
+          then 'User-agent: googlebot' || chr(10) || 'User-agent: *'
+               || chr(10) || 'Disallow: /src3' || chr(10) || chr(10)
+          else '' end
+  || 'User-agent: otherbot' || chr(10) || 'Disallow: /src4'
+end"""
+
+
+def _robots_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synthesized robots.txt per distinct host of the URL fixture."""
+    from ocr_spark.functions.url import url_host
+
+    hosts = (
+        _docs_with_url(spark, sf_dir)
+        .select(F.lower(url_host(F.col("url"))).alias("host"))
+        .distinct()
+    )
+    return hosts.withColumn("robots_txt", F.expr(_ROBOTS_SYNTH))
+
+
+def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots Exclusion Protocol parser (operators/web.py robots_rules):
+    per-host robots.txt → the generic-crawler (`User-agent: *`) rule
+    table — RFC 9309 grouping (consecutive UA lines share a group, a UA
+    line after rules starts a new one), comment strip, case-insensitive
+    directives, empty-value rules dropped."""
+    from ocr_spark.operators.web import robots_rules
+
+    return robots_rules(_robots_df(spark, sf_dir))
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots decision per candidate URL (operators/web.py robots_filter):
+    longest matching prefix wins, Allow wins length ties, no match or no
+    robots → allowed — the fetch gate between URL dedup and
+    frontier_plan."""
+    from ocr_spark.operators.web import robots_filter, robots_rules
+
+    urls = _docs_with_url(spark, sf_dir)
+    return robots_filter(urls, robots_rules(_robots_df(spark, sf_dir)))
+
+
 def q_c4_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 §2.2 blocklist page-kill (operators/quality.py
     c4_badword_filter): pages whose normalized tokens hit the frozen
@@ -3454,6 +3588,116 @@ select norm_url, host, doc_id, bucket,
            as slot
 from frk
 """
+    # robots twins: grammar constants interpolated from operators/web.py
+    # (drift impossible); same window formulation for grouping, and the
+    # filter twin replaces Spark's order-independent array fold with the
+    # equivalent longest-prefix/allow-wins row_number pick.
+    from ocr_spark.operators import web as W
+
+    robots_ctes = f"""{ctes},
+hosts as (select distinct host from normed),
+robots as (select host, {_ROBOTS_SYNTH} as robots_txt from hosts),
+rb0 as (select host, string_split(robots_txt, chr(10)) as ls from robots),
+rb1 as (select host, unnest(ls) as raw,
+               cast(unnest(range(0, len(ls))) as bigint) as ln from rb0),
+rb2 as (select host, ln,
+        lower(coalesce(regexp_extract(
+            trim(regexp_replace(raw, '{W.ROBOTS_COMMENT_RE}', '', 'g')),
+            '{W.ROBOTS_DIRECTIVE_RE}', 1), '')) as directive,
+        trim(coalesce(regexp_extract(
+            trim(regexp_replace(raw, '{W.ROBOTS_COMMENT_RE}', '', 'g')),
+            '{W.ROBOTS_DIRECTIVE_RE}', 2), '')) as value
+        from rb1),
+rb3 as (select * from rb2
+        where directive in ('user-agent', 'allow', 'disallow')),
+rbg as (select *, case when directive = 'user-agent' and coalesce(
+               lag(directive = 'user-agent')
+                   over (partition by host order by ln),
+               false) = false then 1 else 0 end as ng from rb3),
+rbi as (select *, sum(ng) over (partition by host order by ln) as group_id
+        from rbg),
+rbs as (select *, max(case when directive = 'user-agent' and value = '*'
+                      then 1 else 0 end)
+               over (partition by host, group_id) as star from rbi),
+rbrules as (select host, cast(ln as int) as rule_ln,
+                   directive = 'allow' as allow, value as prefix,
+                   cast(length(value) as int) as prefix_len
+            from rbs
+            where directive <> 'user-agent' and star = 1 and value <> '')"""
+    _ORACLES["robots_rules"] = f"""
+with {robots_ctes}
+select host, rule_ln, allow, prefix, prefix_len from rbrules
+"""
+    _ORACLES["robots_filter"] = f"""
+with {robots_ctes},
+up as (select doc_id, lower(hst) as host,
+              case when pth = '' then '/' else pth end as path from parsed),
+mt as (select u.doc_id, u.host, u.path, r.prefix, r.prefix_len, r.allow
+       from up u left join rbrules r
+         on u.host = r.host and starts_with(u.path, r.prefix)),
+best as (select *, row_number() over (partition by doc_id order by
+              case when prefix is null then 1 else 0 end,
+              prefix_len desc,
+              case when allow then 0 else 1 end) as rn from mt)
+select doc_id, host, path,
+       coalesce(allow, true) as allowed,
+       coalesce(prefix, '') as win_prefix,
+       cast(coalesce(prefix_len, 0) as int) as win_len
+from best where rn = 1
+"""
+    # html_meta / canonical_dedup twins: regex constants interpolated from
+    # operators/html.py; normalization via the same hnorm chain; canonical
+    # resolution mirrors the html_links three-branch rule.
+    meta_desc = (
+        "coalesce("
+        f"nullif(regexp_extract(h, '{hsq(H.META_DESC_DQ_RE)}', 1), ''), "
+        f"nullif(regexp_extract(h, '{hsq(H.META_DESC_SQ_RE)}', 1), ''), "
+        f"regexp_extract(h, '{hsq(H.META_DESC_REV_RE)}', 1), '')"
+    )
+    meta_canon = (
+        "coalesce("
+        f"nullif(regexp_extract(h, '{hsq(H.CANON_DQ_RE)}', 1), ''), "
+        f"regexp_extract(h, '{hsq(H.CANON_REV_RE)}', 1), '')"
+    )
+    meta_ctes = f"""{ctes},
+mpg as (select u.doc_id, u.url, {_META_SYNTH} as html from urls u),
+mh as (select doc_id, url,
+              regexp_replace(html, '{hsq(H.COMMENT_RE)}', ' ', 'g') as h,
+              lower(regexp_extract(url, '{URL_RE}', 1)) as psch,
+              lower(regexp_extract(url, '{URL_RE}', 2)) as phst
+       from mpg),
+mfx as (select doc_id, url, psch, phst,
+        coalesce(regexp_extract(h, '{hsq(H.HTML_LANG_RE)}', 1), '') as lang,
+        {hnorm(f"regexp_extract(h, '{hsq(H.TITLE_RE)}', 1)")} as title,
+        {hnorm(meta_desc)} as description,
+        coalesce(regexp_extract(h, '{hsq(H.OG_IMAGE_RE)}', 1), '')
+            as og_image,
+        {meta_canon} as canon
+        from mh),
+mmeta as (select doc_id, url, lang, title, description, og_image,
+        case when regexp_matches(canon, '{hsq(H.ABS_URL_RE)}') then canon
+             when starts_with(canon, '//') then psch || ':' || canon
+             when starts_with(canon, '/')
+                  then psch || '://' || phst || canon
+             else '' end as canonical
+        from mfx)"""
+    _ORACLES["html_meta"] = f"""
+with {meta_ctes}
+select doc_id, url, lang, title, description, og_image, canonical
+from mmeta
+"""
+    _ORACLES["canonical_dedup"] = f"""
+with {meta_ctes},
+ck as (select m.doc_id,
+              case when m.canonical <> '' then m.canonical
+                   else n.norm_url end as dedup_key,
+              case when m.canonical <> '' then 1 else 0 end as is_canon
+       from mmeta m join normed n using (doc_id))
+select dedup_key, min(doc_id) as keep_doc_id,
+       cast(count(*) - 1 as bigint) as n_dupes,
+       cast(sum(is_canon) as bigint) as n_canonical
+from ck group by dedup_key
+"""
     # domain_pagerank twin: 10 unrolled integer fixed-point iterations —
     # all-bigint arithmetic (sums cast back from hugeint) so the ranks
     # hash-match Spark's bit-for-bit; damping 85/100, scale 1e9, dangling
@@ -4186,6 +4430,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_terms": q_anchor_terms,
         "c4_badwords": q_c4_badwords,
         "frontier_plan": q_frontier_plan,
+        "robots_rules": q_robots_rules,
+        "robots_filter": q_robots_filter,
+        "html_meta": q_html_meta,
+        "canonical_dedup": q_canonical_dedup,
         "lm_quality": q_lm_quality,
         "nb_quality": q_nb_quality,
         "dsir_select": q_dsir_select,

@@ -113,6 +113,43 @@ NOFOLLOW_RE = "(?is)\\brel\\s*=\\s*[\"'][^\"']*nofollow"
 ABS_URL_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
 
 
+# --- metadata extraction constants (html_meta; twin in __spark_entry__) --
+
+# <title> content (tags inside are stripped by normalization).
+TITLE_RE = r"(?is)<title[^>]*>(.*?)</title"
+# <meta name="description" content="..."> — both content quote styles and
+# the reversed (content-before-name) attribute order.  `[^>]*` keeps every
+# match inside ONE tag.
+META_DESC_DQ_RE = (
+    r"(?is)<meta\b[^>]*\bname\s*=\s*[\"']description[\"']"
+    r"[^>]*\bcontent\s*=\s*\"([^\"]*)\""
+)
+META_DESC_SQ_RE = (
+    r"(?is)<meta\b[^>]*\bname\s*=\s*[\"']description[\"']"
+    r"[^>]*\bcontent\s*=\s*'([^']*)'"
+)
+META_DESC_REV_RE = (
+    r"(?is)<meta\b[^>]*\bcontent\s*=\s*\"([^\"]*)\""
+    r"[^>]*\bname\s*=\s*[\"']description[\"']"
+)
+# <link rel="canonical" href="..."> — plus the reversed attribute order.
+CANON_DQ_RE = (
+    r"(?is)<link\b[^>]*\brel\s*=\s*[\"']canonical[\"']"
+    r"[^>]*\bhref\s*=\s*[\"']([^\"']*)[\"']"
+)
+CANON_REV_RE = (
+    r"(?is)<link\b[^>]*\bhref\s*=\s*[\"']([^\"']*)[\"']"
+    r"[^>]*\brel\s*=\s*[\"']canonical[\"']"
+)
+# <html lang="..">
+HTML_LANG_RE = r"(?is)<html\b[^>]*\blang\s*=\s*[\"']([A-Za-z-]*)[\"']"
+# <meta property="og:image" content="...">
+OG_IMAGE_RE = (
+    r"(?is)<meta\b[^>]*\bproperty\s*=\s*[\"']og:image[\"']"
+    r"[^>]*\bcontent\s*=\s*[\"']([^\"']*)[\"']"
+)
+
+
 def container_re(tag: str) -> str:
     """Content-dropping pattern for one chrome container tag."""
     return rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>"
@@ -192,6 +229,65 @@ def html_spans(
         F.col("s.kind").alias("kind"),
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def html_meta(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """``(doc_id, url, html)`` → page metadata: the head-of-document
+    fields every web pipeline extracts alongside main content — the page
+    ``<title>``, the ``<meta name=description>`` summary, the declared
+    document language, the ``rel=canonical`` URL (the publisher's own
+    dedup key — consumed by :func:`ocr_spark.operators.web
+    .canonical_dedup`), and the ``og:image`` social-card reference (a
+    media-pipeline seed).
+
+    Output: ``doc_id, url, lang, title, description, og_image,
+    canonical`` — all strings, ``''`` where absent.  ``canonical`` is the
+    href resolved to an absolute URL with the same three-branch rule as
+    ``html_links`` (absolute / protocol-relative / root-relative;
+    anything else → ``''``); production would pass it through
+    ``url_normalize`` before keying on it — one more narrow projection.
+
+    Title and description are normalized like block text (tag strip →
+    entity decode → whitespace collapse), so ``<title>A &amp; <b>B</b>``
+    reads back as ``A & B``.  Comments are stripped FIRST: commented-out
+    metadata must not be read.
+
+    Scale shape: a single narrow projection, zero shuffle; each regex is
+    anchored inside one tag (``[^>]*`` never crosses ``>``), and all stay
+    in the Java↔RE2-agreeing subset so the driver query has an exact
+    DuckDB twin built from THESE constants.
+    """
+    from ocr_spark.functions.url import url_host, url_scheme
+
+    h = F.regexp_replace(F.col(html_col), COMMENT_RE, " ")
+    desc = F.coalesce(
+        F.nullif(F.regexp_extract(h, META_DESC_DQ_RE, 1), F.lit("")),
+        F.nullif(F.regexp_extract(h, META_DESC_SQ_RE, 1), F.lit("")),
+        F.regexp_extract(h, META_DESC_REV_RE, 1),
+    )
+    canon = F.coalesce(
+        F.nullif(F.regexp_extract(h, CANON_DQ_RE, 1), F.lit("")),
+        F.regexp_extract(h, CANON_REV_RE, 1),
+    )
+    scheme = F.lower(url_scheme(F.col(url_col)))
+    host = F.lower(url_host(F.col(url_col)))
+    resolved = (
+        F.when(canon.rlike(ABS_URL_RE), canon)
+        .when(canon.startswith("//"), F.concat(scheme, F.lit(":"), canon))
+        .when(canon.startswith("/"), F.concat(scheme, F.lit("://"), host, canon))
+        .otherwise(F.lit(""))
+    )
+    return df.select(
+        "doc_id",
+        F.col(url_col).alias("url"),
+        F.regexp_extract(h, HTML_LANG_RE, 1).alias("lang"),
+        _normalize(F.regexp_extract(h, TITLE_RE, 1)).alias("title"),
+        _normalize(desc).alias("description"),
+        F.regexp_extract(h, OG_IMAGE_RE, 1).alias("og_image"),
+        resolved.alias("canonical"),
     )
 
 

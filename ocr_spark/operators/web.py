@@ -37,7 +37,18 @@ from ocr_spark.functions.url import (
     registered_domain,
     url_host,
     url_normalize,
+    url_path,
 )
+
+# --- robots.txt constants (the __spark_entry__ twin interpolates THESE, so
+# the grammar can never drift between engines) ----------------------------
+
+# Everything from '#' to end of line is a comment (REP spec).  Applied
+# per-line after the newline split, so no multiline flag is needed.
+ROBOTS_COMMENT_RE = "#.*"
+# One directive line: name, optional space/tab padding, ':', value.  Both
+# Java and RE2 read `[ \t]` and the capture groups identically.
+ROBOTS_DIRECTIVE_RE = r"^([A-Za-z-]+)[ \t]*:[ \t]*(.*)$"
 
 
 def url_dedup(docs: DataFrame, url_col: str = "url") -> DataFrame:
@@ -241,6 +252,183 @@ def frontier_plan(
             F.floor((rank - 1) / F.lit(per_host)).cast("bigint") * buckets
             + F.col("bucket")
         ).alias("slot"),
+    )
+
+
+def canonical_dedup(
+    docs: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Canonical-URL consolidation: URL-level dedup that honors the
+    publisher's own ``rel=canonical`` declaration — the crawl-pipeline
+    refinement over :func:`url_dedup` (print pages, mobile mirrors, and
+    tracking-URL variants all declare one canonical, so fetch-level URL
+    noise collapses even when the fetched URLs differ structurally).
+
+    Key = the page's resolved canonical URL when declared, else its own
+    normalized URL (:func:`ocr_spark.functions.url.url_normalize`).
+    Output: ``dedup_key, keep_doc_id, n_dupes bigint, n_canonical bigint``
+    — ``n_canonical`` counts how many group members actively declared the
+    canonical (0 = the group exists only through URL normalization).
+
+    Scale shape: same as ``url_dedup`` — one near-unique-key groupBy with
+    map-side partial aggregation; the metadata extraction feeding it is a
+    narrow zero-shuffle projection (operators/html.py ``html_meta``).
+    """
+    from ocr_spark.operators.html import html_meta
+
+    meta = html_meta(docs, html_col=html_col, url_col=url_col)
+    staged = meta.select(
+        "doc_id",
+        F.when(
+            F.col("canonical") != "", F.col("canonical")
+        ).otherwise(url_normalize(F.col("url"))).alias("dedup_key"),
+        (F.col("canonical") != "").cast("int").alias("is_canon"),
+    )
+    return staged.groupBy("dedup_key").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        (F.count(F.lit(1)) - F.lit(1)).cast("bigint").alias("n_dupes"),
+        F.sum("is_canon").cast("bigint").alias("n_canonical"),
+    )
+
+
+def robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """``(host, robots_txt)`` → the generic-crawler rule table: one row per
+    ``Allow``/``Disallow`` line governed by a ``User-agent: *`` group — the
+    Robots Exclusion Protocol (RFC 9309) subset a corpus crawler evaluates
+    before fetching anything (the step the frontier MUST respect; Common
+    Crawl, Heritrix and Nutch all gate on exactly this table).
+
+    Grammar (shared verbatim with the DuckDB twin via the module
+    constants): lines split on ``\\n``; ``#`` starts a comment; directive
+    names are case-insensitive; a *group* is one-or-more consecutive
+    ``User-agent`` lines followed by its rules, and a ``User-agent`` line
+    appearing after rule lines starts a NEW group (RFC 9309 §2.1).  Rules
+    whose group does not name ``*`` are dropped (we crawl as the generic
+    agent); empty-value rules (``Disallow:`` = allow everything) emit
+    nothing.  Documented limitations, identical in both engines: no ``*``
+    / ``$`` wildcard matching inside rule paths (prefix-only, the original
+    1994 semantics) and no per-named-agent specificity override.
+
+    Output: ``host, rule_ln bigint, allow boolean, prefix, prefix_len int``.
+
+    Scale shape: robots files are small (the spec caps parsing at 500 KiB)
+    and per-host, so the two windows partition on (host) / (host, group) —
+    millions of tiny uniform partitions, the opposite of skew.  One
+    shuffle total; everything else is narrow line projection.
+    """
+    from pyspark.sql.window import Window
+
+    raw = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), r"\n")).alias("ln", "raw"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("raw"), ROBOTS_COMMENT_RE, ""))
+    lines = raw.select(
+        "host",
+        "ln",
+        F.lower(F.regexp_extract(clean, ROBOTS_DIRECTIVE_RE, 1)).alias(
+            "directive"
+        ),
+        F.trim(F.regexp_extract(clean, ROBOTS_DIRECTIVE_RE, 2)).alias("value"),
+    ).where(F.col("directive").isin("user-agent", "allow", "disallow"))
+
+    w = Window.partitionBy("host").orderBy("ln")
+    is_ua = F.col("directive") == "user-agent"
+    new_group = is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
+    grouped = lines.select(
+        "host",
+        "ln",
+        "directive",
+        "value",
+        F.sum(F.when(new_group, 1).otherwise(0)).over(w).alias("group_id"),
+    )
+    star = F.max(
+        F.when(is_ua & (F.col("value") == "*"), 1).otherwise(0)
+    ).over(Window.partitionBy("host", "group_id"))
+    return (
+        grouped.withColumn("star", star)
+        .where(~is_ua & (F.col("star") == 1) & (F.col("value") != ""))
+        .select(
+            "host",
+            F.col("ln").alias("rule_ln"),
+            (F.col("directive") == "allow").alias("allow"),
+            F.col("value").alias("prefix"),
+            F.length("value").cast("int").alias("prefix_len"),
+        )
+    )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Apply the robots rule table to candidate URLs: per URL, the RFC 9309
+    decision — among rules whose prefix matches the URL path, the LONGEST
+    prefix wins; at equal length ``Allow`` wins; no match (or no robots
+    for the host) → allowed.
+
+    Output: ``doc_id, host, path, allowed boolean, win_prefix, win_len
+    int`` — the winning rule is kept so downstream can audit WHY a URL was
+    excluded (win_prefix ``''`` / win_len 0 = no rule matched).
+
+    Scale shape — why this is not a join-then-regroup: rules collapse to
+    ONE array row per host first (bounded by file size, per spec), so the
+    URL side joins a host-keyed dim and never re-shuffles — the verdict is
+    a narrow array fold over ≤file-size rules.  The fold is provably
+    order-independent: two same-length prefixes matching one path are the
+    same string, so only ``allow`` can differ and the tie-break is fixed —
+    hence ``collect_list``'s nondeterministic order cannot leak into the
+    result.  At fixture scale AQE broadcasts the per-host dim; at real
+    domain cardinality it falls back to a host-keyed shuffle join whose
+    keys are near-uniform (hosts), never per-URL.
+    """
+    per_host = rules.groupBy("host").agg(
+        F.collect_list(F.struct("prefix_len", "allow", "prefix")).alias("rls")
+    )
+    path0 = url_path(F.col(url_col))
+    staged = urls.select(
+        "doc_id",
+        F.lower(url_host(F.col(url_col))).alias("host"),
+        F.when(path0 == "", "/").otherwise(path0).alias("path"),
+    )
+    j = staged.join(per_host, "host", "left")
+    empty = F.array().cast(
+        "array<struct<prefix_len:int,allow:boolean,prefix:string>>"
+    )
+    matches = F.filter(
+        F.coalesce(F.col("rls"), empty),
+        lambda r: F.col("path").startswith(r["prefix"]),
+    )
+    init = F.struct(
+        F.lit(0).cast("int").alias("prefix_len"),
+        F.lit(True).alias("allow"),
+        F.lit("").alias("prefix"),
+    )
+    best = F.aggregate(
+        matches,
+        init,
+        lambda acc, r: F.when(
+            (r["prefix_len"] > acc["prefix_len"])
+            | (
+                (r["prefix_len"] == acc["prefix_len"])
+                & r["allow"]
+                & ~acc["allow"]
+            ),
+            r,
+        ).otherwise(acc),
+    )
+    return j.select(
+        "doc_id",
+        "host",
+        "path",
+        best["allow"].alias("allowed"),
+        best["prefix"].alias("win_prefix"),
+        best["prefix_len"].alias("win_len"),
     )
 
 

@@ -1,0 +1,192 @@
+"""Robots Exclusion Protocol operators (operators/web.py robots_rules /
+robots_filter): RFC 9309 group semantics, longest-prefix decision, and a
+brute-force Python model cross-check over the driver fixture.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.web import robots_filter, robots_rules
+
+ROBOTS_A = """# fixture A
+User-agent: badbot
+Disallow: /
+
+User-agent: *
+Disallow: /blocked
+Allow: /blocked/ok
+DISALLOW: /caps # trailing comment
+Disallow:
+
+User-agent: googlebot
+User-agent: *
+Disallow: /multi
+
+User-agent: otherbot
+Disallow: /other-only
+"""
+
+ROBOTS_TIE = """User-agent: *
+Allow: /tie
+Disallow: /tie
+"""
+
+
+def _rules(spark, pairs):
+    df = spark.createDataFrame(pairs, "host string, robots_txt string")
+    return robots_rules(df)
+
+
+def _verdicts(spark, robots_pairs, urls):
+    rules = _rules(spark, robots_pairs)
+    udf = spark.createDataFrame(urls, "doc_id long, url string")
+    rows = robots_filter(udf, rules).collect()
+    return {r.doc_id: r for r in rows}
+
+
+def test_star_group_selection(spark):
+    got = {
+        (r.prefix, r.allow)
+        for r in _rules(spark, [("h", ROBOTS_A)]).collect()
+    }
+    # badbot's 'Disallow: /' and otherbot's '/other-only' must be absent;
+    # the empty 'Disallow:' emits nothing; the multi-UA group (googlebot +
+    # *) applies; the CAPS directive with a trailing comment parses.
+    assert got == {
+        ("/blocked", False),
+        ("/blocked/ok", True),
+        ("/caps", False),
+        ("/multi", False),
+    }
+
+
+def test_group_restarts_after_rules(spark):
+    # A User-agent line AFTER rule lines opens a NEW group: the second
+    # group here never names '*', so its rule must be dropped even though
+    # the file also contains a star group.
+    txt = "User-agent: *\nDisallow: /a\nUser-agent: bot\nDisallow: /b\n"
+    got = {(r.prefix, r.allow) for r in _rules(spark, [("h", txt)]).collect()}
+    assert got == {("/a", False)}
+
+
+def test_longest_prefix_and_allow_tie(spark):
+    pairs = [("h", ROBOTS_A), ("t", ROBOTS_TIE)]
+    urls = [
+        (1, "https://h/blocked/page"),      # /blocked → disallowed
+        (2, "https://h/blocked/ok/page"),   # deeper Allow wins
+        (3, "https://h/free"),              # no matching rule → allowed
+        (4, "https://h/multi/x"),           # multi-UA star group applies
+        (5, "https://nohost/blocked"),      # host without robots → allowed
+        (6, "https://t/tie/x"),             # equal length → Allow wins
+    ]
+    v = _verdicts(spark, pairs, urls)
+    assert not v[1].allowed and v[1].win_prefix == "/blocked"
+    assert v[2].allowed and v[2].win_prefix == "/blocked/ok"
+    assert v[3].allowed and v[3].win_prefix == "" and v[3].win_len == 0
+    assert not v[4].allowed
+    assert v[5].allowed and v[5].win_len == 0
+    assert v[6].allowed and v[6].win_prefix == "/tie"
+
+
+def test_verdict_order_independent(spark):
+    # The fold must not depend on rule-row order: reverse the rule table's
+    # row order (repartition + sort descending) and the verdicts must not
+    # change.
+    rules = _rules(spark, [("h", ROBOTS_A)])
+    urls = spark.createDataFrame(
+        [(i, f"https://h/blocked/ok/p{i}") for i in range(20)]
+        + [(100 + i, f"https://h/blocked/p{i}") for i in range(20)],
+        "doc_id long, url string",
+    )
+    base = {r.doc_id: r.allowed for r in robots_filter(urls, rules).collect()}
+    shuffled = rules.repartition(7).sortWithinPartitions(
+        F.desc("prefix_len"), F.desc("rule_ln")
+    )
+    again = {
+        r.doc_id: r.allowed for r in robots_filter(urls, shuffled).collect()
+    }
+    assert base == again
+    assert all(base[i] for i in range(20))
+    assert not any(base[100 + i] for i in range(20))
+
+
+# --- brute-force model over the driver fixture ---------------------------
+
+
+def _model_rules(txt: str):
+    """Reference REP parser (independent formulation: imperative loop)."""
+    rules, star, after_rules = [], False, False
+    for raw in txt.split("\n"):
+        line = re.sub(r"#.*", "", raw).strip()
+        m = re.match(r"^([A-Za-z-]+)[ \t]*:[ \t]*(.*)$", line)
+        if not m:
+            continue
+        name, value = m.group(1).lower(), m.group(2).strip()
+        if name == "user-agent":
+            if after_rules:
+                star, after_rules = value == "*", False
+            else:
+                star = star or value == "*"
+        elif name in ("allow", "disallow"):
+            after_rules = True
+            if star and value:
+                rules.append((value, name == "allow"))
+    return rules
+
+
+def _model_verdict(rules, path: str):
+    best = (0, True, "")
+    for prefix, allow in rules:
+        if path.startswith(prefix):
+            cand = (len(prefix), allow, prefix)
+            if cand[0] > best[0] or (cand[0] == best[0] and allow and not best[1]):
+                best = cand
+    return best
+
+
+def test_fixture_matches_python_model(spark):
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    robots = {r.host: r.robots_txt for r in E._robots_df(spark, sf).collect()}
+    model = {h: _model_rules(t) for h, t in robots.items()}
+    got = E.q_robots_filter(spark, sf).collect()
+    assert len(got) == 500
+    seen_blocked = 0
+    for r in got:
+        ln, allow, prefix = _model_verdict(model[r.host], r.path)
+        assert (r.allowed, r.win_prefix, r.win_len) == (allow, prefix, ln), (
+            r.host,
+            r.path,
+        )
+        seen_blocked += 0 if r.allowed else 1
+    # the fixture must actually exercise the disallow path
+    assert seen_blocked > 0
+
+
+def test_fixture_covers_branches(spark):
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    rows = E.q_robots_filter(spark, sf).collect()
+    by_src = {}
+    for r in rows:
+        src = r.path.split("/")[1]
+        by_src.setdefault(src, []).append(r)
+    # src4 only appears in the trailing non-star group: never blocked.
+    assert all(r.allowed for r in by_src["src4"])
+    # src2 is an equal-length Allow/Disallow tie: Allow always wins.
+    assert all(r.allowed for r in by_src["src2"])
+    # src10..src19 paths start with '/src1' (prefix semantics): blocked
+    # wherever the host HAS robots.
+    blocked_hosts = {h for h in {r.host for r in rows} if len(h) % 5 != 0}
+    for src in ("src10", "src15", "src19"):
+        for r in by_src.get(src, []):
+            assert r.allowed == (r.host not in blocked_hosts)
+    # src5 (CAPS directive) blocked on robots hosts.
+    for r in by_src["src5"]:
+        assert r.allowed == (r.host not in blocked_hosts)
