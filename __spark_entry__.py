@@ -1035,6 +1035,17 @@ def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_dedup(docs)
 
 
+def q_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-paragraph language segmentation (operators/quality.py
+    lang_segments): blank-line paragraph split → per-paragraph lang_pred →
+    contiguous same-language runs merged into segments, one shuffle (the
+    final aggregate reuses the window's doc_id partitioning)."""
+    from ocr_spark.operators.quality import lang_segments
+
+    docs = _docs(spark, sf_dir).withColumn("ptxt", F.expr(_PARA_SYNTH))
+    return lang_segments(docs, text_col="ptxt")
+
+
 # robots.txt fixture: deterministic per-HOST robots text (valid Spark SQL
 # and DuckDB SQL verbatim over a `host` column, like _LINKS_SYNTH).
 # Branches exercised: a non-star group that must be ignored (badbot), the
@@ -1820,6 +1831,73 @@ s as (select doc_id, {', '.join(score_exprs)} from t)
 select doc_id, {pred} as lang_pred,
        {', '.join(f'score_{lang}' for lang in langs)}
 from s
+"""
+
+
+# Multi-paragraph mixed-language fixture (lang_segments): valid Spark SQL
+# and DuckDB SQL verbatim over documents.  Paragraph sequence per doc:
+# an English lead (merges with the %3=2 English continuation — the
+# run-merge path), a doc_id-dependent es/de/en paragraph, a
+# whitespace-only paragraph (must be dropped), a Portuguese paragraph, a
+# French paragraph on even docs, and a zero-stopword paragraph that takes
+# the deterministic lexicographic tie-break ('de').
+_PARA_SYNTH = """'the of and to in that it is for ' || substring(text, 1, 30)
+ || chr(10) || chr(10)
+ || case when doc_id % 3 = 0
+         then 'el la de que y en un los se por numero '
+              || cast(doc_id % 9 as string)
+         when doc_id % 3 = 1
+         then 'der die und das von zu den mit ist ein seite'
+         else 'the a of and to in is document continues here' end
+ || chr(10) || chr(10) || '   ' || chr(10) || chr(10)
+ || 'o a de que e do da em um para fim'
+ || case when doc_id % 2 = 0
+         then chr(10) || chr(10)
+              || 'le la de et les des un une du que voila'
+         else '' end
+ || chr(10) || chr(10) || 'zzz 9' || cast(doc_id % 5 as string) || ' qqq'"""
+
+
+def _lang_segments_sql() -> str:
+    """lang_segments twin: same paragraph split/drop, the lang_id CASE
+    chain per paragraph, lag+running-sum run detection, and an
+    order-preserving string_agg rejoin."""
+    from ocr_spark.operators.quality import PARA_SPLIT_RE
+
+    langs = sorted(T.LANG_STOPWORDS)
+    score_exprs = []
+    for lang in langs:
+        inlist = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS[lang])
+        score_exprs.append(
+            f"cast(len(list_filter(toks, t -> t in ({inlist}))) "
+            f"as bigint) as score_{lang}"
+        )
+    pred = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"case when score_{lang} > {best} then '{lang}' else {pred} end"
+        best = f"greatest(score_{lang}, {best})"
+    return f"""
+with p0 as (select doc_id, {_PARA_SYNTH} as ptxt from documents),
+p1 as (select doc_id,
+              list_filter(regexp_split_to_array(ptxt, '{PARA_SPLIT_RE}'),
+                          x -> trim(x) <> '') as ps
+       from p0),
+pe as (select doc_id, unnest(ps) as para,
+              cast(unnest(range(0, len(ps))) as int) as para_idx from p1),
+pt as (select doc_id, para_idx, para, {_nt_of('para')} as toks from pe),
+psc as (select doc_id, para_idx, para, {', '.join(score_exprs)} from pt),
+pl as (select doc_id, para_idx, para, {pred} as lang from psc),
+pch as (select *, case when lag(lang) over
+                 (partition by doc_id order by para_idx) is distinct from lang
+                 then 1 else 0 end as chg from pl),
+pg as (select *, sum(chg) over (partition by doc_id order by para_idx)
+              as seg_id from pch)
+select doc_id, cast(seg_id as bigint) as seg_id, min(lang) as lang,
+       cast(count(*) as bigint) as n_paras,
+       cast(min(para_idx) as int) as first_para,
+       string_agg(para, chr(10) || chr(10) order by para_idx) as text
+from pg group by doc_id, seg_id
 """
 
 
@@ -4011,6 +4089,7 @@ from documents
 
 
 _ORACLES["c4_badwords"] = _c4_badwords_sql()
+_ORACLES["lang_segments"] = _lang_segments_sql()
 
 # quality_stack twin: the three stage twins composed exactly as the
 # operator composes them — stages 2-3 read c4's text_clean.
@@ -4434,6 +4513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "html_meta": q_html_meta,
         "canonical_dedup": q_canonical_dedup,
+        "lang_segments": q_lang_segments,
         "lm_quality": q_lm_quality,
         "nb_quality": q_nb_quality,
         "dsir_select": q_dsir_select,

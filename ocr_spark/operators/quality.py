@@ -919,3 +919,63 @@ def quality_stack(docs: DataFrame, min_words: int = 10) -> DataFrame:
             F.col("c4_keep") & F.col("gopher_keep") & F.col("keep")
         ).alias("keep"),
     )
+
+
+# Paragraph boundary for language segmentation (twin-shared constant).
+PARA_SPLIT_RE = r"\n\n"
+
+
+def lang_segments(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-paragraph language segmentation: split each document at blank
+    lines, language-ID every paragraph, and merge contiguous same-language
+    runs into segments — the CCNet/OSCAR move for multilingual pages
+    (Wenzek et al. 2020 §3 runs fastText per PARAGRAPH because web pages
+    routinely interleave languages: boilerplate in one, content in
+    another; a single doc-level label either drops the page or poisons a
+    monolingual corpus with the minority-language payload).
+
+    Output: ``doc_id, seg_id bigint, lang, n_paras bigint, first_para
+    int, text`` — ``text`` is the segment's paragraphs rejoined with the
+    blank-line separator, so a consumer can route each segment to its
+    language bucket independently.  Whitespace-only paragraphs are
+    dropped before indexing (both engines), and the paragraph language is
+    :func:`ocr_spark.functions.text.lang_pred` over normalized tokens —
+    zero-score paragraphs take the deterministic lexicographic tie-break.
+
+    Scale shape: ONE shuffle.  The paragraph fan-out is a narrow
+    ``posexplode``; the run detection is a lag + running-sum window on
+    (doc_id, para_idx); and the final per-(doc_id, seg_id) aggregate is
+    satisfied by the window's hash partitioning on doc_id (grouping keys
+    are a superset of the partition key), so no second Exchange appears —
+    plan-asserted in tests.  Per-doc work is bounded by paragraph count;
+    mega-docs spread their cost across their own paragraphs inside one
+    partition, the same bound the extraction kernel accepts.
+    """
+    from pyspark.sql.window import Window
+
+    from ocr_spark.functions.text import lang_pred, norm_tokens
+
+    paras = F.filter(
+        F.split(F.col(text_col), PARA_SPLIT_RE),
+        lambda p: F.trim(p) != "",
+    )
+    pe = docs.select(
+        "doc_id", F.posexplode(paras).alias("para_idx", "para")
+    )
+    pl = pe.withColumn("lang", lang_pred(norm_tokens(F.col("para"))))
+    w = Window.partitionBy("doc_id").orderBy("para_idx")
+    prev = F.lag("lang").over(w)
+    chg = F.when(prev.isNull() | (prev != F.col("lang")), 1).otherwise(0)
+    seg = pl.withColumn("seg_id", F.sum(chg).over(w))
+    return seg.groupBy("doc_id", "seg_id").agg(
+        F.min("lang").alias("lang"),
+        F.count(F.lit(1)).alias("n_paras"),
+        F.min("para_idx").cast("int").alias("first_para"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                lambda s: s["para"],
+            ),
+            "\n\n",
+        ).alias("text"),
+    )
