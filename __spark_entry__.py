@@ -1046,6 +1046,16 @@ def q_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_segments(docs, text_col="ptxt")
 
 
+def q_gopher_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word-n-gram half of Gopher's repetition battery
+    (operators/quality.py gopher_ngram_repetition): top-{2,3,4}-gram
+    character share and de-overlapped duplicated-{5..10}-gram coverage,
+    all integer cross-multiplied — Rae et al. 2021 App. A1 rows 4-11."""
+    from ocr_spark.operators.quality import gopher_ngram_repetition
+
+    return gopher_ngram_repetition(_docs(spark, sf_dir))
+
+
 # robots.txt fixture: deterministic per-HOST robots text (valid Spark SQL
 # and DuckDB SQL verbatim over a `host` column, like _LINKS_SYNTH).
 # Branches exercised: a non-star group that must be ignored (badbot), the
@@ -1898,6 +1908,87 @@ select doc_id, cast(seg_id as bigint) as seg_id, min(lang) as lang,
        cast(min(para_idx) as int) as first_para,
        string_agg(para, chr(10) || chr(10) order by para_idx) as text
 from pg group by doc_id, seg_id
+"""
+
+
+def _gopher_ngram_sql() -> str:
+    """gopher_ngram_repetition twin: same lead()-window gram build (as a
+    UNION ALL over n), same count window, same top tie-break
+    (count desc, gram asc), same de-overlapped coverage via DISTINCT
+    positions, same integer cross-multiplied rules."""
+    from ocr_spark.operators.quality import (
+        GOPHER_DUP_NGRAM_PCT,
+        GOPHER_TOP_NGRAM_PCT,
+    )
+
+    tops = sorted(GOPHER_TOP_NGRAM_PCT)
+    dups = sorted(GOPHER_DUP_NGRAM_PCT)
+    lead_cols = ", ".join(
+        f"lead(tok, {k}) over (partition by doc_id order by pos) as l{k}"
+        for k in range(1, 10)
+    )
+    gram_arms = []
+    for n in tops + dups:
+        g = " || ' ' || ".join(["tok"] + [f"l{k}" for k in range(1, n)])
+        gram_arms.append(
+            f"select doc_id, pos, {n} as n, {g} as gram from ld "
+            f"where l{n - 1} is not null"
+        )
+    ge = "\nunion all\n".join(gram_arms)
+    top_sums = ", ".join(
+        f"cast(sum(case when n = {n} and c >= 2 "
+        f"then c * (length(gram) - {n - 1}) "
+        f"else 0 end) as bigint) as top{n}_chars"
+        for n in tops
+    )
+    dup_sums = ", ".join(
+        f"cast(sum(case when c.n = {n} then length(t.tok) else 0 end) "
+        f"as bigint) as dup{n}_chars"
+        for n in dups
+    )
+    fin_cols = ", ".join(
+        [f"coalesce(top{n}_chars, 0) as top{n}_chars" for n in tops]
+        + [f"coalesce(dup{n}_chars, 0) as dup{n}_chars" for n in dups]
+    )
+    rules = [
+        f"100 * top{n}_chars <= {p} * tok_chars as r_top{n}"
+        for n, p in sorted(GOPHER_TOP_NGRAM_PCT.items())
+    ] + [
+        f"100 * dup{n}_chars <= {p} * tok_chars as r_dup{n}"
+        for n, p in sorted(GOPHER_DUP_NGRAM_PCT.items())
+    ]
+    keep = " and ".join(r.split(" as ")[0] for r in rules)
+    return f"""
+with tk as (select doc_id, {_RT} as t from documents),
+tc as (select doc_id,
+              cast(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+                   as bigint) as tok_chars from tk),
+tp as (select doc_id, unnest(t) as tok,
+              cast(unnest(range(0, len(t))) as int) as pos from tk),
+ld as (select doc_id, pos, tok, {lead_cols} from tp),
+ge as ({ge}),
+cnt as (select *, count(*) over (partition by doc_id, n, gram) as cnt
+        from ge),
+topg as (select doc_id, n, gram, max(cnt) as c from cnt
+         where n in ({', '.join(map(str, tops))}) group by doc_id, n, gram),
+best as (select *, row_number() over (partition by doc_id, n
+                                      order by c desc, gram asc) as rn
+         from topg),
+topc as (select doc_id, {top_sums} from best where rn = 1 group by doc_id),
+cov as (select distinct doc_id, n, pos + d as tokpos
+        from cnt cross join (select unnest(range(0, 10)) as d)
+        where n >= {dups[0]} and cnt >= 2 and d < n),
+dupc as (select c.doc_id, {dup_sums}
+         from cov c join tp t on c.doc_id = t.doc_id and c.tokpos = t.pos
+         group by c.doc_id),
+fin as (select tc.doc_id, tc.tok_chars, {fin_cols}
+        from tc left join topc using (doc_id) left join dupc using (doc_id))
+select doc_id, tok_chars,
+       {', '.join(f'top{n}_chars' for n in tops)},
+       {', '.join(f'dup{n}_chars' for n in dups)},
+       {', '.join(rules)},
+       {keep} as keep
+from fin
 """
 
 
@@ -4090,6 +4181,7 @@ from documents
 
 _ORACLES["c4_badwords"] = _c4_badwords_sql()
 _ORACLES["lang_segments"] = _lang_segments_sql()
+_ORACLES["gopher_ngram"] = _gopher_ngram_sql()
 
 # quality_stack twin: the three stage twins composed exactly as the
 # operator composes them — stages 2-3 read c4's text_clean.
@@ -4514,6 +4606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_meta": q_html_meta,
         "canonical_dedup": q_canonical_dedup,
         "lang_segments": q_lang_segments,
+        "gopher_ngram": q_gopher_ngram,
         "lm_quality": q_lm_quality,
         "nb_quality": q_nb_quality,
         "dsir_select": q_dsir_select,

@@ -979,3 +979,169 @@ def lang_segments(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "\n\n",
         ).alias("text"),
     )
+
+
+# Rae et al. 2021 App. A1 rows 4-11 (the n-gram half of the repetition
+# battery; the line/paragraph half is gopher_repetition above).  A page
+# fails when the top n-gram's character share exceeds pct/100 (n=2,3,4) or
+# when characters covered by ANY duplicated n-gram exceed pct/100
+# (n=5..10).  Shared verbatim with the DuckDB twin.
+GOPHER_TOP_NGRAM_PCT: dict[int, int] = {2: 20, 3: 18, 4: 16}
+GOPHER_DUP_NGRAM_PCT: dict[int, int] = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+
+
+def gopher_ngram_repetition(docs: DataFrame) -> DataFrame:
+    """The word-n-gram half of Gopher's repetition rules (Rae et al. 2021
+    App. A1): kill a page when its most frequent {2,3,4}-gram accounts for
+    more than {20,18,16}% of characters, or when characters covered by
+    duplicated {5..10}-grams exceed {15..10}%.
+
+    Frozen accounting (documented spec, identical in the DuckDB twin —
+    implementations of the paper differ here, so the convention is pinned):
+    tokens are raw whitespace tokens; all denominators are total token
+    characters EXCLUDING separators (``sum(length(tok))``); the top-n-gram
+    numerator is ``count × token-chars-of-the-gram`` (its n−1 internal
+    spaces excluded; ties broken by max count then lexicographically
+    smallest gram; a top gram occurring only ONCE contributes 0 — a
+    singleton is not repetition, and without this guard any two-word
+    document dies to its own bigram); the dup-n-gram numerator
+    de-overlaps (each covered
+    token position counts once per n, the DataTrove ``find_duplicates``
+    convention).  Every rule is an integer cross-multiplication — no
+    floats anywhere, so the battery is hash-exact cross-engine.
+
+    Scale shape: ONE token explode feeds everything.  All nine gram sizes
+    come from nine ``lead()`` columns over a single (doc_id, pos) window —
+    not nine array builds — then stack into (n, pos, gram) rows whose
+    count window keys on (doc_id, n, gram).  Coverage de-overlap is a
+    bounded ``sequence`` fan-out (≤10 rows per duplicated gram) plus one
+    distinct; per-doc work is O(tokens × 9) with uniform keys (the doc_id
+    is in every shuffle key, so a mega-doc spreads over its own grams).
+
+    Output: ``doc_id, tok_chars, top{2,3,4}_chars, dup{5..10}_chars,
+    r_top{n}…, r_dup{n}…, keep``.
+    """
+    from pyspark.sql.window import Window
+
+    from ocr_spark.functions.text import tokens
+
+    toks = F.filter(tokens(F.coalesce(F.col("text"), F.lit(""))), lambda t: t != "")
+    base = docs.select("doc_id", toks.alias("_t"))
+    tok_chars = base.select(
+        "doc_id",
+        F.aggregate(
+            F.transform(F.col("_t"), lambda t: F.length(t).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, v: a + v,
+        ).alias("tok_chars"),
+    )
+    tp = base.select(
+        "doc_id", F.posexplode(F.col("_t")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [
+        F.lead("tok", k).over(w).alias(f"_l{k}") for k in range(1, 10)
+    ]
+    ns = sorted(GOPHER_TOP_NGRAM_PCT) + sorted(GOPHER_DUP_NGRAM_PCT)
+    led = tp.select("doc_id", "pos", *leads)
+    gram_structs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(
+                    " ", F.col("tok"), *[F.col(f"_l{k}") for k in range(1, n)]
+                ).alias("gram"),
+                # NULL gram marker: the window ran off the doc's end
+                F.col(f"_l{n - 1}").isNotNull().alias("ok"),
+            )
+            for n in ns
+        ]
+    )
+    ge = led.select(
+        "doc_id",
+        "pos",
+        F.explode(F.filter(gram_structs, lambda s: s["ok"])).alias("g"),
+    ).select("doc_id", "pos", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    cnt = ge.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "n", "gram"))
+    )
+
+    # top family: per (doc_id, n) the max-count gram, lex-min tie-break
+    top = (
+        cnt.where(F.col("n").isin(*GOPHER_TOP_NGRAM_PCT))
+        .groupBy("doc_id", "n", "gram")
+        .agg(F.max("cnt").alias("c"))
+        .groupBy("doc_id", "n")
+        .agg(F.min(F.struct((-F.col("c")).alias("nc"), "gram")).alias("b"))
+        .select(
+            "doc_id",
+            "n",
+            F.when(
+                -F.col("b.nc") >= 2,
+                (-F.col("b.nc"))
+                * (F.length("b.gram") - (F.col("n") - 1)).cast("bigint"),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("chars"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("n") == n, F.col("chars")).otherwise(0))
+                .cast("bigint")
+                .alias(f"top{n}_chars")
+                for n in sorted(GOPHER_TOP_NGRAM_PCT)
+            ]
+        )
+    )
+
+    # dup family: de-overlapped covered token positions per (doc_id, n)
+    cover = (
+        cnt.where(F.col("n").isin(*GOPHER_DUP_NGRAM_PCT) & (F.col("cnt") >= 2))
+        .select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)
+            ).alias("tokpos"),
+        )
+        .distinct()
+    )
+    dup = (
+        cover.join(
+            tp.select("doc_id", F.col("pos").alias("tokpos"), F.length("tok").alias("_len")),
+            ["doc_id", "tokpos"],
+        )
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("n") == n, F.col("_len")).otherwise(0))
+                .cast("bigint")
+                .alias(f"dup{n}_chars")
+                for n in sorted(GOPHER_DUP_NGRAM_PCT)
+            ]
+        )
+    )
+
+    out = tok_chars.join(top, "doc_id", "left").join(dup, "doc_id", "left")
+    c = lambda name: F.coalesce(F.col(name), F.lit(0).cast("bigint"))
+    rules = {}
+    for n, pct in sorted(GOPHER_TOP_NGRAM_PCT.items()):
+        rules[f"r_top{n}"] = (
+            100 * c(f"top{n}_chars") <= pct * F.col("tok_chars")
+        )
+    for n, pct in sorted(GOPHER_DUP_NGRAM_PCT.items()):
+        rules[f"r_dup{n}"] = (
+            100 * c(f"dup{n}_chars") <= pct * F.col("tok_chars")
+        )
+    keep = None
+    for expr in rules.values():
+        keep = expr if keep is None else (keep & expr)
+    return out.select(
+        "doc_id",
+        "tok_chars",
+        *[c(f"top{n}_chars").alias(f"top{n}_chars") for n in sorted(GOPHER_TOP_NGRAM_PCT)],
+        *[c(f"dup{n}_chars").alias(f"dup{n}_chars") for n in sorted(GOPHER_DUP_NGRAM_PCT)],
+        *[expr.alias(name) for name, expr in rules.items()],
+        keep.alias("keep"),
+    )
