@@ -1056,6 +1056,84 @@ def q_gopher_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_ngram_repetition(_docs(spark, sf_dir))
 
 
+def _sitemaps_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host sitemap.xml assembled from per-doc entries (mirrored by
+    the DuckDB twin's string_agg over the same normed CTE).  Entry
+    branches: a known corpus URL (its exact normalized form, padded with
+    the whitespace the <loc> trim must remove) with lastmod+priority; a
+    NEW /fresh/ URL with an &amp; entity and changefreq; and a loc-less
+    invalid entry that must be dropped."""
+    from ocr_spark.functions.url import url_host, url_normalize
+
+    u = _docs_with_url(spark, sf_dir).select(
+        "doc_id",
+        F.lower(url_host(F.col("url"))).alias("host"),
+        url_normalize(F.col("url")).alias("norm_url"),
+    )
+    g = (F.col("doc_id") % 200).cast("string")
+    entry = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("<url><loc> "),
+                F.col("norm_url"),
+                F.lit(" </loc><lastmod>2026-07-1"),
+                (F.col("doc_id") % 9).cast("string"),
+                F.lit("</lastmod><priority>0.8</priority></url>"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("<url><loc>https://"),
+                F.col("host"),
+                F.lit("/fresh/p-"),
+                g,
+                F.lit("&amp;x</loc><changefreq>daily</changefreq></url>"),
+            ),
+        )
+        .otherwise(F.lit("<url><priority>0.3</priority></url>"))
+    )
+    return (
+        u.select("host", F.struct("doc_id", entry.alias("e")).alias("s"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("s")), lambda s: s["e"]
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+    )
+
+
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parser (operators/web.py sitemap_urls): per-host
+    sitemap.xml → one row per <url> entry with entity-decoded loc,
+    lastmod, changefreq, and integer priority_pct; loc-less entries
+    dropped."""
+    from ocr_spark.operators.web import sitemap_urls
+
+    return sitemap_urls(_sitemaps_df(spark, sf_dir))
+
+
+def q_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-URL crawl seeds (operators/web.py sitemap_seeds): sitemap
+    entries whose normalized URL the corpus does not already have —
+    known pages (even restated with fetch noise) are recognized and
+    excluded via the normalized-URL anti-join."""
+    from ocr_spark.operators.web import sitemap_seeds
+
+    return sitemap_seeds(
+        _sitemaps_df(spark, sf_dir), _docs_with_url(spark, sf_dir)
+    )
+
+
 # robots.txt fixture: deterministic per-HOST robots text (valid Spark SQL
 # and DuckDB SQL verbatim over a `host` column, like _LINKS_SYNTH).
 # Branches exercised: a non-star group that must be ignored (badbot), the
@@ -3867,6 +3945,77 @@ select dedup_key, min(doc_id) as keep_doc_id,
        cast(sum(is_canon) as bigint) as n_canonical
 from ck group by dedup_key
 """
+    # sitemap twins: tag regexes interpolated from operators/web.py; the
+    # per-host xml is the same ordered string_agg over normed; loc
+    # normalization for the seeds anti-join reuses the URL_RE parse.
+    def _ent_sql(v: str) -> str:
+        for ent, rep in H.ENTITY_RULES:
+            v = f"replace({v}, '{hsq(ent)}', '{hsq(rep)}')"
+        return v
+
+    def _norm_of(c: str) -> str:
+        sch = f"lower(regexp_extract({c}, '{URL_RE}', 1))"
+        hst = f"lower(regexp_extract({c}, '{URL_RE}', 2))"
+        prt = f"regexp_extract({c}, '{URL_RE}', 3)"
+        pth = f"regexp_replace(regexp_extract({c}, '{URL_RE}', 4), '/+$', '')"
+        qry = f"regexp_extract({c}, '{URL_RE}', 5)"
+        qkeep = f"list_filter(string_split({qry}, '&'), {keep})"
+        return (
+            f"{sch} || '://' || {hst}"
+            f" || case when {prt} = '' then ''"
+            f" when {sch} = 'http' and {prt} = '80' then ''"
+            f" when {sch} = 'https' and {prt} = '443' then ''"
+            f" else ':' || {prt} end"
+            f" || case when {pth} = '' then '/' else {pth} end"
+            f" || case when len({qkeep}) > 0"
+            f" then '?' || array_to_string(list_sort({qkeep}), '&')"
+            f" else '' end"
+        )
+
+    sm_ctes = f"""{ctes},
+se as (select doc_id, host, norm_url,
+       case when doc_id % 3 = 0
+            then '<url><loc> ' || norm_url || ' </loc><lastmod>2026-07-1'
+                 || cast(doc_id % 9 as string)
+                 || '</lastmod><priority>0.8</priority></url>'
+            when doc_id % 3 = 1
+            then '<url><loc>https://' || host || '/fresh/p-'
+                 || cast(doc_id % 200 as string)
+                 || '&amp;x</loc><changefreq>daily</changefreq></url>'
+            else '<url><priority>0.3</priority></url>' end as entry
+       from normed),
+sm as (select host, '<urlset>' || string_agg(entry, '' order by doc_id)
+              || '</urlset>' as sitemap_xml
+       from se group by host),
+sb0 as (select host,
+               regexp_extract_all(sitemap_xml,
+                                  '{hsq(W.SITEMAP_URL_BLOCK_RE)}') as bs
+        from sm),
+sb as (select host, unnest(bs) as b,
+              cast(unnest(range(0, len(bs))) as int) as entry_pos from sb0),
+sp as (select host, entry_pos,
+       {_ent_sql(f"regexp_extract(b, '{hsq(W.SITEMAP_LOC_RE)}', 1)")} as loc,
+       regexp_extract(b, '{hsq(W.SITEMAP_LASTMOD_RE)}', 1) as lastmod,
+       regexp_extract(b, '{hsq(W.SITEMAP_CHANGEFREQ_RE)}', 1) as changefreq,
+       coalesce(cast(round(try_cast(
+           regexp_extract(b, '{hsq(W.SITEMAP_PRIORITY_RE)}', 1) as double)
+           * 100, 0) as int), {W.SITEMAP_DEFAULT_PRIORITY_PCT})
+           as priority_pct
+       from sb)"""
+    _ORACLES["sitemap_urls"] = f"""
+with {sm_ctes}
+select host, entry_pos, loc, lastmod, changefreq, priority_pct
+from sp where loc <> ''
+"""
+    _ORACLES["sitemap_seeds"] = f"""
+with {sm_ctes},
+cand as (select {_norm_of('loc')} as norm_url, host, priority_pct
+         from sp where loc <> ''),
+cagg as (select norm_url, host, max(priority_pct) as priority_pct
+         from cand group by norm_url, host)
+select * from cagg
+where norm_url not in (select norm_url from normed)
+"""
     # domain_pagerank twin: 10 unrolled integer fixed-point iterations —
     # all-bigint arithmetic (sums cast back from hugeint) so the ranks
     # hash-match Spark's bit-for-bit; damping 85/100, scale 1e9, dangling
@@ -4607,6 +4756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_dedup": q_canonical_dedup,
         "lang_segments": q_lang_segments,
         "gopher_ngram": q_gopher_ngram,
+        "sitemap_urls": q_sitemap_urls,
+        "sitemap_seeds": q_sitemap_seeds,
         "lm_quality": q_lm_quality,
         "nb_quality": q_nb_quality,
         "dsir_select": q_dsir_select,

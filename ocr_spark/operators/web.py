@@ -50,6 +50,16 @@ ROBOTS_COMMENT_RE = "#.*"
 # Java and RE2 read `[ \t]` and the capture groups identically.
 ROBOTS_DIRECTIVE_RE = r"^([A-Za-z-]+)[ \t]*:[ \t]*(.*)$"
 
+# --- sitemaps.org constants (sitemap_urls; twin in __spark_entry__) ------
+
+SITEMAP_URL_BLOCK_RE = r"(?is)<url>.*?</url>"
+SITEMAP_LOC_RE = r"(?is)<loc>\s*(.*?)\s*</loc>"
+SITEMAP_LASTMOD_RE = r"(?is)<lastmod>\s*(.*?)\s*</lastmod>"
+SITEMAP_CHANGEFREQ_RE = r"(?is)<changefreq>\s*(.*?)\s*</changefreq>"
+SITEMAP_PRIORITY_RE = r"(?is)<priority>\s*(.*?)\s*</priority>"
+# sitemaps.org default priority when the tag is absent
+SITEMAP_DEFAULT_PRIORITY_PCT = 50
+
 
 def url_dedup(docs: DataFrame, url_col: str = "url") -> DataFrame:
     """Exact URL-level dedup groups: one row per normalized URL with the
@@ -430,6 +440,92 @@ def robots_filter(
         best["prefix"].alias("win_prefix"),
         best["prefix_len"].alias("win_len"),
     )
+
+
+def sitemap_urls(
+    sitemaps: DataFrame,
+    host_col: str = "host",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """``(host, sitemap_xml)`` → one row per ``<url>`` entry: the
+    publisher-declared URL inventory (sitemaps.org protocol) — the OTHER
+    half of the crawl-seeding contract next to robots.txt (robots says
+    what not to fetch, the sitemap says what exists; both are per-host
+    fetches a crawler makes before touching content).
+
+    Output: ``host, entry_pos int, loc, lastmod, changefreq,
+    priority_pct int`` — ``loc`` is entity-decoded and trimmed (the spec
+    requires XML-escaped URLs); entries with no ``<loc>`` are dropped
+    (invalid per spec); ``priority_pct`` is the 0-100 integer form of the
+    optional ``<priority>`` (default 0.5 → 50), kept integer so the
+    driver gate hashes exactly; ``lastmod`` stays the raw W3C-datetime
+    string (its many legal forms are consumer-specific).  Documented
+    limitation (shared by both engines): no ``<sitemapindex>`` recursion —
+    index files list MORE sitemaps to fetch, which is an ingest-loop
+    concern, not a parse concern.
+
+    Scale shape: one ``regexp_extract_all`` + ``posexplode`` — a narrow
+    zero-shuffle stage; sitemap files are bounded by spec (50k URLs /
+    50 MB), so per-row fan-out is bounded.
+    """
+    from ocr_spark.operators.html import ENTITY_RULES
+
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(SITEMAP_URL_BLOCK_RE), F.lit(0)
+    )
+    out = sitemaps.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(blocks).alias("entry_pos", "b"),
+    )
+    loc = F.regexp_extract(F.col("b"), SITEMAP_LOC_RE, 1)
+    for ent, rep in ENTITY_RULES:
+        loc = F.replace(loc, F.lit(ent), F.lit(rep))
+    pr = F.regexp_extract(F.col("b"), SITEMAP_PRIORITY_RE, 1)
+    pr_pct = F.coalesce(
+        F.round(pr.try_cast("double") * 100, 0).cast("int"),
+        F.lit(SITEMAP_DEFAULT_PRIORITY_PCT),
+    )
+    return out.select(
+        "host",
+        "entry_pos",
+        loc.alias("loc"),
+        F.regexp_extract(F.col("b"), SITEMAP_LASTMOD_RE, 1).alias("lastmod"),
+        F.regexp_extract(F.col("b"), SITEMAP_CHANGEFREQ_RE, 1).alias(
+            "changefreq"
+        ),
+        pr_pct.alias("priority_pct"),
+    ).where(F.col("loc") != "")
+
+
+def sitemap_seeds(
+    sitemaps: DataFrame,
+    corpus: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Sitemap entries the corpus does NOT already have: the new-URL seed
+    table a recrawl feeds into :func:`robots_filter` →
+    :func:`frontier_plan`.  Both sides key on the normalized URL, so
+    fetch-noise variants of known pages are correctly recognized as known.
+
+    Output: ``norm_url, host, priority_pct`` (max priority when several
+    entries normalize together).
+
+    Scale shape: parse is narrow; the anti-join keys on near-unique
+    normalized URLs (uniform), and the seed side aggregates first so the
+    join carries one row per candidate URL.
+    """
+    parsed = sitemap_urls(sitemaps)
+    cand = (
+        parsed.select(
+            url_normalize(F.col("loc")).alias("norm_url"),
+            "host",
+            "priority_pct",
+        )
+        .groupBy("norm_url", "host")
+        .agg(F.max("priority_pct").alias("priority_pct"))
+    )
+    known = corpus.select(url_normalize(F.col(url_col)).alias("norm_url"))
+    return cand.join(known, "norm_url", "left_anti")
 
 
 def domain_stats(docs: DataFrame, url_col: str = "url") -> DataFrame:
