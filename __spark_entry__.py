@@ -1056,6 +1056,39 @@ def q_gopher_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_ngram_repetition(_docs(spark, sf_dir))
 
 
+def q_recrawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot change detection (operators/web.py recrawl_diff): two
+    crawl snapshots of the URL space (page-group windows g<150 vs g>=50,
+    content fingerprints keyed on the page group with every fifth group
+    bumped in the new snapshot) → unchanged / changed / new / gone per
+    normalized URL — the decision table an incremental recrawl derives
+    its work-list from."""
+    from ocr_spark.operators.web import recrawl_diff
+
+    u = _docs_with_url(spark, sf_dir)
+    g = F.col("doc_id") % 200
+    fp_old = F.md5(F.concat(F.lit("c|"), g.cast("string")).cast("binary"))
+    fp_new = F.md5(
+        F.concat(
+            F.lit("c|"),
+            g.cast("string"),
+            F.when(g % 5 == 0, "|v2").otherwise(""),
+        ).cast("binary")
+    )
+    old = u.where(g < 150).select("url", fp_old.alias("fp"))
+    new = u.where(g >= 50).select("url", fp_new.alias("fp"))
+    return recrawl_diff(old, new)
+
+
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup (operators/quality.py corpus_datasheet): per
+    (source, lang) + ROLLUP subtotals, doc/token/char volumes and the
+    corpus-wide exact-duplicate exposure with a 6-place dup_rate."""
+    from ocr_spark.operators.quality import corpus_datasheet
+
+    return corpus_datasheet(_docs(spark, sf_dir))
+
+
 def _sitemaps_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host sitemap.xml assembled from per-doc entries (mirrored by
     the DuckDB twin's string_agg over the same normed CTE).  Entry
@@ -4016,6 +4049,29 @@ cagg as (select norm_url, host, max(priority_pct) as priority_pct
 select * from cagg
 where norm_url not in (select norm_url from normed)
 """
+    # recrawl_diff twin: same per-side min-fp collapse on the normalized
+    # URL, same full-outer status derivation.
+    _ORACLES["recrawl_diff"] = f"""
+with {ctes},
+oldg as (select norm_url,
+                md5('c|' || cast(doc_id % 200 as string)) as fp
+         from normed where doc_id % 200 < 150),
+newg as (select norm_url,
+                md5('c|' || cast(doc_id % 200 as string)
+                    || case when (doc_id % 200) % 5 = 0
+                            then '|v2' else '' end) as fp
+         from normed where doc_id % 200 >= 50),
+o as (select norm_url, min(fp) as old_fp from oldg group by norm_url),
+n as (select norm_url, min(fp) as new_fp from newg group by norm_url)
+select coalesce(o.norm_url, n.norm_url) as norm_url,
+       case when o.norm_url is null then 'new'
+            when n.norm_url is null then 'gone'
+            when o.old_fp = n.new_fp then 'unchanged'
+            else 'changed' end as status,
+       coalesce(o.old_fp, '') as old_fp,
+       coalesce(n.new_fp, '') as new_fp
+from o full outer join n on o.norm_url = n.norm_url
+"""
     # domain_pagerank twin: 10 unrolled integer fixed-point iterations —
     # all-bigint arithmetic (sums cast back from hugeint) so the ranks
     # hash-match Spark's bit-for-bit; damping 85/100, scale 1e9, dangling
@@ -4331,6 +4387,25 @@ from documents
 _ORACLES["c4_badwords"] = _c4_badwords_sql()
 _ORACLES["lang_segments"] = _lang_segments_sql()
 _ORACLES["gopher_ngram"] = _gopher_ngram_sql()
+_ORACLES["corpus_datasheet"] = f"""
+with st as (select doc_id, source, lang,
+                   cast(len({_RT}) as bigint) as ntok,
+                   cast(length(coalesce(text, '')) as bigint) as nchr,
+                   md5(array_to_string({_NT}, ' ')) as fp
+            from documents),
+fpc as (select fp, count(*) as fpn from st group by fp),
+j as (select st.*, fpc.fpn from st join fpc using (fp))
+select coalesce(source, '(all)') as source,
+       coalesce(lang, '(all)') as lang,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(ntok) as bigint) as n_tokens,
+       cast(sum(nchr) as bigint) as n_chars,
+       cast(sum(case when fpn > 1 then 1 else 0 end) as bigint)
+           as n_dup_docs,
+       round(sum(case when fpn > 1 then 1 else 0 end) / count(*), 6)
+           as dup_rate
+from j group by rollup(source, lang)
+"""
 
 # quality_stack twin: the three stage twins composed exactly as the
 # operator composes them — stages 2-3 read c4's text_clean.
@@ -4758,6 +4833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_ngram": q_gopher_ngram,
         "sitemap_urls": q_sitemap_urls,
         "sitemap_seeds": q_sitemap_seeds,
+        "recrawl_diff": q_recrawl_diff,
+        "corpus_datasheet": q_corpus_datasheet,
         "lm_quality": q_lm_quality,
         "nb_quality": q_nb_quality,
         "dsir_select": q_dsir_select,

@@ -126,7 +126,8 @@ def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
         # round-2 continuation: web link family + C4 completion
         "html_links", "link_edges", "anchor_terms", "frontier_plan",
         "c4_badwords", "robots_filter", "html_meta", "canonical_dedup",
-        "lang_segments", "gopher_ngram", "sitemap_seeds",
+        "lang_segments", "gopher_ngram", "sitemap_seeds", "recrawl_diff",
+        "corpus_datasheet",
     ]
     # Per-workload scan tuning (the conf is runtime-settable): thin
     # TPC-H-ish tables are scan-bound and want the vectorized reader's

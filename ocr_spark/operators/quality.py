@@ -953,7 +953,11 @@ def lang_segments(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    from ocr_spark.functions.text import lang_pred, norm_tokens
+    from ocr_spark.functions.text import (
+        LANG_STOPWORDS,
+        count_in,
+        norm_tokens,
+    )
 
     paras = F.filter(
         F.split(F.col(text_col), PARA_SPLIT_RE),
@@ -962,7 +966,27 @@ def lang_segments(docs: DataFrame, text_col: str = "text") -> DataFrame:
     pe = docs.select(
         "doc_id", F.posexplode(paras).alias("para_idx", "para")
     )
-    pl = pe.withColumn("lang", lang_pred(norm_tokens(F.col("para"))))
+    # Stage tokens and the five scores as NAMED columns before building
+    # the argmax CASE chain: lang_pred(norm_tokens(col)) as one expression
+    # re-inlines the tokenization into every score reference of the chain
+    # (the BENCH/BASELINE.md §3 trap; A/B in §3).
+    langs = sorted(LANG_STOPWORDS)
+    st = pe.withColumn("_toks", norm_tokens(F.col("para"))).select(
+        "doc_id",
+        "para_idx",
+        "para",
+        *[
+            count_in(F.col("_toks"), LANG_STOPWORDS[lang]).alias(f"_s_{lang}")
+            for lang in langs
+        ],
+    )
+    best = F.col(f"_s_{langs[0]}")
+    pred = F.lit(langs[0])
+    for lang in langs[1:]:
+        is_better = F.col(f"_s_{lang}") > best
+        pred = F.when(is_better, F.lit(lang)).otherwise(pred)
+        best = F.when(is_better, F.col(f"_s_{lang}")).otherwise(best)
+    pl = st.select("doc_id", "para_idx", "para", pred.alias("lang"))
     w = Window.partitionBy("doc_id").orderBy("para_idx")
     prev = F.lag("lang").over(w)
     chg = F.when(prev.isNull() | (prev != F.col("lang")), 1).otherwise(0)
@@ -1144,4 +1168,69 @@ def gopher_ngram_repetition(docs: DataFrame) -> DataFrame:
         *[c(f"dup{n}_chars").alias(f"dup{n}_chars") for n in sorted(GOPHER_DUP_NGRAM_PCT)],
         *[expr.alias(name) for name, expr in rules.items()],
         keep.alias("keep"),
+    )
+
+
+def corpus_datasheet(docs: DataFrame) -> DataFrame:
+    """The dataset-card composition rollup (the "datasheet" every released
+    corpus ships — C4/Pile/Dolma all publish exactly this table): per
+    (source, lang) cell, plus source subtotals and the corpus total via
+    ROLLUP, the document/token/character volumes and the exact-duplicate
+    exposure.
+
+    Output: ``source, lang, n_docs, n_tokens, n_chars, n_dup_docs,
+    dup_rate`` — subtotal rows carry ``(all)`` in the rolled-up key;
+    ``n_dup_docs`` counts documents whose exact content fingerprint
+    (md5 of normalized tokens) occurs more than once CORPUS-wide, so a
+    source whose content is copied from another source shows the
+    exposure even though the copies live elsewhere; ``dup_rate`` is the
+    6-place-rounded ratio (the cross-engine-stable rounding discipline).
+
+    Scale shape: one fingerprint-count aggregation on near-unique md5
+    keys (uniform), one broadcast-or-shuffle join back, then a single
+    partial-aggregating ROLLUP whose output cardinality is
+    |sources|×|langs| — trivially small however large the corpus.
+    """
+    from ocr_spark.functions.text import norm_tokens, tokens
+
+    staged = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(
+            F.filter(
+                tokens(F.coalesce(F.col("text"), F.lit(""))),
+                lambda t: t != "",
+            )
+        ).cast("bigint").alias("_ntok"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("bigint").alias(
+            "_nchr"
+        ),
+        F.md5(F.array_join(norm_tokens(F.col("text")), " ").cast("binary")).alias(
+            "_fp"
+        ),
+    )
+    fpc = staged.groupBy("_fp").agg(F.count(F.lit(1)).alias("_fpn"))
+    j = staged.join(fpc, "_fp")
+    return (
+        j.rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ntok").alias("n_tokens"),
+            F.sum("_nchr").alias("n_chars"),
+            F.sum(F.when(F.col("_fpn") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("(all)")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("(all)")).alias("lang"),
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_dup_docs",
+            F.round(F.col("n_dup_docs") / F.col("n_docs"), 6).alias(
+                "dup_rate"
+            ),
+        )
     )

@@ -557,3 +557,57 @@ def domain_stats(docs: DataFrame, url_col: str = "url") -> DataFrame:
             6,
         ).alias("en_frac"),
     )
+
+
+def recrawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Change detection between two crawl snapshots of the same URL space
+    — the decision table an incremental recrawl pipeline derives work
+    from (unchanged pages skip re-extraction entirely; that is where the
+    10^12-scale savings live, since most of the web does not change
+    between crawls).
+
+    Inputs are per-snapshot tables carrying a URL and a content
+    fingerprint; each side is first collapsed to one representative per
+    NORMALIZED URL (min fingerprint, then min doc_id — deterministic and
+    engine-order-free), then full-outer-joined:
+
+    * ``unchanged`` — both sides, same fingerprint;
+    * ``changed``   — both sides, different fingerprint (re-extract);
+    * ``new``       — only in the new snapshot (extract);
+    * ``gone``      — only in the old snapshot (tombstone / retention).
+
+    Output: ``norm_url, status, old_fp, new_fp`` (absent side ``''``).
+
+    Scale shape: two near-unique-key aggregations + one full-outer
+    sort-merge join, all keyed on the normalized URL — uniform keys, one
+    row per URL per side, no fan-out anywhere.
+    """
+
+    def _side(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(
+                url_normalize(F.col(url_col)).alias("norm_url"),
+                F.col(fp_col).alias(name),
+            )
+            .groupBy("norm_url")
+            .agg(F.min(name).alias(name))
+        )
+
+    j = _side(old, "old_fp").join(_side(new, "new_fp"), "norm_url", "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), "new")
+        .when(F.col("new_fp").isNull(), "gone")
+        .when(F.col("old_fp") == F.col("new_fp"), "unchanged")
+        .otherwise("changed")
+    )
+    return j.select(
+        "norm_url",
+        status.alias("status"),
+        F.coalesce(F.col("old_fp"), F.lit("")).alias("old_fp"),
+        F.coalesce(F.col("new_fp"), F.lit("")).alias("new_fp"),
+    )
