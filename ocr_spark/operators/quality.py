@@ -969,7 +969,7 @@ def lang_segments(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # Stage tokens and the five scores as NAMED columns before building
     # the argmax CASE chain: lang_pred(norm_tokens(col)) as one expression
     # re-inlines the tokenization into every score reference of the chain
-    # (the BENCH/BASELINE.md §3 trap; A/B in §3).
+    # (the BENCH/BASELINE.md §3 trap; measured 4.1x at sf0.1, A/B in §3).
     langs = sorted(LANG_STOPWORDS)
     st = pe.withColumn("_toks", norm_tokens(F.col("para"))).select(
         "doc_id",
