@@ -1056,6 +1056,21 @@ def q_gopher_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_ngram_repetition(_docs(spark, sf_dir))
 
 
+def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate benchmark decontamination
+    (operators/contamination.py fuzzy_decontaminate): odd docs are the
+    training set, even docs the eval set — TRAIN×EVAL banded-MinHash
+    candidates, exact-Jaccard verified, one verdict row per train doc
+    with near-miss counts kept for audit."""
+    from ocr_spark.operators.contamination import fuzzy_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return fuzzy_decontaminate(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+    )
+
+
 def q_recrawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot change detection (operators/web.py recrawl_diff): two
     crawl snapshots of the URL space (page-group windows g<150 vs g>=50,
@@ -4387,6 +4402,18 @@ from documents
 _ORACLES["c4_badwords"] = _c4_badwords_sql()
 _ORACLES["lang_segments"] = _lang_segments_sql()
 _ORACLES["gopher_ngram"] = _gopher_ngram_sql()
+_ORACLES["fuzzy_decontaminate"] = f"""
+with base as ({_incremental_minhash_sql(new_pred="doc_id % 2 = 1",
+                                        threshold=0.0)}),
+fda as (select a as doc_id, cast(count(*) as bigint) as n_eval_matches,
+               max(jaccard) as max_jaccard from base group by a)
+select d.doc_id,
+       cast(coalesce(g.n_eval_matches, 0) as bigint) as n_eval_matches,
+       coalesce(g.max_jaccard, 0.0) as max_jaccard,
+       coalesce(g.max_jaccard, 0.0) >= 0.5 as contaminated
+from documents d left join fda g using (doc_id)
+where d.doc_id % 2 = 1
+"""
 _ORACLES["corpus_datasheet"] = f"""
 with st as (select doc_id, source, lang,
                    cast(len({_RT}) as bigint) as ntok,
@@ -4835,6 +4862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_seeds": q_sitemap_seeds,
         "recrawl_diff": q_recrawl_diff,
         "corpus_datasheet": q_corpus_datasheet,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "lm_quality": q_lm_quality,
         "nb_quality": q_nb_quality,
         "dsir_select": q_dsir_select,

@@ -65,3 +65,60 @@ def ngram_decontaminate(
         )
         .select("doc_id", "n_grams", "n_hit_grams", "contam_frac")
     )
+
+
+def fuzzy_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    contaminate_at: float = 0.5,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-duplicate benchmark decontamination — the fuzzy upgrade of
+    :func:`ngram_decontaminate`: exact n-gram overlap misses eval items a
+    training page carries with light edits (reflowed whitespace, swapped
+    numbers, prompt templating), which is precisely what MinHash Jaccard
+    catches.  This is the published-practice pair: GPT-3 App. C removes
+    exact 13-gram collisions, Llama-era reports additionally drop
+    training docs whose similarity to an eval item crosses a threshold.
+
+    Built on :func:`ocr_spark.operators.dedup.incremental_minhash_dedup`
+    with train as the batch and the eval set as the corpus — so pairs are
+    TRAIN×EVAL only (never train×train), the corpus-side degenerate
+    bucket guard applies to eval band keys, and every candidate is
+    verified by exact Jaccard before it can flag anything.
+
+    Output: one verdict row per train document — ``doc_id,
+    n_eval_matches bigint, max_jaccard double, contaminated boolean``
+    (``contaminated`` ⇔ some verified eval pair has jaccard ≥
+    ``contaminate_at``; match counts keep sub-threshold near-misses
+    visible for audit).
+
+    Scale shape: inherits the incremental form's O(train) cost — the
+    eval side is tiny by nature, its signature table is bounded, and the
+    final verdict join keys on doc_id (uniform).
+    """
+    from ocr_spark.operators.dedup import incremental_minhash_dedup
+
+    pairs = incremental_minhash_dedup(
+        train, eval_docs, n=n, k=k, bands=bands, threshold=0.0
+    )
+    agg = pairs.groupBy("a").agg(
+        F.count(F.lit(1)).alias("n_eval_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return (
+        train.select("doc_id")
+        .join(agg, train["doc_id"] == agg["a"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_eval_matches"), F.lit(0).cast("bigint")).alias(
+                "n_eval_matches"
+            ),
+            F.coalesce(F.col("max_jaccard"), F.lit(0.0)).alias("max_jaccard"),
+            (F.coalesce(F.col("max_jaccard"), F.lit(0.0)) >= contaminate_at).alias(
+                "contaminated"
+            ),
+        )
+    )
