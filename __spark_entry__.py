@@ -1056,6 +1056,20 @@ def q_gopher_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_ngram_repetition(_docs(spark, sf_dir))
 
 
+def q_crawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl-planning chain (operators/web.py crawl_plan):
+    sitemap seeds the corpus lacks → robots longest-prefix gate →
+    deterministic polite (host, slot) frontier — hash-gated end-to-end
+    by one recursive DuckDB twin built from the three stage twins."""
+    from ocr_spark.operators.web import crawl_plan
+
+    return crawl_plan(
+        _sitemaps_df(spark, sf_dir),
+        _robots_df(spark, sf_dir),
+        _docs_with_url(spark, sf_dir),
+    )
+
+
 def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate benchmark decontamination
     (operators/contamination.py fuzzy_decontaminate): odd docs are the
@@ -1202,6 +1216,7 @@ else '# robots fixture' || chr(10)
   || 'Allow: /src2' || chr(10)
   || 'Disallow: /src2' || chr(10)
   || 'DISALLOW: /src5 # seasonal block' || chr(10)
+  || 'Disallow: /fresh/p-1' || chr(10)
   || 'Disallow:' || chr(10)
   || case when length(host) % 2 = 0
           then 'Disallow: /src7/' || chr(10) else '' end
@@ -3889,8 +3904,7 @@ from frk
     # equivalent longest-prefix/allow-wins row_number pick.
     from ocr_spark.operators import web as W
 
-    robots_ctes = f"""{ctes},
-hosts as (select distinct host from normed),
+    robots_tail = f"""hosts as (select distinct host from normed),
 robots as (select host, {_ROBOTS_SYNTH} as robots_txt from hosts),
 rb0 as (select host, string_split(robots_txt, chr(10)) as ls from robots),
 rb1 as (select host, unnest(ls) as raw,
@@ -3919,6 +3933,8 @@ rbrules as (select host, cast(ln as int) as rule_ln,
                    cast(length(value) as int) as prefix_len
             from rbs
             where directive <> 'user-agent' and star = 1 and value <> '')"""
+    robots_ctes = f"""{ctes},
+{robots_tail}"""
     _ORACLES["robots_rules"] = f"""
 with {robots_ctes}
 select host, rule_ln, allow, prefix, prefix_len from rbrules
@@ -4086,6 +4102,46 @@ select coalesce(o.norm_url, n.norm_url) as norm_url,
        coalesce(o.old_fp, '') as old_fp,
        coalesce(n.new_fp, '') as new_fp
 from o full outer join n on o.norm_url = n.norm_url
+"""
+    # crawl_plan twin: the whole planning chain — sitemap seeds → robots
+    # verdict → frontier slots — composed from the three stage twins
+    # (sm_ctes carries the sitemap parse, robots_tail the rule table).
+    _ORACLES["crawl_plan"] = f"""
+with {sm_ctes},
+{robots_tail},
+cand as (select {_norm_of('loc')} as norm_url, host, priority_pct
+         from sp where loc <> ''),
+cagg as (select norm_url, host, max(priority_pct) as priority_pct
+         from cand group by norm_url, host),
+seeds as (select * from cagg
+          where norm_url not in (select norm_url from normed)),
+sv as (select s.norm_url, s.host, s.priority_pct,
+              lower(regexp_extract(s.norm_url, '{URL_RE}', 2)) as vhost,
+              case when regexp_extract(s.norm_url, '{URL_RE}', 4) = ''
+                   then '/' else regexp_extract(s.norm_url, '{URL_RE}', 4)
+                   end as path
+       from seeds s),
+mt2 as (select v.*, r.prefix, r.prefix_len, r.allow
+        from sv v left join rbrules r
+          on v.vhost = r.host and starts_with(v.path, r.prefix)),
+best2 as (select *, row_number() over (partition by norm_url order by
+              case when prefix is null then 1 else 0 end,
+              prefix_len desc,
+              case when allow then 0 else 1 end) as rn from mt2),
+alw as (select norm_url, host, priority_pct from best2
+        where rn = 1 and coalesce(allow, true)),
+fr2 as (select *,
+               cast(cast(('0x' || substr(md5(norm_url), 1, 12)) as bigint)
+                    % {fp_buckets} as int) as bucket,
+               md5(norm_url) as o
+        from alw),
+frk2 as (select *, row_number() over (partition by host, bucket
+                                      order by o, norm_url) as rnk
+         from fr2)
+select norm_url, host, cast(priority_pct as int) as priority_pct, bucket,
+       cast(((rnk - 1) // {fp_host}) * {fp_buckets} + bucket as bigint)
+           as slot
+from frk2
 """
     # domain_pagerank twin: 10 unrolled integer fixed-point iterations —
     # all-bigint arithmetic (sums cast back from hugeint) so the ranks
@@ -4863,6 +4919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_diff": q_recrawl_diff,
         "corpus_datasheet": q_corpus_datasheet,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "crawl_plan": q_crawl_plan,
         "lm_quality": q_lm_quality,
         "nb_quality": q_nb_quality,
         "dsir_select": q_dsir_select,

@@ -127,7 +127,7 @@ def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
         "html_links", "link_edges", "anchor_terms", "frontier_plan",
         "c4_badwords", "robots_filter", "html_meta", "canonical_dedup",
         "lang_segments", "gopher_ngram", "sitemap_seeds", "recrawl_diff",
-        "corpus_datasheet", "fuzzy_decontaminate",
+        "corpus_datasheet", "fuzzy_decontaminate", "crawl_plan",
     ]
     # Per-workload scan tuning (the conf is runtime-settable): thin
     # TPC-H-ish tables are scan-bound and want the vectorized reader's

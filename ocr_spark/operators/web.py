@@ -204,6 +204,7 @@ def frontier_plan(
     url_col: str = "url",
     per_host: int = 2,
     buckets: int = 8,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Candidate URLs → a deterministic polite fetch schedule: the step
     between URL dedup and actual fetching in every crawler (Heritrix/
@@ -236,7 +237,7 @@ def frontier_plan(
         docs.select(
             url_normalize(F.col(url_col)).alias("norm_url"),
             F.lower(url_host(F.col(url_col))).alias("host"),
-            "doc_id",
+            F.col(id_col).alias("doc_id"),
         )
         .groupBy("norm_url", "host")
         .agg(F.min("doc_id").alias("doc_id"))
@@ -376,6 +377,7 @@ def robots_filter(
     urls: DataFrame,
     rules: DataFrame,
     url_col: str = "url",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Apply the robots rule table to candidate URLs: per URL, the RFC 9309
     decision — among rules whose prefix matches the URL path, the LONGEST
@@ -402,7 +404,7 @@ def robots_filter(
     )
     path0 = url_path(F.col(url_col))
     staged = urls.select(
-        "doc_id",
+        F.col(id_col).alias("doc_id"),
         F.lower(url_host(F.col(url_col))).alias("host"),
         F.when(path0 == "", "/").otherwise(path0).alias("path"),
     )
@@ -611,3 +613,54 @@ def recrawl_diff(
         F.coalesce(F.col("old_fp"), F.lit("")).alias("old_fp"),
         F.coalesce(F.col("new_fp"), F.lit("")).alias("new_fp"),
     )
+
+
+def crawl_plan(
+    sitemaps: DataFrame,
+    robots: DataFrame,
+    corpus: DataFrame,
+    url_col: str = "url",
+    per_host: int = 2,
+    buckets: int = 8,
+) -> DataFrame:
+    """The full crawl-planning chain as ONE DataFrame program — what a
+    recrawl cycle actually runs, composed from the three operators it is
+    made of:
+
+    1. :func:`sitemap_seeds` — publisher-declared URLs the corpus does
+       not already have (normalized-URL anti-join);
+    2. :func:`robots_rules` + :func:`robots_filter` — drop seeds the
+       host's ``User-agent: *`` rules forbid (longest-prefix decision);
+    3. :func:`frontier_plan` — deterministic polite (host, slot) fetch
+       rounds over the survivors, ≤ ``per_host`` per cell.
+
+    Output: ``norm_url, host, priority_pct, bucket int, slot bigint``.
+
+    Scale shape: inherits each stage's shape — the chain introduces no
+    new shuffle class (seed agg, rules-per-host dim join, frontier
+    window), and every key is either a near-unique normalized URL or a
+    bounded host.  The whole chain is hash-gated end-to-end by one
+    recursive DuckDB twin composed from the three stage twins.
+    """
+    seeds = sitemap_seeds(sitemaps, corpus, url_col=url_col)
+    rules = robots_rules(robots)
+    verdict = robots_filter(
+        seeds, rules, url_col="norm_url", id_col="norm_url"
+    ).where(F.col("allowed"))
+    allowed = seeds.join(
+        verdict.select(F.col("doc_id").alias("norm_url")), "norm_url"
+    )
+    plan = frontier_plan(
+        allowed,
+        url_col="norm_url",
+        per_host=per_host,
+        buckets=buckets,
+        id_col="priority_pct",
+    ).select(
+        "norm_url",
+        "host",
+        F.col("doc_id").cast("int").alias("priority_pct"),
+        "bucket",
+        "slot",
+    )
+    return plan

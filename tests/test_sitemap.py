@@ -83,3 +83,48 @@ def test_fixture_known_entries_all_excluded(spark):
     # every surviving seed is a /fresh/ URL; every corpus-echo entry died
     assert len(seeds) > 0
     assert seeds.norm_url.str.contains("/fresh/").all()
+
+
+def test_crawl_plan_end_to_end(spark):
+    from ocr_spark.operators.web import crawl_plan
+
+    xml = (
+        "<urlset>"
+        "<url><loc>https://h.com/known</loc></url>"
+        "<url><loc>https://h.com/private/x</loc></url>"
+        "<url><loc>https://h.com/new-page</loc><priority>0.9</priority></url>"
+        "</urlset>"
+    )
+    sitemaps = spark.createDataFrame(
+        [("h.com", xml)], "host string, sitemap_xml string"
+    )
+    robots = spark.createDataFrame(
+        [("h.com", "User-agent: *\nDisallow: /private\n")],
+        "host string, robots_txt string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "https://h.com/known")], "doc_id long, url string"
+    )
+    got = crawl_plan(sitemaps, robots, corpus).collect()
+    # known excluded by the seed anti-join, /private by robots
+    assert [r.norm_url for r in got] == ["https://h.com/new-page"]
+    assert got[0].priority_pct == 90 and got[0].host == "h.com"
+
+
+def test_crawl_plan_fixture_invariants(spark):
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    plan = E.q_crawl_plan(spark, sf).toPandas()
+    assert len(plan) > 0
+    # politeness: never more than per_host=2 URLs in one (host, slot) cell
+    assert plan.groupby(["host", "slot"]).size().max() <= 2
+    # the slot arithmetic maps each slot back to exactly one bucket
+    assert (plan.slot % 8 == plan.bucket).all()
+    # robots: /fresh/p-1* seeds are disallowed on every robots-bearing
+    # host (length(host) % 5 != 0), so any planned p-1x page must live on
+    # a robots-less host
+    p1 = plan[plan.norm_url.str.contains("/fresh/p-1")]
+    assert (p1.host.str.len() % 5 == 0).all()
+    # and robots-less hosts do keep their p-1x seeds
+    assert len(p1) > 0
