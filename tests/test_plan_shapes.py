@@ -300,6 +300,14 @@ def test_url_queries_survive_strict_codegen(spark):
             "html_links",
             "link_edges",
             "anchor_terms",
+            # r2 cont.: the crawl/metadata family rides the same
+            # synthesized-URL fixture and regex-heavy projections
+            "robots_filter",
+            "html_meta",
+            "canonical_dedup",
+            "sitemap_seeds",
+            "crawl_plan",
+            "recrawl_diff",
         ):
             assert q[name](spark, SF).count() > 0
     finally:
