@@ -1709,6 +1709,19 @@ def q_quality_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE App. A1 battery (operators/quality.py
+    quality_stack_full): the zero-shuffle funnel's verdicts joined with
+    the n-gram repetition rules over the same C4-cleaned text — five
+    per-stage verdicts plus the conjunction."""
+    from ocr_spark.operators.quality import quality_stack_full
+
+    return quality_stack_full(
+        _docs(spark, sf_dir).withColumn("text", F.expr(_STACK_SYNTH)),
+        min_words=10,
+    )
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher duplicate-line/paragraph rules (operators/quality.py
     gopher_repetition): per-row sorted-array adjacent-equality stats,
@@ -2052,7 +2065,7 @@ from pg group by doc_id, seg_id
 """
 
 
-def _gopher_ngram_sql() -> str:
+def _gopher_ngram_sql(src: str = "documents") -> str:
     """gopher_ngram_repetition twin: same lead()-window gram build (as a
     UNION ALL over n), same count window, same top tie-break
     (count desc, gram asc), same de-overlapped coverage via DISTINCT
@@ -2100,7 +2113,7 @@ def _gopher_ngram_sql() -> str:
     ]
     keep = " and ".join(r.split(" as ")[0] for r in rules)
     return f"""
-with tk as (select doc_id, {_RT} as t from documents),
+with tk as (select doc_id, {_RT} as t from {src}),
 tc as (select doc_id,
               cast(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
                    as bigint) as tok_chars from tk),
@@ -4504,6 +4517,21 @@ select c4.doc_id, c4.keep as c4_keep, g.keep as gopher_keep,
 from c4 join g using (doc_id) join r using (doc_id)
 """
 
+# quality_stack_full twin: the funnel twins + the n-gram battery twin,
+# all over the same c4-cleaned text, joined on doc_id.
+_ORACLES["quality_full"] = f"""
+with synth as (select doc_id, {_STACK_SYNTH} as text from documents),
+c4 as ({_c4_clean_query('synth')}),
+clean as (select doc_id, text_clean as text from c4),
+g as ({_gopher_query('clean', min_words=10)}),
+r as ({_gopher_rep_query('clean')}),
+gn as ({_gopher_ngram_sql(src='clean')})
+select c4.doc_id, c4.keep as c4_keep, g.keep as gopher_keep,
+       r.keep as rep_keep, gn.keep as ngram_keep,
+       (c4.keep and g.keep and r.keep and gn.keep) as keep
+from c4 join g using (doc_id) join r using (doc_id) join gn using (doc_id)
+"""
+
 # epoch_shuffle twin (operators/sampling.py): identical md5(seed|epoch|
 # doc_id) key, identical 12-hex-prefix shard, rank within (epoch, shard)
 _ORACLES["epoch_shuffle"] = """
@@ -4902,6 +4930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "gopher_repetition": q_gopher_repetition,
         "quality_stack": q_quality_stack,
+        "quality_full": q_quality_full,
         "html_extract": q_html_extract,
         "html_links": q_html_links,
         "link_edges": q_link_edges,

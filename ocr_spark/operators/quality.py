@@ -1014,7 +1014,9 @@ GOPHER_TOP_NGRAM_PCT: dict[int, int] = {2: 20, 3: 18, 4: 16}
 GOPHER_DUP_NGRAM_PCT: dict[int, int] = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
 
 
-def gopher_ngram_repetition(docs: DataFrame) -> DataFrame:
+def gopher_ngram_repetition(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
     """The word-n-gram half of Gopher's repetition rules (Rae et al. 2021
     App. A1): kill a page when its most frequent {2,3,4}-gram accounts for
     more than {20,18,16}% of characters, or when characters covered by
@@ -1049,7 +1051,9 @@ def gopher_ngram_repetition(docs: DataFrame) -> DataFrame:
 
     from ocr_spark.functions.text import tokens
 
-    toks = F.filter(tokens(F.coalesce(F.col("text"), F.lit(""))), lambda t: t != "")
+    toks = F.filter(
+        tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != ""
+    )
     base = docs.select("doc_id", toks.alias("_t"))
     tok_chars = base.select(
         "doc_id",
@@ -1233,4 +1237,39 @@ def corpus_datasheet(docs: DataFrame) -> DataFrame:
                 "dup_rate"
             ),
         )
+    )
+
+
+def quality_stack_full(docs: DataFrame, min_words: int = 50) -> DataFrame:
+    """The COMPLETE Rae et al. App. A1 battery as one verdict table:
+    :func:`quality_stack`'s zero-shuffle funnel (C4 clean → Gopher rules →
+    line/paragraph repetition) extended with the n-gram repetition rules
+    (:func:`gopher_ngram_repetition`) — which need per-doc gram counting
+    and therefore real shuffles, so they compose by a doc_id join rather
+    than riding the scan stage (keeping the funnel's one-pass property
+    for the stages that can have it).
+
+    Both batteries read the C4-CLEANED text — the production order: line
+    filtering first, document-level statistics on what survives.
+
+    Output: ``doc_id, c4_keep, gopher_keep, rep_keep, ngram_keep, keep``.
+
+    Scale shape: stage 1-3 verdicts cost one narrow scan; the n-gram leg
+    adds the bounded shuffles documented on its operator; the final join
+    keys on doc_id (uniform, one row per side).
+    """
+    stack = quality_stack(docs, min_words=min_words)
+    cleaned = c4_line_filter(docs).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    gn = gopher_ngram_repetition(cleaned).select(
+        "doc_id", F.col("keep").alias("ngram_keep")
+    )
+    return stack.join(gn, "doc_id").select(
+        "doc_id",
+        "c4_keep",
+        "gopher_keep",
+        "rep_keep",
+        "ngram_keep",
+        (F.col("keep") & F.col("ngram_keep")).alias("keep"),
     )

@@ -57,3 +57,37 @@ def test_whole_stack_is_one_narrow_stage(spark):
     )
     plan = quality_stack(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- full battery (quality_stack_full: funnel + n-gram rules) -------------
+
+# a bigram flood that sails through C4 (terminal periods, >= 5 words per
+# line) and through the line/para repetition rules (every line distinct),
+# but dies to the top-2-gram character-share rule
+BIGRAM_FLOOD = (
+    "buy now buy now buy now buy now buy now offer one.\n"
+    "buy now buy now buy now buy now buy now offer two.\n"
+    "buy now buy now buy now buy now buy now offer three.\n"
+    "buy now buy now buy now buy now buy now offer four.\n"
+    # stopwords so the Gopher RULES pass and only the n-gram stage trips
+    "that is the end of the story for everyone visiting here today."
+)
+# a C4-dropped n-gram flood (no terminal punctuation): the n-gram battery
+# must read the CLEANED text and pass
+FLOOD_NO_PUNCT = GOOD + "\nbuy now buy now buy now buy now buy now buy now"
+
+
+def test_full_battery_adds_ngram_stage(spark):
+    from ocr_spark.operators.quality import quality_stack_full
+
+    docs = spark.createDataFrame(
+        [(1, GOOD), (2, BIGRAM_FLOOD), (3, FLOOD_NO_PUNCT)],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in quality_stack_full(docs, min_words=10).collect()}
+    assert got[1].keep and got[1].ngram_keep
+    r = got[2]
+    assert r.c4_keep and r.gopher_keep and r.rep_keep, r
+    assert not r.ngram_keep and not r.keep
+    # stage order: the flood line was C4-dropped, so n-grams never see it
+    assert got[3].ngram_keep and got[3].keep
