@@ -1056,6 +1056,16 @@ def q_gopher_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_ngram_repetition(_docs(spark, sf_dir))
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap (operators/web.py domain_cap): each
+    registered domain keeps at most its 3 highest-n_chars documents —
+    exact two-stage distributed top-K (lossless bucket prune, then a
+    bounded final window)."""
+    from ocr_spark.operators.web import domain_cap
+
+    return domain_cap(_docs_with_url(spark, sf_dir), cap=3)
+
+
 def q_crawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed crawl-planning chain (operators/web.py crawl_plan):
     sitemap seeds the corpus lacks → robots longest-prefix gate →
@@ -4116,6 +4126,18 @@ select coalesce(o.norm_url, n.norm_url) as norm_url,
        coalesce(n.new_fp, '') as new_fp
 from o full outer join n on o.norm_url = n.norm_url
 """
+    # domain_cap twin: the two-stage prune is exactly a per-domain
+    # row_number QUALIFY — the oracle expresses the SEMANTICS, the Spark
+    # plan the bounded-window strategy.
+    _ORACLES["domain_cap"] = f"""
+with {dom_ctes},
+rk as (select domain, doc_id,
+              row_number() over (partition by domain
+                                 order by n_chars desc, doc_id asc) as rank
+       from dom)
+select domain, doc_id, cast(rank as int) as rank
+from rk where rank <= 3
+"""
     # crawl_plan twin: the whole planning chain — sitemap seeds → robots
     # verdict → frontier slots — composed from the three stage twins
     # (sm_ctes carries the sitemap parse, robots_tail the rule table).
@@ -4949,6 +4971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datasheet": q_corpus_datasheet,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "crawl_plan": q_crawl_plan,
+        "domain_cap": q_domain_cap,
         "lm_quality": q_lm_quality,
         "nb_quality": q_nb_quality,
         "dsir_select": q_dsir_select,

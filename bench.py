@@ -128,7 +128,7 @@ def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
         "c4_badwords", "robots_filter", "html_meta", "canonical_dedup",
         "lang_segments", "gopher_ngram", "sitemap_seeds", "recrawl_diff",
         "corpus_datasheet", "fuzzy_decontaminate", "crawl_plan",
-        "quality_full",
+        "quality_full", "domain_cap",
     ]
     # Per-workload scan tuning (the conf is runtime-settable): thin
     # TPC-H-ish tables are scan-bound and want the vectorized reader's

@@ -664,3 +664,65 @@ def crawl_plan(
         "slot",
     )
     return plan
+
+
+def domain_cap(
+    docs: DataFrame,
+    cap: int = 3,
+    url_col: str = "url",
+    quality_col: str = "n_chars",
+    buckets: int = 8,
+) -> DataFrame:
+    """Per-domain contribution cap — the anti-spam curation rule C4 and
+    RefinedWeb apply after domain filtering: no single registered domain
+    may contribute more than ``cap`` documents, and when it over-delivers
+    the HIGHEST-quality ``cap`` survive (quality desc, doc_id tie-break —
+    deterministic and engine-order-free).
+
+    Output: ``domain, doc_id, rank int`` for every KEPT document
+    (``rank`` 1..cap within its domain).
+
+    Scale shape — exact distributed top-K without a mega-domain window:
+    a plain ``row_number`` over (domain) makes one task hold an entire
+    domain (tens of millions of rows for a link farm — the exact skew
+    this rule exists to punish).  Instead the classic two-stage prune:
+
+    1. each doc hashes into one of ``buckets`` sub-buckets; a window over
+       (domain, bucket) keeps each bucket's local top-``cap`` — any
+       global top-``cap`` row is necessarily in its own bucket's local
+       top-``cap``, so the prune is LOSSLESS;
+    2. the final window over (domain) ranks only the ≤ buckets×cap
+       survivors per domain — bounded by constants, however large the
+       domain.
+
+    Both windows shuffle slim (domain, bucket, quality, doc_id) rows;
+    raising ``buckets`` spreads a mega-domain's stage-1 sort over more
+    tasks at the price of a slightly larger stage-2 input.
+    """
+    from pyspark.sql.window import Window
+
+    staged = docs.select(
+        registered_domain(url_host(F.col(url_col))).alias("domain"),
+        "doc_id",
+        F.col(quality_col).alias("_q"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 12),
+                16,
+                10,
+            ).cast("bigint")
+            % buckets
+        ).cast("int").alias("_b"),
+    )
+    w1 = Window.partitionBy("domain", "_b").orderBy(
+        F.desc("_q"), F.asc("doc_id")
+    )
+    pruned = staged.withColumn("_lr", F.row_number().over(w1)).where(
+        F.col("_lr") <= cap
+    )
+    w2 = Window.partitionBy("domain").orderBy(F.desc("_q"), F.asc("doc_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= cap)
+        .select("domain", "doc_id", F.col("rank").cast("int").alias("rank"))
+    )
