@@ -26,6 +26,16 @@ Three tiers, per the training-data-pipeline scope:
 * **embedding_neardup_exact** — all-pairs cosine ≥ threshold via block-nested
   matmul (relational blocking on vec_id ranges); exact, oracle-checkable.
 
+Why no HNSW tier (deliberate): graph-based ANN builds and serves a
+mutable pointer structure with data-dependent traversal — a shape that
+fights Spark's BSP execution (per-query graph walks need either a
+broadcast of the whole graph, which reintroduces the O(index) ceiling
+IVF-PQ removes, or fine-grained remote lookups Spark does not offer).
+The IVF/PQ family reaches the same recall/latency regime with
+partition-parallel scans, which is the execution model this engine is
+built on; an HNSW serving layer belongs in the online system that
+CONSUMES these tables, not in the batch engine that builds them.
+
 Determinism note for oracle parity: all dot products are computed in
 float64 after an exact float32→float64 cast, similarity is rounded to 4
 decimals, and rankings tie-break on neighbor id — so numpy-vs-DuckDB
