@@ -1821,6 +1821,106 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive XY-cut reading order (layout.py `xy_cut_order`) over a
+    header + two-column block layout synthesized per document from
+    md5(doc_id) — the geometry family where column-major order has a
+    closed form, so the recursive kernel is EXACTLY oracle-checkable:
+    the DuckDB twin derives the same (n, header) parameters from the
+    same md5 bytes and asserts rank = header-first, then the left
+    column top-down, then the right.  Column y-intervals interleave
+    (right offset +15 of the 30 stride) so the body never has a
+    full-width valley and the first cut is the column gutter.
+
+    General layouts (nested cuts, leaf fallback, permutation property)
+    are pytest-gated in tests/test_layout.py."""
+    from ocr_spark.operators.layout import xy_cut_order
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    key = F.md5(F.col("doc_id").cast("string"))
+    h1 = F.ascii(F.substring(key, 1, 1))
+    h2 = F.ascii(F.substring(key, 2, 1))
+    n = (h1 % 3 + 2).cast("int")
+    blk_t = "array<struct<block_id:int, box:array<double>>>"
+
+    def _blk(bid, left, top, right, bottom):
+        return F.struct(
+            bid.cast("int").alias("block_id"),
+            F.array(
+                left.cast("double"),
+                top.cast("double"),
+                right.cast("double"),
+                bottom.cast("double"),
+            ).alias("box"),
+        )
+
+    header = F.when(
+        h2 % 2 == 0,
+        F.array(_blk(F.lit(0), F.lit(0), F.lit(0), F.lit(100), F.lit(15))),
+    ).otherwise(F.array().cast(blk_t))
+    seq = F.sequence(F.lit(0), n - 1)
+    left_col = F.transform(
+        seq,
+        lambda i: _blk(i + 100, F.lit(0), i * 30 + 20, F.lit(45), i * 30 + 40),
+    )
+    right_col = F.transform(
+        seq,
+        lambda i: _blk(i + 200, F.lit(55), i * 30 + 35, F.lit(100), i * 30 + 55),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.lit(0).alias("page_no"),
+        F.concat(header, left_col, right_col).alias("blocks"),
+    )
+    return xy_cut_order(pages).select("doc_id", "block_id", "ord_rank")
+
+
+def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container walk (sources/warc.py): documents are serialized
+    into deterministic multi-record WARC files (one response record per
+    doc, ~doc_id%50 docs per file, ASCII payload ``doc-<id>:<md5(text)>``
+    so char offsets == byte offsets in both engines), then the
+    Content-Length record walk re-extracts them.  The DuckDB twin states
+    the closed-form expected parse — the kernel must invert the
+    serialization exactly, including the Content-Length arithmetic and
+    per-file record indexing.  Magic-in-payload robustness and malformed
+    tails are pytest-gated (tests/test_warc.py)."""
+    from ocr_spark.sources.warc import warc_records
+
+    docs = _docs(spark, sf_dir)
+    payload = F.concat(
+        F.lit("doc-"), F.col("doc_id").cast("string"), F.lit(":"), F.md5("text")
+    )
+    rec = F.concat(
+        F.lit(
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: https://example.org/doc/"
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.length(payload).cast("string"),
+        F.lit("\r\n\r\n"),
+        payload,
+        F.lit("\r\n\r\n"),
+    )
+    files = (
+        docs.select(
+            (F.col("doc_id") % 50).alias("file_id"),
+            F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["rec"]
+                ),
+                "",
+            ).alias("content")
+        )
+    )
+    return warc_records(files)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -4617,6 +4717,55 @@ where cum_tokens - n_tokens < case {budget} end
 _sampling_sqls()
 
 
+# reading_order twin (q_reading_order): the same md5(doc_id)-derived
+# (n, header) layout parameters, with the XY-cut result asserted against
+# its closed form on this geometry family — header rank 0, left column
+# top-down, then right column.
+_ORACLES["reading_order"] = """
+with d as (
+  select doc_id,
+         2 + ascii(substr(md5(cast(doc_id as varchar)), 1, 1)) % 3 as n,
+         case when ascii(substr(md5(cast(doc_id as varchar)), 2, 1)) % 2 = 0
+              then 1 else 0 end as hdr
+  from documents
+),
+blocks as (
+  select doc_id, 0 as block_id, 0 as ord_rank from d where hdr = 1
+  union all
+  select d.doc_id, 100 + t.i, d.hdr + t.i
+  from d cross join range(0, 4) t(i) where t.i < d.n
+  union all
+  select d.doc_id, 200 + t.i, d.hdr + d.n + t.i
+  from d cross join range(0, 4) t(i) where t.i < d.n
+)
+select doc_id, cast(block_id as int) as block_id,
+       cast(ord_rank as int) as ord_rank
+from blocks
+"""
+
+
+# warc_records twin (q_warc_records): the serialization is deterministic,
+# so the expected parse has a closed form — one response record per doc,
+# rec_idx = doc_id rank within its file, payload 'doc-<id>:<md5(text)>'.
+_ORACLES["warc_records"] = """
+with d as (
+  select doc_id, doc_id % 50 as file_id,
+         'doc-' || doc_id || ':' || md5(text) as payload
+  from documents
+)
+select file_id,
+       cast(row_number() over (partition by file_id order by doc_id) - 1
+            as int) as rec_idx,
+       'response' as warc_type,
+       'https://example.org/doc/' || doc_id as target_uri,
+       'text/plain' as content_type,
+       cast(length(payload) as bigint) as content_length,
+       payload,
+       true as parse_ok
+from d
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -4987,6 +5136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_filter": q_domain_filter,
         "inverted_index": q_inverted_index,
         "word_pages_raw": q_word_pages_raw,
+        "reading_order": q_reading_order,
+        "warc_records": q_warc_records,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,  # approximate — no oracle

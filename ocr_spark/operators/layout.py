@@ -1,5 +1,6 @@
-"""Layout operators: line grouping from raw word boxes (W3) and the auto
-segment reading-order sort (O3).
+"""Layout operators: line grouping from raw word boxes (W3), the auto
+segment reading-order sort (O3), and recursive XY-cut reading-order
+reconstruction (the multi-column upgrade of O3).
 
 * ``group_lines`` — the EasyOCR line-bucketing semantics
   (server/src/engines/easy_ocr.py:15-51) exactly: scan words in input
@@ -12,6 +13,12 @@ segment reading-order sort (O3).
 * ``order_segments`` — the auto-segment sort by ``(top, left)`` of the
   first square (server/celery_app.py:156-161, image.py:298-302) as a pure
   array_sort expression.
+* ``xy_cut_order`` — recursive XY-cut (Nagy & Seth 1984) over block
+  bounding boxes: the reading order a flat ``(top, left)`` sort gets
+  WRONG on multi-column pages (it interleaves the columns row by row).
+  The reference's auto order (celery_app.py:156-161) is the flat sort —
+  this operator is the beyond-reference layout-analysis upgrade for the
+  north rule's "reading-order reconstruction via column/block sorting".
 
 The bucket scan is inherently sequential per page (bucket set mutates in
 input order), so it runs inside the per-page loop of an Arrow batch — one
@@ -130,6 +137,102 @@ def page_order_key(source_type: Column, page_name: Column) -> Column:
     )
     casefold = F.concat_ws("", F.lower(page_name), page_name)
     return F.when(source_type == "zip", casefold).otherwise(numeric)
+
+
+def xy_cut_page(
+    boxes: list[list[float]], min_gap: float = 1.0
+) -> list[int]:
+    """Pure-Python per-page XY-cut kernel: reading-order permutation of
+    block indices.
+
+    Recursive valley cutting, y-preferred: at every level project the
+    blocks onto the y axis and split at every whitespace gap ``>=
+    min_gap`` (bands ordered top to bottom); if the y projection has no
+    gap, cut on x (columns ordered left to right); if neither axis has a
+    gap the region is a leaf, sorted ``(top, left, idx)``.  Re-trying y
+    first inside every region is equivalent to the classical axis
+    alternation (a band is a merged y-run, so y immediately falls
+    through to x) but also handles regions where the SAME axis cuts
+    twice at different scales.
+
+    Known XY-cut failure mode (documented, not defended): a multi-column
+    page whose column-internal gaps align into full-width valleys cuts
+    into horizontal slabs first — the classical algorithm's behavior.
+
+    Runs per page; a page has tens-to-hundreds of blocks, so the
+    recursion is driver-irrelevant and executor-cheap.  Boxes are
+    ``[left, top, right, bottom]``.
+    """
+
+    def runs(idxs: list[int], lo_i: int, hi_i: int) -> list[list[int]]:
+        ivs = sorted(
+            (boxes[i][lo_i], boxes[i][hi_i], i) for i in idxs
+        )
+        groups = [[ivs[0][2]]]
+        cur_hi = ivs[0][1]
+        for lo, hi, i in ivs[1:]:
+            if lo - cur_hi >= min_gap:
+                groups.append([i])
+            else:
+                groups[-1].append(i)
+            cur_hi = max(cur_hi, hi)
+        return groups
+
+    def rec(idxs: list[int]) -> list[int]:
+        if len(idxs) <= 1:
+            return list(idxs)
+        for lo_i, hi_i in ((1, 3), (0, 2)):  # y valleys first, then x
+            groups = runs(idxs, lo_i, hi_i)
+            if len(groups) > 1:
+                out: list[int] = []
+                for grp in groups:
+                    out.extend(rec(grp))
+                return out
+        return sorted(idxs, key=lambda i: (boxes[i][1], boxes[i][0], i))
+
+    return rec(list(range(len(boxes))))
+
+
+def xy_cut_order(df: DataFrame, min_gap: float = 1.0) -> DataFrame:
+    """(doc_id, page_no, blocks: array<struct<block_id:int,
+    box:array<double>>>) → one row per block with its XY-cut reading
+    rank (0-based, per page).  doc_id keeps the input's type.
+
+    Scale shape: pages are independent — one narrow mapInArrow stage,
+    no shuffle, no per-page Python beyond the bounded block recursion
+    (the group_lines precedent).  Mega-pages cost only their own task.
+    """
+    doc_id_ddl = dict(df.dtypes)["doc_id"]
+
+    def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            schema = pa.schema(
+                [
+                    ("doc_id", batch.schema.field("doc_id").type),
+                    ("page_no", pa.int32()),
+                    ("block_id", pa.int32()),
+                    ("ord_rank", pa.int32()),
+                ]
+            )
+            out: list[dict] = []
+            for r in batch.to_pylist():
+                blocks = r["blocks"] or []
+                order = xy_cut_page([b["box"] for b in blocks], min_gap)
+                out.extend(
+                    {
+                        "doc_id": r["doc_id"],
+                        "page_no": r["page_no"],
+                        "block_id": blocks[i]["block_id"],
+                        "ord_rank": rank,
+                    }
+                    for rank, i in enumerate(order)
+                )
+            tbl = pa.Table.from_pylist(out, schema=schema)
+            yield from tbl.to_batches()
+
+    return df.select("doc_id", "page_no", "blocks").mapInArrow(
+        fn, f"doc_id {doc_id_ddl}, page_no int, block_id int, ord_rank int"
+    )
 
 
 def order_pages(df: DataFrame) -> DataFrame:

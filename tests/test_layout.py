@@ -103,3 +103,106 @@ def test_page_order_o1_vs_o2(spark):
     assert [got[("pdfdoc", n)] for n in ["Page_1.png", "page_2.png", "page_10.png"]] == [0, 1, 2]
     # zip: casefold-alphabetical — page_1... then page_10 < page_2
     assert [got[("zipdoc", n)] for n in ["Page_1.png", "page_10.png", "page_2.png"]] == [0, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# recursive XY-cut reading order
+# ---------------------------------------------------------------------------
+
+def _box(l, t, r, b):
+    return [float(l), float(t), float(r), float(b)]
+
+
+def test_xy_cut_two_columns_beats_flat_sort():
+    """The motivating case: a 2-column page.  Flat (top,left) interleaves
+    the columns row by row; XY-cut reads left column then right column."""
+    from ocr_spark.operators.layout import xy_cut_page
+
+    # columns overlap on y (right offset +15 of the 30-stride) so the body
+    # has no full-width valley; the gutter x in [45, 55] is the first cut
+    left = [_box(0, 20 + 30 * i, 45, 40 + 30 * i) for i in range(3)]
+    right = [_box(55, 35 + 30 * i, 100, 55 + 30 * i) for i in range(3)]
+    boxes = right + left  # input deliberately right-first
+    assert xy_cut_page(boxes) == [3, 4, 5, 0, 1, 2]
+    flat = sorted(range(6), key=lambda i: (boxes[i][1], boxes[i][0]))
+    assert flat != [3, 4, 5, 0, 1, 2]  # the flat sort interleaves
+
+
+def test_xy_cut_header_then_columns():
+    from ocr_spark.operators.layout import xy_cut_page
+
+    boxes = (
+        [_box(0, 0, 100, 15)]  # full-width header: y-cut first
+        + [_box(0, 20 + 30 * i, 45, 40 + 30 * i) for i in range(2)]
+        + [_box(55, 35 + 30 * i, 100, 55 + 30 * i) for i in range(2)]
+    )
+    assert xy_cut_page(boxes) == [0, 1, 2, 3, 4]
+
+
+def test_xy_cut_single_column_equals_top_left_sort():
+    from ocr_spark.operators.layout import xy_cut_page
+
+    boxes = [_box(0, 30 * i, 100, 20 + 30 * i) for i in (3, 0, 2, 1)]
+    flat = sorted(range(4), key=lambda i: (boxes[i][1], boxes[i][0]))
+    assert xy_cut_page(boxes) == flat
+
+
+def test_xy_cut_no_valley_leaf_sorts_top_left():
+    from ocr_spark.operators.layout import xy_cut_page
+
+    # all boxes mutually overlapping on both axes — no cut anywhere
+    boxes = [_box(0, 5, 50, 50), _box(10, 0, 60, 45), _box(5, 2, 55, 48)]
+    assert xy_cut_page(boxes) == [1, 2, 0]  # (top, left, idx)
+
+
+def test_xy_cut_nested_three_levels():
+    """y-cut → x-cut → y-cut: title, then two columns each with two
+    paragraphs separated by a column-internal valley."""
+    from ocr_spark.operators.layout import xy_cut_page
+
+    boxes = [
+        _box(0, 0, 100, 10),     # 0 title
+        _box(0, 20, 45, 35),     # 1 left para 1
+        _box(0, 45, 45, 95),     # 2 left para 2 (tall: overlaps right paras)
+        _box(55, 25, 100, 60),   # 3 right para 1
+        _box(55, 70, 100, 95),   # 4 right para 2
+    ]
+    assert xy_cut_page(boxes) == [0, 1, 2, 3, 4]
+
+
+def test_xy_cut_permutation_property():
+    import random
+
+    from ocr_spark.operators.layout import xy_cut_page
+
+    rng = random.Random(11)
+    for _ in range(25):
+        n = rng.randint(0, 40)
+        boxes = []
+        for _ in range(n):
+            left = rng.uniform(0, 900)
+            top = rng.uniform(0, 900)
+            boxes.append(
+                _box(left, top, left + rng.uniform(5, 100), top + rng.uniform(5, 40))
+            )
+        order = xy_cut_page(boxes)
+        assert sorted(order) == list(range(n))
+
+
+def test_xy_cut_order_operator(spark):
+    from ocr_spark.operators.layout import xy_cut_order
+
+    blocks = [
+        {"block_id": 7, "box": _box(55, 35, 100, 55)},   # right col
+        {"block_id": 3, "box": _box(0, 20, 45, 40)},     # left col
+        {"block_id": 9, "box": _box(0, 50, 45, 70)},     # left col, lower
+    ]
+    df = spark.createDataFrame(
+        [("d", 0, blocks)],
+        "doc_id string, page_no int, "
+        "blocks array<struct<block_id int, box array<double>>>",
+    )
+    got = {
+        r["block_id"]: r["ord_rank"] for r in xy_cut_order(df).collect()
+    }
+    assert got == {3: 0, 9: 1, 7: 2}
