@@ -1921,6 +1921,32 @@ def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc_records(files)
 
 
+#: the exact-phrase driver query's phrase — present in the synthetic corpus
+#: at every SF; shared verbatim with the oracle twin.
+_PHRASE = ("big", "order", "scan")
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval (operators/search.py `phrase_search`): the
+    ES match_phrase analog via the slot-cover formulation (every
+    occurrence of phrase[i] votes for start pos−i; a start covered by all
+    slots is a match).  Overlap/repeated-term semantics are pytest-gated
+    (tests/test_search.py brute-force model)."""
+    from ocr_spark.operators.search import phrase_search
+
+    return phrase_search(_docs(spark, sf_dir), _PHRASE)
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (dedup.py `cdc_chunk_stats`):
+    boundary = md5-prefix of the token ≡ 0 (mod 8), so chunk identity is
+    shift-robust — the fixed-window family's phase fragility is
+    pytest-contrasted in tests/test_dedup_ops.py."""
+    from ocr_spark.operators.dedup import cdc_chunk_stats
+
+    return cdc_chunk_stats(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -4744,6 +4770,50 @@ from blocks
 """
 
 
+# phrase_search twin: the same slot-cover formulation over the same
+# normalized tokens and the same frozen phrase.
+_ORACLES["phrase_search"] = f"""
+with t as (select doc_id, {_NT} as toks from documents),
+e as (select doc_id, toks, unnest(range(1, len(toks) + 1)) as i from t),
+tk as (select doc_id, cast(i - 1 as int) as pos, toks[i] as term from e
+       where toks[i] in ({", ".join(f"'{w}'" for w in sorted(set(_PHRASE)))})),
+sl as (select * from (values {", ".join(f"({i}, '{w}')" for i, w in enumerate(_PHRASE))}) s(slot, term)),
+occ as (select tk.doc_id, tk.pos - sl.slot as start, sl.slot
+        from tk join sl on tk.term = sl.term
+        where tk.pos - sl.slot >= 0),
+st as (select doc_id, start from occ
+       group by doc_id, start having count(distinct slot) = {len(_PHRASE)})
+select doc_id, cast(count(*) as bigint) as n_matches,
+       cast(min(start) as int) as first_pos
+from st group by doc_id
+"""
+
+
+# cdc_chunks twin: identical md5-prefix boundary rule, running boundary
+# count strictly-before the current token, ordered string_agg assembly.
+_ORACLES["cdc_chunks"] = f"""
+with t as (select doc_id, {_NT} as toks from documents),
+e as (select doc_id, toks, unnest(range(1, len(toks) + 1)) as i from t),
+tk as (select doc_id, cast(i - 1 as bigint) as pos, toks[i] as tok from e),
+f as (select doc_id, pos, tok,
+             case when cast('0x' || substr(md5(tok), 1, 4) as bigint) % 8 = 0
+                  then 1 else 0 end as flag
+      from tk),
+c as (select doc_id, pos, tok,
+             cast(coalesce(sum(flag) over (partition by doc_id order by pos
+                  rows between unbounded preceding and 1 preceding), 0)
+                  as bigint) as cid
+      from f),
+ch as (select doc_id, cid, string_agg(tok, ' ' order by pos) as chunk_text,
+              cast(count(*) as bigint) as n_toks
+       from c group by doc_id, cid)
+select md5(chunk_text) as fp, cast(count(*) as bigint) as n_copies,
+       cast(count(distinct doc_id) as bigint) as n_docs,
+       cast(min(n_toks) as bigint) as n_toks
+from ch group by md5(chunk_text)
+"""
+
+
 # warc_records twin (q_warc_records): the serialization is deterministic,
 # so the expected parse has a closed form — one response record per doc,
 # rec_idx = doc_id rank within its file, payload 'doc-<id>:<md5(text)>'.
@@ -5138,6 +5208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_pages_raw": q_word_pages_raw,
         "reading_order": q_reading_order,
         "warc_records": q_warc_records,
+        "phrase_search": q_phrase_search,
+        "cdc_chunks": q_cdc_chunks,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,  # approximate — no oracle

@@ -659,3 +659,70 @@ def hamming_neardup(
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def cdc_chunk_stats(docs: DataFrame, divisor: int = 8) -> DataFrame:
+    """Content-defined chunking dedup (the FastCDC/rsync boundary idea at
+    token granularity): chunk boundaries are a pure function of LOCAL
+    content — a token ends its chunk iff the bigint of its md5's first 4
+    hex chars is ≡ 0 (mod ``divisor``) — so inserting or deleting one
+    token re-chunks only its own chunk, and every chunk downstream of the
+    edit keeps its fingerprint.  Fixed-window chunking
+    (``repeated_chunk_filter``) loses ALL fingerprints after an edit to
+    the window phase; CDC is how near-identical revisions of a page keep
+    deduplicating at 10^12 scale.  Expected chunk length = ``divisor``
+    tokens.
+
+    Output: one row per distinct chunk fingerprint — ``fp, n_copies,
+    n_docs, n_toks`` (corpus-wide copy counts; ``n_docs`` distinct).
+
+    Scale shape: one shuffle on ``doc_id`` for the running-boundary-count
+    window; the (doc_id, cid) chunk agg and the doc-local ordering both
+    reuse that partitioning (the lang_segments precedent — doc_id hash
+    clustering satisfies the (doc_id, cid) grouping), then one uniform
+    map-side-combinable agg on the 32-byte fingerprint space.  Mega-docs
+    spread across their own chunk ids; hot boilerplate chunks cost one
+    combiner cell per task.
+    """
+    from pyspark.sql.window import Window
+
+    tok = docs.select(
+        "doc_id", F.posexplode(norm_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    flagged = tok.withColumn(
+        "flag",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("tok").cast("binary")), 1, 4), 16, 10
+            ).cast("bigint")
+            % divisor
+            == 0
+        ).cast("int"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunks = (
+        flagged.withColumn("cid", F.coalesce(F.sum("flag").over(w), F.lit(0)))
+        .groupBy("doc_id", "cid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+        )
+    )
+    return (
+        chunks.groupBy(F.md5(F.col("chunk_text").cast("binary")).alias("fp"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("n_toks").cast("bigint").alias("n_toks"),
+        )
+    )

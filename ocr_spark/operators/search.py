@@ -135,3 +135,55 @@ def bm25_rank(
         .orderBy(F.desc("score_micro"), F.asc("doc_id"))
         .limit(top_n)
     )
+
+
+def phrase_search(docs: DataFrame, phrase: tuple[str, ...]) -> DataFrame:
+    """Exact-phrase retrieval over positional postings — the ES
+    ``match_phrase`` analog (the reference's search UI quotes phrases;
+    elastic_search.py delegates them to ES positional queries).
+
+    Semantics: the normalized token sequence of the document must contain
+    ``phrase`` contiguously (after the same analyzer as the word index).
+    Output: ``doc_id, n_matches, first_pos`` for documents with ≥ 1 match.
+
+    Slot-cover formulation, no self-join chain: every occurrence of
+    ``phrase[i]`` at position ``pos`` votes for candidate start
+    ``pos − i``; a start owning votes from ALL ``len(phrase)`` distinct
+    slots is a match.  Repeated phrase terms are handled naturally — one
+    token occurrence votes once per slot that wants its term, each at a
+    different start.
+
+    Scale shape: the ``isin(phrase)`` filter sits directly on the
+    exploded tokens, so non-phrase tokens die in the scan stage before
+    any shuffle; the phrase slot table is |phrase| rows and broadcast;
+    the only wide op is one (doc_id, start) hash agg whose input is
+    already phrase-occurrences-sized.  No window, no self-join.
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    n = len(phrase)
+    spark = docs.sparkSession
+    slots = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(phrase)], "slot int, term string"
+    )
+    occ = (
+        docs.select(
+            "doc_id", F.posexplode(norm_tokens(F.col("text"))).alias("pos", "term")
+        )
+        .where(F.col("term").isin(*set(phrase)))
+        .join(F.broadcast(slots), "term")
+        .select("doc_id", (F.col("pos") - F.col("slot")).alias("start"), "slot")
+    )
+    # (doc_id, start, slot) rows are unique by construction — pos is
+    # determined by start + slot — so the slot-cover count is a plain
+    # count, never a count(distinct): no distinct-rewrite double shuffle.
+    starts = (
+        occ.where(F.col("start") >= 0)
+        .groupBy("doc_id", "start")
+        .agg(F.count(F.lit(1)).alias("n_slots"))
+        .where(F.col("n_slots") == n)
+    )
+    return starts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.min("start").cast("int").alias("first_pos"),
+    )

@@ -190,3 +190,87 @@ def test_substring_scrub_removes_long_shared_run_entirely(spark):
     assert out[0]["clean_text"] == a_ctx
     assert out[1]["clean_text"] == b_ctx
     assert out[0]["n_dup_tokens"] == 30 and out[1]["n_dup_tokens"] == 30
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+
+def _cdc_model(texts, divisor=8):
+    """Brute-force CDC model: same md5-prefix boundary rule, python-side."""
+    import hashlib
+    import re
+
+    from ocr_spark.functions.text import PUNCT_CHARS
+
+    table = str.maketrans("", "", PUNCT_CHARS)
+    stats = {}
+    for doc_id, text in texts:
+        raw = re.split(r"\s+", text.strip()) if text.strip() else []
+        toks = [w for w in (t.translate(table).lower() for t in raw) if w]
+        chunk, chunks = [], []
+        for t in toks:
+            chunk.append(t)
+            h = int(hashlib.md5(t.encode()).hexdigest()[:4], 16)
+            if h % divisor == 0:  # boundary token ENDS its chunk
+                chunks.append(chunk)
+                chunk = []
+        if chunk:
+            chunks.append(chunk)
+        for c in chunks:
+            fp = hashlib.md5(" ".join(c).encode()).hexdigest()
+            n_copies, docs, n_toks = stats.get(fp, (0, set(), len(c)))
+            docs.add(doc_id)
+            stats[fp] = (n_copies + 1, docs, len(c))
+    return {
+        fp: (n, len(d), k) for fp, (n, d, k) in stats.items()
+    }
+
+
+def test_cdc_chunks_match_brute_force(spark):
+    import random
+
+    from ocr_spark.operators.dedup import cdc_chunk_stats
+
+    rng = random.Random(5)
+    vocab = [f"tok{i}" for i in range(60)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 80))))
+        for i in range(20)
+    ] + [(99, "")]
+    exp = _cdc_model(rows)
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["fp"]: (r["n_copies"], r["n_docs"], r["n_toks"])
+        for r in cdc_chunk_stats(df).collect()
+    }
+    assert got == exp
+
+
+def test_cdc_shift_robustness_vs_fixed_windows(spark):
+    """THE point of CDC: prepending one token re-fingerprints only the
+    first chunk; every later chunk survives.  Fixed-phase windows lose
+    essentially all of them."""
+    from ocr_spark.operators.dedup import cdc_chunk_stats
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, base), (2, "inserted " + base)], "doc_id bigint, text string"
+    )
+    rows = cdc_chunk_stats(df).collect()
+    shared = [r for r in rows if r["n_docs"] == 2]
+    unique = [r for r in rows if r["n_docs"] == 1]
+    # all chunks shared except (at most) the leading chunk of each doc
+    assert len(unique) <= 2
+    assert len(shared) >= 10  # divisor 8 over 200 distinct tokens
+
+
+def test_cdc_identical_docs_share_everything(spark):
+    from ocr_spark.operators.dedup import cdc_chunk_stats
+
+    text = " ".join(f"w{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id bigint, text string"
+    )
+    rows = cdc_chunk_stats(df).collect()
+    assert rows and all(r["n_docs"] == 2 and r["n_copies"] == 2 for r in rows)

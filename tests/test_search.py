@@ -84,3 +84,86 @@ def test_bm25_ranking_properties(spark):
     assert all_rows[3] > all_rows[2]
     # normalization: doc 8 hits both 'fast' and 'merge'
     assert 8 in all_rows
+
+
+# ---------------------------------------------------------------------------
+# exact-phrase retrieval
+# ---------------------------------------------------------------------------
+
+def _phrase_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_phrase_search_basic(spark):
+    from ocr_spark.operators.search import phrase_search
+
+    df = _phrase_docs(
+        spark,
+        [
+            (1, "the Table scan, runs a table scan today"),
+            (2, "table without the second word"),
+            (3, "scan table reversed order"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in phrase_search(df, ("table", "scan")).collect()}
+    # analyzer-normalized: 'Table scan,' matches too
+    assert got[1]["n_matches"] == 2 and got[1]["first_pos"] == 1
+    assert 2 not in got and 3 not in got
+
+
+def test_phrase_search_overlapping_and_repeated_terms(spark):
+    from ocr_spark.operators.search import phrase_search
+
+    df = _phrase_docs(spark, [(1, "a a a a"), (2, "b a b a b")])
+    got = {r["doc_id"]: r for r in phrase_search(df, ("a", "a")).collect()}
+    assert got[1]["n_matches"] == 3 and got[1]["first_pos"] == 0
+    assert 2 not in got
+    got2 = {r["doc_id"]: r for r in phrase_search(df, ("b", "a", "b")).collect()}
+    assert got2[2]["n_matches"] == 2 and got2[2]["first_pos"] == 0
+
+
+def test_phrase_search_longer_than_doc_and_empty_phrase(spark):
+    import pytest
+
+    from ocr_spark.operators.search import phrase_search
+
+    df = _phrase_docs(spark, [(1, "x y")])
+    assert phrase_search(df, ("x", "y", "z")).count() == 0
+    with pytest.raises(ValueError):
+        phrase_search(df, ())
+
+
+def test_phrase_search_brute_force_model(spark):
+    import random
+    import re
+
+    from ocr_spark.functions.text import PUNCT_CHARS
+    from ocr_spark.operators.search import phrase_search
+
+    def py_norm_tokens(text):
+        raw = re.split(r"\s+", text.strip()) if text.strip() else []
+        table = str.maketrans("", "", PUNCT_CHARS)
+        return [w for w in (t.translate(table).lower() for t in raw) if w]
+
+    rng = random.Random(3)
+    vocab = ["aa", "bb", "cc", "dd"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(40)
+    ]
+    phrase = ("aa", "bb", "aa")
+    exp = {}
+    for i, text in rows:
+        toks = py_norm_tokens(text)
+        starts = [
+            s
+            for s in range(len(toks) - len(phrase) + 1)
+            if tuple(toks[s : s + len(phrase)]) == phrase
+        ]
+        if starts:
+            exp[i] = (len(starts), starts[0])
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(_phrase_docs(spark, rows), phrase).collect()
+    }
+    assert got == exp
