@@ -1921,6 +1921,65 @@ def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc_records(files)
 
 
+def q_warc_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl front end, end-to-end: synthesized HTML pages
+    are wrapped in HTTP responses, serialized into multi-record WARC
+    files, then the chain warc_records → response filter → HTTP header
+    strip → html_spans recovers the main-content spans.  The oracle is
+    the PLAIN html_extract twin — the WARC+HTTP round-trip must be
+    exactly invisible, which gates the record walk, the Content-Length
+    arithmetic and the header-strip seam in one comparison.
+
+    Content-Length here is in characters (the synthesized fixture's
+    string leg); real byte archives enter as binary and walk latin-1
+    chars == bytes (sources/warc.py)."""
+    from ocr_spark.operators.html import html_spans
+    from ocr_spark.sources.warc import warc_records
+
+    docs = _docs(spark, sf_dir).withColumn("html", F.expr(_HTML_SYNTH))
+    payload = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"),
+        F.col("html"),
+    )
+    rec = F.concat(
+        F.lit(
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: https://example.org/doc/"
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "\r\nContent-Type: application/http;msgtype=response"
+            "\r\nContent-Length: "
+        ),
+        F.length(payload).cast("string"),
+        F.lit("\r\n\r\n"),
+        payload,
+        F.lit("\r\n\r\n"),
+    )
+    files = (
+        docs.select(
+            (F.col("doc_id") % 50).alias("file_id"),
+            F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["rec"]
+                ),
+                "",
+            ).alias("content")
+        )
+    )
+    recs = warc_records(files).where(F.col("warc_type") == "response")
+    hdr_end = F.locate("\r\n\r\n", F.col("payload"))
+    pages = recs.select(
+        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("bigint").alias("doc_id"),
+        F.col("payload").substr(hdr_end + 4, F.length("payload")).alias("html"),
+    )
+    return html_spans(pages)
+
+
 #: the exact-phrase driver query's phrase — present in the synthetic corpus
 #: at every SF; shared verbatim with the oracle twin.
 _PHRASE = ("big", "order", "scan")
@@ -2940,6 +2999,9 @@ from w group by doc_id, word
     "dedup_incremental": _incremental_minhash_sql(),
     "substring_scrub": _substring_scrub_sql(8, 2),
     "html_extract": _html_spans_sql(),
+    # warc_html: the WARC+HTTP round-trip must be invisible — its oracle
+    # IS the plain html_extract twin.
+    "warc_html": _html_spans_sql(),
     # rag_chunks twin: same chunk grid (starts 0, 12, 24, … while < n)
     # and the pack_sequences slice idiom (DuckDB list slice is 1-based
     # inclusive and clamps via least())
@@ -5208,6 +5270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_pages_raw": q_word_pages_raw,
         "reading_order": q_reading_order,
         "warc_records": q_warc_records,
+        "warc_html": q_warc_html,
         "phrase_search": q_phrase_search,
         "cdc_chunks": q_cdc_chunks,
         "ann_topk": q_ann_topk,

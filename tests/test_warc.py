@@ -99,3 +99,21 @@ def test_warc_records_operator_binary_input(spark):
     )
     got = warc_records(df).collect()
     assert len(got) == 1 and got[0]["payload"] == "bytes-payload"
+
+
+def test_warc_html_round_trip_invisible(spark):
+    """The composed chain (serialize → WARC walk → HTTP strip →
+    html_spans) must equal html_spans run directly on the same pages."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_warc_test", "/root/repo/__spark_entry__.py"
+    )
+    e = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(e)
+    sf = "/root/testdata/sf0.001"
+    via_warc = sorted(
+        map(tuple, e.q_warc_html(spark, sf).collect())
+    )
+    direct = sorted(map(tuple, e.q_html_extract(spark, sf).collect()))
+    assert via_warc == direct and len(direct) > 0
