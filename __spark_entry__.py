@@ -1524,6 +1524,37 @@ def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_blocklist_filter(_docs_with_url(spark, sf_dir))
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-scoped repeated-line boilerplate removal (dedup.py
+    line_boilerplate_filter — the RefinedWeb line-wise dedup pass).  The
+    fixture plants the chrome the pass exists to catch: a per-domain
+    copyright header and nav footer on every page (dropped wherever the
+    domain has >= 3 docs) plus a doc-unique 'rare-<id>' line (always
+    kept), wrapped around the real document text."""
+    from ocr_spark.functions.url import registered_domain, url_host
+    from ocr_spark.operators.dedup import line_boilerplate_filter
+
+    docs = _docs_with_url(spark, sf_dir).withColumn(
+        "domain", registered_domain(url_host(F.col("url")))
+    )
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("(c) "),
+            F.col("domain"),
+            F.lit(" rights\n"),
+            F.col("text"),
+            F.lit("\nhome | about | "),
+            F.col("domain"),
+            F.when(
+                F.col("doc_id") % 97 == 0,
+                F.concat(F.lit("\nrare-"), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return line_boilerplate_filter(planted, scope_col="domain", min_docs=3)
+
+
 def _snapshots(spark: SparkSession, sf_dir: str):
     """Deterministic two-snapshot split of the documents table for the
     drift family: A = even doc_ids, B = odd (same predicate in the
@@ -4409,6 +4440,44 @@ r0 as materialized (select node,
 select node as domain, rank from r10
 """
 
+    # line_dedup twin: domain-scoped repeated-line boilerplate removal
+    # (dedup.py line_boilerplate_filter) over the planted chrome lines —
+    # same synthesis ((c)-header / footer / doc_id%97 rare line), same
+    # trim-keyed distinct-per-doc count, same >= 3 threshold.
+    _ORACLES["line_dedup"] = f"""
+with {dom_ctes},
+txt as (select dm.doc_id,
+               dm.domain,
+               '(c) ' || dm.domain || ' rights' || chr(10) || d.text
+               || chr(10) || 'home | about | ' || dm.domain
+               || case when dm.doc_id % 97 = 0
+                       then chr(10) || 'rare-' || cast(dm.doc_id as varchar)
+                       else '' end as text
+        from dom dm join documents d using (doc_id)),
+lns as (select doc_id, domain,
+               unnest(string_split(text, chr(10))) as line,
+               unnest(range(0, len(string_split(text, chr(10))))) as pos
+        from txt),
+perdoc as (select domain, doc_id,
+                  unnest(list_distinct(list_filter(
+                      list_transform(string_split(text, chr(10)),
+                                     x -> trim(x)),
+                      x -> x <> ''))) as line_key
+           from txt),
+boiler as (select domain, line_key from perdoc
+           group by domain, line_key having count(*) >= 3),
+flagged as (select l.doc_id, l.pos, l.line,
+                   b.line_key is not null as is_b
+            from lns l left join boiler b
+              on l.domain = b.domain and trim(l.line) = b.line_key)
+select doc_id,
+       coalesce(string_agg(case when not is_b then line end,
+                           chr(10) order by pos), '') as clean_text,
+       cast(count(*) as bigint) as n_lines,
+       cast(sum(case when is_b then 1 else 0 end) as bigint) as n_removed
+from flagged group by doc_id
+"""
+
 
 _url_sqls()
 
@@ -5266,6 +5335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "url_dedup": q_url_dedup,
         "domain_filter": q_domain_filter,
+        "line_dedup": q_line_dedup,
         "inverted_index": q_inverted_index,
         "word_pages_raw": q_word_pages_raw,
         "reading_order": q_reading_order,

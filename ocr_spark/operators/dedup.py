@@ -726,3 +726,84 @@ def cdc_chunk_stats(docs: DataFrame, divisor: int = 8) -> DataFrame:
             F.min("n_toks").cast("bigint").alias("n_toks"),
         )
     )
+
+
+def line_boilerplate_filter(
+    docs: DataFrame, scope_col: str = "domain", min_docs: int = 3
+) -> DataFrame:
+    """Scope-local repeated-LINE removal — the RefinedWeb/CCNet
+    "line-wise deduplication" pass (Penedo et al. 2023 §3.2; Wenzek et
+    al. 2020 §3 runs the same idea at paragraph level): navigation menus,
+    cookie banners, copyright footers and other template chrome repeat
+    byte-identically across the pages of one site while the article text
+    does not.  A line (split on ``\\n``, compared after ``trim``) that
+    appears in >= ``min_docs`` DISTINCT documents of the same ``scope_col``
+    group (registered domain in the driver query) is dropped from every
+    document in that scope; surviving lines are reassembled in order.
+
+    Corpus-WIDE window dedup is ``repeated_chunk_filter``; this pass is
+    scoped per domain on raw lines, which is what actually catches site
+    chrome without harming common short sentences across unrelated sites.
+
+    Output: one row per doc — ``doc_id, clean_text, n_lines, n_removed``
+    (all lines counted, whitespace-only lines never dropped).
+
+    Scale shape: the distinct-doc count never runs count_distinct — each
+    doc contributes each distinct line once by construction
+    (``array_distinct`` in array land BEFORE the explode), so a plain
+    map-side-combinable count is the distinct-doc count.  The flagged
+    boilerplate table is tiny (only lines crossing the threshold —
+    O(site templates), not O(corpus lines)), so the verdict join
+    AQE-broadcasts; raw lines shuffle once on uniform ``doc_id`` keys for
+    the in-order reassembly.  A mega-doc fans out across its line rows,
+    never into one giant reducer row.
+    """
+    raw = docs.select(
+        "doc_id",
+        F.col(scope_col).alias("scope"),
+        F.posexplode(F.split(F.col("text"), "\n", -1)).alias("pos", "line"),
+    )
+    per_doc = docs.select(
+        F.col(scope_col).alias("scope"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.transform(
+                        F.split(F.col("text"), "\n", -1), lambda s: F.trim(s)
+                    ),
+                    lambda s: s != "",
+                )
+            )
+        ).alias("line_key"),
+    )
+    boiler = (
+        per_doc.groupBy("scope", "line_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("scope", "line_key", F.lit(1).alias("is_boiler"))
+    )
+    flagged = (
+        raw.withColumn("line_key", F.trim(F.col("line")))
+        .join(boiler, ["scope", "line_key"], "left")
+        .withColumn("keep", F.col("is_boiler").isNull())
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )

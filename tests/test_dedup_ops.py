@@ -274,3 +274,93 @@ def test_cdc_identical_docs_share_everything(spark):
     )
     rows = cdc_chunk_stats(df).collect()
     assert rows and all(r["n_docs"] == 2 and r["n_copies"] == 2 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# line_boilerplate_filter — domain-scoped repeated-line removal
+# ---------------------------------------------------------------------------
+
+def _line_docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, domain string, text string"
+    )
+
+
+def test_line_dedup_drops_domain_chrome_keeps_content(spark):
+    from ocr_spark.operators.dedup import line_boilerplate_filter
+
+    rows = [
+        (1, "a.com", "FOOTER\nalpha body one\nFOOTER2"),
+        (2, "a.com", "FOOTER\nbeta body two\nFOOTER2"),
+        (3, "a.com", "FOOTER\ngamma body three\nFOOTER2"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in line_boilerplate_filter(
+            _line_docs(spark, rows), min_docs=3
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "alpha body one"
+    assert out[2]["n_removed"] == 2 and out[2]["n_lines"] == 3
+
+
+def test_line_dedup_scope_isolation_and_threshold(spark):
+    from ocr_spark.operators.dedup import line_boilerplate_filter
+
+    rows = [
+        # SHARED appears in 3 docs on a.com (dropped) but also on b.com
+        # (2 docs — below threshold, kept: scopes never pool counts)
+        (1, "a.com", "SHARED\none"),
+        (2, "a.com", "SHARED\ntwo"),
+        (3, "a.com", "SHARED\nthree"),
+        (4, "b.com", "SHARED\nfour"),
+        (5, "b.com", "SHARED\nfive"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in line_boilerplate_filter(
+            _line_docs(spark, rows), min_docs=3
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "one"
+    assert out[4]["clean_text"] == "SHARED\nfour"
+    assert out[4]["n_removed"] == 0
+
+
+def test_line_dedup_within_doc_repeat_counts_once(spark):
+    from ocr_spark.operators.dedup import line_boilerplate_filter
+
+    # the same line 3x inside ONE doc is 1 distinct doc, not 3 — kept
+    rows = [
+        (1, "a.com", "LOOP\nLOOP\nLOOP\nbody"),
+        (2, "a.com", "other"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in line_boilerplate_filter(
+            _line_docs(spark, rows), min_docs=3
+        ).collect()
+    }
+    assert out[1]["n_removed"] == 0
+    assert out[1]["clean_text"] == "LOOP\nLOOP\nLOOP\nbody"
+
+
+def test_line_dedup_trim_keyed_and_empties_kept(spark):
+    from ocr_spark.operators.dedup import line_boilerplate_filter
+
+    # '  NAV ' and 'NAV' share a trim key; empty/whitespace-only lines
+    # are never counted and never dropped (paragraph structure survives)
+    rows = [
+        (1, "a.com", "  NAV \n\nbody one"),
+        (2, "a.com", "NAV\n\nbody two"),
+        (3, "a.com", "NAV\n \nbody three"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in line_boilerplate_filter(
+            _line_docs(spark, rows), min_docs=3
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "\nbody one"
+    assert out[3]["clean_text"] == " \nbody three"
+    assert out[1]["n_removed"] == 1
