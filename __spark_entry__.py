@@ -1826,6 +1826,54 @@ def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges).select(F.col("node").alias("domain"), "rank")
 
 
+def q_domain_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level TrustRank (operators/graph.py trustrank): the
+    spam-demotion companion to domain_pagerank over the SAME synthesized
+    link graph, with the teleport restricted to a curated trust list —
+    here the ``.org`` / ``.gov.uk`` registered domains, the classic
+    "hand-vetted seed" stand-in.  Same exact-bigint fixed point; the
+    DuckDB twin unrolls the 10 seed-restricted iterations."""
+    from ocr_spark.functions.url import registered_domain, url_host
+    from ocr_spark.operators.graph import trustrank
+
+    t = _docs_with_url(spark, sf_dir).select(
+        "doc_id", registered_domain(url_host(F.col("url"))).alias("domain")
+    )
+    n_docs = t.count()
+    tgt = t.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    ((F.col("doc_id") * 31 + k * 101) % n_docs)
+                    for k in (1, 2, 3)
+                ]
+            )
+        ).alias("dst_doc"),
+    )
+    edges = (
+        tgt.join(t.select("doc_id", F.col("domain").alias("src")), "doc_id")
+        .join(
+            t.select(
+                F.col("doc_id").alias("dst_doc"),
+                F.col("domain").alias("dst"),
+            ),
+            "dst_doc",
+        )
+        .select("src", "dst")
+    )
+    seeds = (
+        t.select(F.col("domain").alias("node"))
+        .where(
+            F.col("node").endswith(".org") | F.col("node").endswith(".gov.uk")
+        )
+        .distinct()
+    )
+    return trustrank(edges, seeds).select(
+        F.col("node").alias("domain"), "rank"
+    )
+
+
 def q_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard manifest table (jobs/shards.py): pack → md5 shard
     assignment → per-shard counts + order-invariant fingerprint sums —
@@ -4440,6 +4488,55 @@ r0 as materialized (select node,
 select node as domain, rank from r10
 """
 
+    # domain_trustrank twin: same unrolled integer fixed point, but the
+    # initial mass, (1-d) teleport, and dangling re-entry land on the
+    # .org/.gov.uk seed domains only (graph.py trustrank); non-seeds
+    # accumulate trust exclusively via in-links.
+    tr_iters = ""
+    for i in range(1, 11):
+        p = f"t{i - 1}"
+        tr_iters += f""",
+td{i} as materialized (select cast(coalesce(sum(rank), 0) as bigint) as s
+         from {p} left join pro on {p}.node = pro.src
+         where pro.src is null),
+ti{i} as materialized (select e.dst as node,
+                cast(sum((r.rank * {damp}) // (100 * o.d)) as bigint) as s
+         from pr_edges e join {p} r on e.src = r.node
+         join pro o on o.src = e.src
+         group by e.dst),
+t{i} as materialized (select n.node,
+                cast(case when sd.node is not null
+                     then {scale * (100 - damp)} // (100 * (select c from trc))
+                          + ((select s from td{i}) * {damp})
+                            // (100 * (select c from trc))
+                     else 0 end
+                     + coalesce(ti{i}.s, 0) as bigint) as rank
+         from prn n left join ti{i} on n.node = ti{i}.node
+         left join trs sd on n.node = sd.node)"""
+    _ORACLES["domain_trustrank"] = f"""
+with {dom_ctes},
+tgt as (select d.doc_id,
+               (d.doc_id * 31 + k.k * 101)
+                   % (select count(*) from documents) as dst_doc
+        from documents d, (values (1), (2), (3)) as k(k)),
+pr_edges as materialized (select distinct s.domain as src, t.domain as dst
+             from tgt join dom s using (doc_id)
+             join dom t on tgt.dst_doc = t.doc_id
+             where s.domain <> t.domain),
+prn as materialized (select src as node from pr_edges
+                     union select dst from pr_edges),
+pro as materialized (select src, count(*) as d from pr_edges group by src),
+trs as materialized (select node from prn
+                     where node like '%.org' or node like '%.gov.uk'),
+trc as materialized (select count(*) as c from trs),
+t0 as materialized (select n.node,
+              cast(case when sd.node is not null
+                   then {scale} // (select c from trc) else 0 end
+                   as bigint) as rank
+       from prn n left join trs sd on n.node = sd.node){tr_iters}
+select node as domain, rank from t10
+"""
+
     # line_dedup twin: domain-scoped repeated-line boilerplate removal
     # (dedup.py line_boilerplate_filter) over the planted chrome lines —
     # same synthesis ((c)-header / footer / doc_id%97 rare line), same
@@ -5293,6 +5390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "shard_stats": q_shard_stats,
         "domain_pagerank": q_domain_pagerank,
+        "domain_trustrank": q_domain_trustrank,
         "vocab_drift": q_vocab_drift,
         "corpus_jsd": q_corpus_jsd,
         "compression_ratio": q_compression_ratio,  # rows-only: zlib kernel

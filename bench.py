@@ -131,7 +131,7 @@ def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
         "quality_full", "domain_cap",
         # round-2 session 4: crawl front end + retrieval + CDC dedup
         "warc_records", "warc_html", "phrase_search", "cdc_chunks",
-        "reading_order", "line_dedup",
+        "reading_order", "line_dedup", "domain_trustrank",
     ]
     # Per-workload scan tuning (the conf is runtime-settable): thin
     # TPC-H-ish tables are scan-bound and want the vectorized reader's

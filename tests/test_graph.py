@@ -171,3 +171,74 @@ def test_pagerank_empty_edges(spark):
 
     df = spark.createDataFrame([], "src bigint, dst bigint")
     assert pagerank(df).count() == 0
+
+
+def _trustrank_model(edges, seeds, n_iter=10, damp=85, scale=10**9):
+    """Driver-side integer TrustRank model mirroring graph.py trustrank
+    exactly: teleport + initial mass + dangling re-entry on SEEDS only."""
+    edges = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    seeds = sorted(set(seeds) & set(nodes))
+    s = len(seeds)
+    if s == 0:
+        return {v: 0 for v in nodes}
+    outd = {}
+    for a, _ in edges:
+        outd[a] = outd.get(a, 0) + 1
+    rank = {v: (scale // s if v in seeds else 0) for v in nodes}
+    base = (scale * (100 - damp)) // (100 * s)
+    for _ in range(n_iter):
+        dang = sum(r for v, r in rank.items() if v not in outd)
+        flat = base + (dang * damp) // (100 * s)
+        inc = {v: 0 for v in nodes}
+        for a, d in edges:
+            inc[d] += (rank[a] * damp) // (100 * outd[a])
+        rank = {v: (flat if v in seeds else 0) + inc[v] for v in nodes}
+    return rank
+
+
+@pytest.mark.parametrize(
+    "edges,seeds",
+    [
+        # trusted hub feeds a chain; spam clique off to the side
+        ([(1, 2), (2, 3), (3, 1), (8, 9), (9, 8)], [1]),
+        # seed is dangling: its mass must re-enter through the seed set
+        ([(1, 2), (2, 3)], [3]),
+        # seed not in the graph must be ignored; 5 is, 99 is not
+        ([(5, 6), (6, 5), (6, 7)], [5, 99]),
+    ],
+)
+def test_trustrank_matches_integer_model(spark, edges, seeds):
+    from ocr_spark.operators.graph import trustrank
+
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    sd = spark.createDataFrame([(x,) for x in seeds], "node bigint")
+    got = {r["node"]: r["rank"] for r in trustrank(e, sd).collect()}
+    assert got == _trustrank_model(edges, seeds)
+
+
+def test_trustrank_demotes_unreachable_spam_farm(spark):
+    """The defining property vs pagerank: a densely self-linking clique
+    with no in-links from the seed side scores exactly zero trust, while
+    vanilla pagerank gives it substantial mass."""
+    from ocr_spark.operators.graph import pagerank, trustrank
+
+    trusted = [(1, 2), (2, 3), (3, 1)]
+    farm = [(a, b) for a in (10, 11, 12) for b in (10, 11, 12) if a != b]
+    e = spark.createDataFrame(trusted + farm, "src bigint, dst bigint")
+    sd = spark.createDataFrame([(1,)], "node bigint")
+    tr = {r["node"]: r["rank"] for r in trustrank(e, sd).collect()}
+    pr = {r["node"]: r["rank"] for r in pagerank(e).collect()}
+    assert tr[10] == tr[11] == tr[12] == 0
+    assert pr[10] > 10**8  # pagerank rewards the farm regardless
+    assert tr[1] > 0 and tr[2] > 0 and tr[3] > 0
+    assert sum(tr.values()) <= 10**9
+
+
+def test_trustrank_no_seeds_in_graph_is_all_zero(spark):
+    from ocr_spark.operators.graph import trustrank
+
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src bigint, dst bigint")
+    sd = spark.createDataFrame([(42,)], "node bigint")
+    got = {r["node"]: r["rank"] for r in trustrank(e, sd).collect()}
+    assert got == {1: 0, 2: 0}
