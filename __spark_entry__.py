@@ -1874,6 +1874,47 @@ def q_domain_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level HITS hubs & authorities (operators/graph.py hits) over
+    the SAME synthesized link graph as domain_pagerank/domain_trustrank —
+    the third link-quality prior (authority) plus the hub/authority split
+    that is itself a spam feature.  8 L1-normalized integer fixed-point
+    half-step pairs, exact bigint scores; the DuckDB twin unrolls all 16
+    half-steps with the identical floor divisions."""
+    from ocr_spark.functions.url import registered_domain, url_host
+    from ocr_spark.operators.graph import hits
+
+    t = _docs_with_url(spark, sf_dir).select(
+        "doc_id", registered_domain(url_host(F.col("url"))).alias("domain")
+    )
+    n_docs = t.count()
+    tgt = t.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    ((F.col("doc_id") * 31 + k * 101) % n_docs)
+                    for k in (1, 2, 3)
+                ]
+            )
+        ).alias("dst_doc"),
+    )
+    edges = (
+        tgt.join(t.select("doc_id", F.col("domain").alias("src")), "doc_id")
+        .join(
+            t.select(
+                F.col("doc_id").alias("dst_doc"),
+                F.col("domain").alias("dst"),
+            ),
+            "dst_doc",
+        )
+        .select("src", "dst")
+    )
+    return hits(edges).select(
+        F.col("node").alias("domain"), "hub", "auth"
+    )
+
+
 def q_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard manifest table (jobs/shards.py): pack → md5 shard
     assignment → per-shard counts + order-invariant fingerprint sums —
@@ -4537,6 +4578,54 @@ t0 as materialized (select n.node,
 select node as domain, rank from t10
 """
 
+    # domain_hits twin: 8 unrolled HITS iterations (16 half-steps) over
+    # the same synthesized edge set — each half-step is an exact bigint
+    # in-/out-sum then L1 normalization score·scale // total, with the
+    # multiply widened through hugeint exactly where Spark widens through
+    # decimal(38,0) (graph.py hits); nodes missing from a half-step's raw
+    # table coalesce to 0 on both engines.
+    hits_iters = ""
+    for i in range(1, 9):
+        p = f"hh{i - 1}"
+        hits_iters += f""",
+har{i} as materialized (select e.dst as node,
+                cast(sum(h.hub) as bigint) as raw
+         from pr_edges e join {p} h on e.src = h.node group by e.dst),
+hat{i} as materialized (select cast(sum(raw) as bigint) as t from har{i}),
+ha{i} as materialized (select n.node,
+                cast(coalesce((cast(ar.raw as hugeint) * {scale})
+                              // (select t from hat{i}), 0) as bigint)
+                    as auth
+         from prn n left join har{i} ar on n.node = ar.node),
+hhr{i} as materialized (select e.src as node,
+                cast(sum(a.auth) as bigint) as raw
+         from pr_edges e join ha{i} a on e.dst = a.node group by e.src),
+hht{i} as materialized (select cast(sum(raw) as bigint) as t from hhr{i}),
+hh{i} as materialized (select n.node,
+                cast(coalesce((cast(hr.raw as hugeint) * {scale})
+                              // (select t from hht{i}), 0) as bigint)
+                    as hub
+         from prn n left join hhr{i} hr on n.node = hr.node)"""
+    _ORACLES["domain_hits"] = f"""
+with {dom_ctes},
+tgt as (select d.doc_id,
+               (d.doc_id * 31 + k.k * 101)
+                   % (select count(*) from documents) as dst_doc
+        from documents d, (values (1), (2), (3)) as k(k)),
+pr_edges as materialized (select distinct s.domain as src, t.domain as dst
+             from tgt join dom s using (doc_id)
+             join dom t on tgt.dst_doc = t.doc_id
+             where s.domain <> t.domain),
+prn as materialized (select src as node from pr_edges
+                     union select dst from pr_edges),
+prc as materialized (select count(*) as c from prn),
+hh0 as materialized (select node,
+              cast({scale} // (select c from prc) as bigint) as hub
+       from prn){hits_iters}
+select h.node as domain, h.hub, a.auth
+from hh8 h join ha8 a on h.node = a.node
+"""
+
     # line_dedup twin: domain-scoped repeated-line boilerplate removal
     # (dedup.py line_boilerplate_filter) over the planted chrome lines —
     # same synthesis ((c)-header / footer / doc_id%97 rare line), same
@@ -5391,6 +5480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_stats": q_shard_stats,
         "domain_pagerank": q_domain_pagerank,
         "domain_trustrank": q_domain_trustrank,
+        "domain_hits": q_domain_hits,
         "vocab_drift": q_vocab_drift,
         "corpus_jsd": q_corpus_jsd,
         "compression_ratio": q_compression_ratio,  # rows-only: zlib kernel

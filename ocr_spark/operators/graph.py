@@ -382,3 +382,106 @@ def trustrank(
             .localCheckpoint()
         )
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 8,
+    scale: int = 10**9,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) — the query-time
+    companion to the query-independent ``pagerank``/``trustrank`` priors:
+    a page is a good AUTHORITY if good hubs point at it, a good HUB if it
+    points at good authorities.  Web curation uses the authority score as
+    a second link-quality prior (directories and link farms score high on
+    hub but low on authority — the ratio is itself a spam feature).
+
+    Same integer fixed-point contract as ``pagerank``: scores live in
+    micro-units of ``scale`` (bigint); each half-step is an exact
+    order-independent integer sum followed by L1 normalization back to
+    ``scale`` — ``score·scale div total`` — where the single multiply is
+    widened through decimal(38,0) so a hub-heavy graph cannot overflow
+    int64 (raw sums reach nodes×scale before normalization).  Every
+    division is a floor over non-negative integers, so Spark's ``div``
+    and DuckDB's ``//`` agree and the unrolled-CTE twin hash-matches
+    bit-for-bit.  Nodes with no in-edges hold authority 0; nodes with no
+    out-edges hold hub 0 (Kleinberg's I/O operations, with the floor as
+    the only deviation — ≤1 micro-unit per node per half-step, mirrored
+    exactly by the twin).
+
+    Scale shape: slim ``(node, score)`` rows; each half-step is ONE
+    shuffle join on the edge key + one aggregation (hub fan-out is join
+    fan-out, AQE/skew-split friendly — never an adjacency-list row), plus
+    one scalar total per half-step off a ``localCheckpoint``'d raw table
+    (so the normalization action does not replay the iteration history —
+    the ``pagerank`` lineage discipline).
+
+    Reference has no graph surface; this is training-data-pipeline scope
+    (SURVEY.md "beyond the reference"), verified against a driver-side
+    numpy power iteration in pytest and the unrolled DuckDB twin at the
+    driver gate (``domain_hits``).
+    """
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    empty = nodes.select(
+        "node",
+        F.lit(0).cast("bigint").alias("hub"),
+        F.lit(0).cast("bigint").alias("auth"),
+    )
+    if n == 0:
+        return empty
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        """raw (node, raw) → (node, col) with Σ = scale (floor-exact)."""
+        raw = raw.localCheckpoint()
+        total = int(
+            raw.agg(F.coalesce(F.sum("raw"), F.lit(0)).alias("s"))
+            .first()["s"]
+        )
+        if total == 0:
+            return nodes.select(
+                "node", F.lit(0).cast("bigint").alias(col)
+            ).localCheckpoint()
+        return (
+            nodes.join(raw, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"cast((cast(coalesce(raw, 0) as decimal(38,0))"
+                    f" * {scale}) div {total} as bigint)"
+                ).alias(col),
+            )
+            .localCheckpoint()
+        )
+
+    hub = nodes.select(
+        "node", F.lit(scale // n).cast("bigint").alias("hub")
+    ).localCheckpoint()
+    auth = None
+    for _ in range(n_iter):
+        auth = _normalize(
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("raw"))
+            .select(F.col("dst").alias("node"), "raw"),
+            "auth",
+        )
+        hub = _normalize(
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("raw"))
+            .select(F.col("src").alias("node"), "raw"),
+            "hub",
+        )
+    return hub.join(auth, "node")

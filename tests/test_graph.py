@@ -235,6 +235,80 @@ def test_trustrank_demotes_unreachable_spam_farm(spark):
     assert sum(tr.values()) <= 10**9
 
 
+def _hits_model(edges, n_iter=8, scale=10**9):
+    """Driver-side integer HITS model mirroring graph.py hits exactly:
+    alternating in-/out-sum half-steps, each L1-normalized back to scale
+    with a floor division (missing nodes coalesce to 0)."""
+    edges = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    if not nodes:
+        return {}, {}
+    hub = {v: scale // len(nodes) for v in nodes}
+    auth = {v: 0 for v in nodes}
+
+    def norm(raw):
+        total = sum(raw.values())
+        if total == 0:
+            return {v: 0 for v in nodes}
+        return {v: (raw.get(v, 0) * scale) // total for v in nodes}
+
+    for _ in range(n_iter):
+        raw = {}
+        for s, d in edges:
+            raw[d] = raw.get(d, 0) + hub[s]
+        auth = norm(raw)
+        raw = {}
+        for s, d in edges:
+            raw[s] = raw.get(s, 0) + auth[d]
+        hub = norm(raw)
+    return hub, auth
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # bipartite hubs->authorities core plus a stray cycle
+        [(1, 10), (1, 11), (2, 10), (2, 11), (3, 11), (20, 21), (21, 20)],
+        # chain with duplicate + self-loop noise (both must cancel)
+        [(1, 2), (2, 3), (3, 3), (1, 2), (3, 4)],
+        # star: one authority, many pure hubs
+        [(k, 0) for k in range(1, 6)],
+    ],
+)
+def test_hits_matches_integer_model(spark, edges):
+    from ocr_spark.operators.graph import hits
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    rows = hits(df).collect()
+    got_h = {r["node"]: r["hub"] for r in rows}
+    got_a = {r["node"]: r["auth"] for r in rows}
+    exp_h, exp_a = _hits_model(edges)
+    assert got_h == exp_h and got_a == exp_a
+
+
+def test_hits_hub_authority_split(spark):
+    """Semantics: pure hubs (out-edges only) hold zero authority, the
+    pure authority (in-edges only) holds zero hub, and L1 mass is
+    bounded by scale on both sides."""
+    from ocr_spark.operators.graph import hits
+
+    edges = [(k, 0) for k in range(1, 6)] + [(1, 7)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    rows = {r["node"]: r for r in hits(df).collect()}
+    assert rows[0]["hub"] == 0 and rows[0]["auth"] > 8 * 10**8
+    assert all(rows[k]["auth"] == 0 for k in range(2, 6))
+    assert rows[1]["hub"] > rows[2]["hub"]  # 1 points at both sinks
+    assert sum(r["hub"] for r in rows.values()) <= 10**9
+    assert sum(r["auth"] for r in rows.values()) <= 10**9
+
+
+def test_hits_empty_edges(spark):
+    from ocr_spark.operators.graph import hits
+
+    df = spark.createDataFrame([], "src bigint, dst bigint")
+    assert hits(df).count() == 0
+
+
 def test_trustrank_no_seeds_in_graph_is_all_zero(spark):
     from ocr_spark.operators.graph import trustrank
 
