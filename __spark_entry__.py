@@ -1555,6 +1555,21 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_boilerplate_filter(planted, scope_col="domain", min_docs=3)
 
 
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style overlap candidates from winnowing fingerprints
+    (dedup.py winnow_fingerprints/winnow_overlap — Schleimer et al.,
+    SIGMOD 2003): 5-gram 40-bit hashes, window-4 rightmost-min
+    selection, pairs sharing >= 2 selected hashes with the
+    boilerplate guard at 1000 docs.  The corpus's natural quote reuse
+    produces the pair set; the twin replays the identical packed-key
+    selection."""
+    from ocr_spark.operators.dedup import winnow_overlap
+
+    return winnow_overlap(
+        _docs(spark, sf_dir), k=5, w=4, min_shared=2, max_docs=1000
+    )
+
+
 def _snapshots(spark: SparkSession, sf_dir: str):
     """Deterministic two-snapshot split of the documents table for the
     drift family: A = even doc_ids, B = odd (same predicate in the
@@ -5131,6 +5146,34 @@ from ch group by md5(chunk_text)
 """
 
 
+# winnow_overlap twin: the same packed-key robust winnowing — 40-bit
+# md5-prefix gram hashes packed as h*2^20 + (2^20-1-pos) so DuckDB's
+# window min selects the identical (hash, rightmost-pos) per window,
+# then the same distinct/guard/pair-count chain.
+_ORACLES["winnow_overlap"] = f"""
+with t as (select doc_id, {_NT} as toks from documents),
+e as (select doc_id, toks, unnest(range(1, len(toks) + 1)) as i from t),
+g as (select doc_id, cast(i - 1 as bigint) as pos,
+             cast('0x' || substr(
+                 md5(array_to_string(toks[i : i + 4], ' ')), 1, 10)
+                 as bigint) * 1048576 + (1048575 - (i - 1)) as key
+      from e where i + 4 <= len(toks) and i - 1 < 1048576),
+s as (select doc_id,
+             min(key) over (partition by doc_id order by pos
+                  rows between current row and 3 following) as skey,
+             lead(key, 3) over (partition by doc_id order by pos) as fullk
+      from g),
+fp as (select distinct doc_id, skey // 1048576 as fp
+       from s where fullk is not null),
+ok as (select fp from fp group by fp having count(*) <= 1000),
+slim as (select doc_id, fp from fp join ok using (fp))
+select x.doc_id as a, y.doc_id as b, cast(count(*) as bigint) as shared
+from slim x join slim y using (fp)
+where x.doc_id < y.doc_id
+group by a, b having count(*) >= 2
+"""
+
+
 # warc_records twin (q_warc_records): the serialization is deterministic,
 # so the expected parse has a closed form — one response record per doc,
 # rec_idx = doc_id rank within its file, payload 'doc-<id>:<md5(text)>'.
@@ -5481,6 +5524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_pagerank": q_domain_pagerank,
         "domain_trustrank": q_domain_trustrank,
         "domain_hits": q_domain_hits,
+        "winnow_overlap": q_winnow_overlap,
         "vocab_drift": q_vocab_drift,
         "corpus_jsd": q_corpus_jsd,
         "compression_ratio": q_compression_ratio,  # rows-only: zlib kernel

@@ -807,3 +807,125 @@ def line_boilerplate_filter(
             .alias("n_removed"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm) at token granularity: hash every
+    k-token gram, slide a w-gram window over the hash sequence, and in
+    each window select the MINIMUM hash, breaking ties by the RIGHTMOST
+    position (robust winnowing, §2.3 of the paper).  The selected
+    (hash, pos) set is the document's fingerprint sketch with the paper's
+    guarantee: any shared token run of length ≥ w+k-1 between two
+    documents shares at least one fingerprint, while storage is ~2/(w+1)
+    of the gram count.  This is the detection-guarantee complement to
+    ``cdc_chunk_stats`` (CDC bounds re-chunking radius under edits;
+    winnowing bounds the longest UNDETECTED match).
+
+    Engine-portable selection trick: the per-window argmin-with-rightmost-
+    tie-break is one ``min`` over the packed key ``h·2^20 + (2^20-1-pos)``
+    — lexicographic (h asc, pos desc) as a single bigint, so Spark's
+    window ``min`` and DuckDB's agree bit-for-bit.  The hash is the first
+    10 md5 hex chars (40 bits) so the pack stays < 2^60; positions are
+    capped at 2^20-1 grams (docs beyond that would need the decimal(38,0)
+    widening — 40-bit fingerprints are the gate-size choice, production
+    uses the full 64 and a struct key).  Documents with fewer than w
+    grams emit no fingerprint (no full window exists — the guarantee is
+    vacuous below w+k-1 tokens anyway).
+
+    Output: distinct ``(doc_id, fp, pos)`` — one row per selected gram.
+
+    Scale shape: ONE shuffle on ``doc_id`` (the token window); the gram
+    build (lead chain), the window min, and the final per-doc distinct all
+    reuse that clustering.  Mega-docs cost O(their tokens) in their own
+    partition — no corpus-wide state.
+    """
+    from pyspark.sql.window import Window
+
+    assert k >= 1 and w >= 1
+    tok = docs.select(
+        "doc_id", F.posexplode(norm_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", i).over(wd) for i in range(1, k)]
+    )
+    last = F.lead("tok", k - 1).over(wd) if k > 1 else F.col("tok")
+    grams = (
+        tok.select("doc_id", "pos", gram.alias("gram"), last.alias("_last"))
+        .where(F.col("_last").isNotNull() & (F.col("pos") < F.lit(1 << 20)))
+        .select(
+            "doc_id",
+            "pos",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("gram").cast("binary")), 1, 10),
+                    16,
+                    10,
+                ).cast("bigint")
+                * F.lit(1 << 20)
+                + (F.lit((1 << 20) - 1) - F.col("pos"))
+            ).alias("key"),
+        )
+    )
+    frame = wd.rowsBetween(Window.currentRow, w - 1)
+    sel = (
+        grams.select(
+            "doc_id",
+            F.min("key").over(frame).alias("skey"),
+            F.lead("key", w - 1).over(wd).alias("_full"),
+        )
+        .where(F.col("_full").isNotNull())
+        .select(
+            "doc_id",
+            F.expr(f"skey div {1 << 20}").cast("bigint").alias("fp"),
+            (
+                F.lit((1 << 20) - 1) - F.col("skey") % F.lit(1 << 20)
+            ).cast("bigint").alias("pos"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+def winnow_overlap(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_docs: int = 1000,
+) -> DataFrame:
+    """Document-overlap candidates from shared winnowing fingerprints —
+    the MOSS match step: docs sharing ≥ ``min_shared`` distinct selected
+    hashes are plagiarism/near-dup candidates, with the shared count as
+    the match strength.  Fingerprints selected in more than ``max_docs``
+    documents are corpus boilerplate (the degenerate-bucket guard, same
+    contract as minhash ``max_bucket``/line_dedup ``min_docs``) and are
+    excluded from pairing — mirrored exactly by the oracle twin.
+
+    Scale shape: the pair join shuffles O(fingerprints) ≈ 2/(w+1) of the
+    gram count, never token text; the boilerplate guard bounds any hash's
+    join fan-out at ``max_docs``², and AQE skew-split handles the rest.
+    Output: ``(a, b, shared)`` with a < b.
+    """
+    fps = winnow_fingerprints(docs, k=k, w=w).select("doc_id", "fp").distinct()
+    ok = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") <= max_docs)
+        .select("fp")
+    )
+    slim = fps.join(ok, "fp")
+    pairs = (
+        slim.alias("x")
+        .join(slim.alias("y"), "fp")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    return pairs
