@@ -1095,6 +1095,23 @@ def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination (operators/contamination.py
+    bloom_decontaminate — the Dolma "bff" shape): the src1 slice is the
+    eval suite compressed to an m-bit filter of md5-derived positions;
+    every other doc gets a verdict row.  Same n=4 rationale as
+    q_decontaminate; deterministic md5 basis means the oracle reproduces
+    the exact same false positives, so the gate stays hash-exact."""
+    from ocr_spark.operators.contamination import bloom_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return bloom_decontaminate(
+        docs.where(F.col("source") != "src1"),
+        docs.where(F.col("source") == "src1"),
+        n=4,
+    )
+
+
 def q_recrawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot change detection (operators/web.py recrawl_diff): two
     crawl snapshots of the URL space (page-group windows g<150 vs g>=50,
@@ -4963,6 +4980,48 @@ select d.doc_id,
 from documents d left join fda g using (doc_id)
 where d.doc_id % 2 = 1
 """
+# bloom_decontaminate twin: same 4-gram shingles as the decontaminate
+# twin; the k=3 positions per gram are conv(md5(gram||':'||j)[1:12],16,10)
+# % 2^20 — '0x'||hex cast is the proven-parity bigint path (gumbel twin).
+# A gram hits iff all 3 exploded position rows match the distinct eval
+# position set (duplicate positions within a gram match-or-drop together,
+# identically in both engines).
+_ORACLES["bloom_decontaminate"] = f"""
+with t as (select doc_id, source, {_NT} as toks from documents),
+s as (select doc_id, source,
+             list_distinct(list_transform(range(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      || ' ' || toks[i+3])) as grams
+      from t where len(toks) >= 4),
+js as (select unnest(range(0, 3)) as j),
+eg as (select distinct unnest(grams) as gram from s where source = 'src1'),
+epos as (select distinct
+                cast('0x' || substr(md5(gram || ':' || cast(j as varchar)),
+                                    1, 12) as bigint) % 1048576 as pos
+         from eg cross join js),
+tg as (select doc_id, cast(len(grams) as bigint) as n_grams,
+              unnest(grams) as gram
+       from s where source <> 'src1'),
+probe as (select doc_id, n_grams, gram,
+                 cast('0x' || substr(md5(gram || ':' || cast(j as varchar)),
+                                     1, 12) as bigint) % 1048576 as pos
+          from tg cross join js),
+hits as (select doc_id, n_grams
+         from probe join epos using (pos)
+         group by doc_id, n_grams, gram
+         having count(*) = 3),
+hd as (select doc_id, n_grams, cast(count(*) as bigint) as n_hit_grams
+       from hits group by doc_id, n_grams),
+ng as (select doc_id, cast(len(grams) as bigint) as n_grams
+       from s where source <> 'src1')
+select b.doc_id,
+       cast(coalesce(hd.n_grams, ng.n_grams, 0) as bigint) as n_grams,
+       cast(coalesce(hd.n_hit_grams, 0) as bigint) as n_hit_grams,
+       coalesce(hd.n_hit_grams, 0) > 0 as contaminated
+from (select distinct doc_id from documents where source <> 'src1') b
+left join hd using (doc_id)
+left join ng using (doc_id)
+"""
 _ORACLES["corpus_datasheet"] = f"""
 with st as (select doc_id, source, lang,
                    cast(len({_RT}) as bigint) as ntok,
@@ -5552,6 +5611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_diff": q_recrawl_diff,
         "corpus_datasheet": q_corpus_datasheet,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "crawl_plan": q_crawl_plan,
         "domain_cap": q_domain_cap,
         "lm_quality": q_lm_quality,

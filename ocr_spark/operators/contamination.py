@@ -122,3 +122,115 @@ def fuzzy_decontaminate(
             ),
         )
     )
+
+
+def _bloom_positions(gram, k: int, m: int):
+    """The k Bloom bit positions of one gram: independent hashes via
+    md5(gram || ':' || j), first 12 hex chars (48 bits) mod m — string
+    concat + md5 + conv are byte-identical across Spark and DuckDB, so
+    the filter CONTENT (and therefore every false positive) is exactly
+    reproducible by the oracle twin."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(gram, F.lit(f":{j}")).cast("binary")
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % m
+            for j in range(k)
+        ]
+    )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 4,
+    k: int = 3,
+    m: int = 1 << 20,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the Dolma "bff" shape
+    (Soldaini et al. 2024; same role as :func:`ngram_decontaminate` but
+    the eval side is compressed to an m-bit filter instead of a gram
+    string set): every eval n-gram sets k bit positions; a training gram
+    is flagged iff ALL k of its positions are set.  False positives are
+    part of the contract — rate ≈ (1 - e^(-k·G/m))^k for G distinct eval
+    grams — and because the hash basis is deterministic md5, the exact
+    same false positives occur in the DuckDB twin, so the gate is still
+    hash-exact.
+
+    Why this survives 100 TB where the string join strains: the filter
+    is at most m distinct int positions (m=2^20 ⇒ ≤ 8 MB as a bigint
+    dim) NO MATTER how large the eval suite is, so the probe side is a
+    guaranteed broadcast hash join on ints — never a shuffle keyed on
+    13-gram strings.  The training side stays one narrow
+    tokenize+shingle projection + one per-doc count, O(train tokens).
+
+    Output: one verdict row per training document — ``doc_id, n_grams,
+    n_hit_grams, contaminated`` (``n_hit_grams`` counts distinct grams
+    whose k positions are all set; docs with fewer than ``n`` tokens
+    have ``n_grams = 0`` and are never flagged).
+    """
+    eg = (
+        with_shingles(eval_docs, n)
+        .select(F.explode("sh").alias("gram"))
+        .distinct()
+    )
+    filt = (
+        eg.select(
+            F.explode(_bloom_positions(F.col("gram"), k, m)).alias("pos")
+        )
+        .distinct()
+    )
+    tg = with_shingles(train, n).select(
+        "doc_id",
+        F.size("sh").cast("bigint").alias("n_grams"),
+        F.explode("sh").alias("gram"),
+    )
+    probe = tg.select(
+        "doc_id",
+        "n_grams",
+        "gram",
+        F.explode(_bloom_positions(F.col("gram"), k, m)).alias("pos"),
+    )
+    # inner join drops unset positions; a gram survives iff all k of its
+    # exploded rows matched (duplicate positions within one gram both
+    # match or both drop, so the count stays exactly k on a full hit)
+    hits = (
+        probe.join(filt, "pos")
+        .groupBy("doc_id", "n_grams", "gram")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .where(F.col("n_set") == k)
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_grams"))
+    )
+    base = train.select("doc_id").distinct()
+    return (
+        base.join(hits, "doc_id", "left")
+        .join(
+            with_shingles(train, n).select(
+                "doc_id", F.size("sh").cast("bigint").alias("_ng")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.col("_ng"), F.lit(0))
+            .cast("bigint")
+            .alias("n_grams"),
+            F.coalesce(F.col("n_hit_grams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hit_grams"),
+            (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
