@@ -368,6 +368,42 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.corpus_mix(docs, _MIX_BUDGETS, seed=42)
 
 
+def q_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax per-language token-budget allocation (operators/sampling.py
+    unimax_budget — Chung et al. 2023): water-fill a budget of 1/3 of
+    the corpus tokens across languages, 2-epoch cap, closed form in pure
+    bigint arithmetic.  The budget scalar is derived from the same data
+    in both engines, so the gate is sf-independent."""
+    from ocr_spark.operators.sampling import unimax_budget
+
+    docs = _docs(spark, sf_dir)
+    total = (
+        docs.where(F.col("lang").isNotNull())
+        .select(F.sum(F.size(T.norm_tokens(F.col("text")))).cast("bigint"))
+        .first()[0]
+    )
+    return unimax_budget(docs, int(total) // 3, max_epochs=2)
+
+
+def q_unimax_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UniMax allocation materialized as a per-document epoch plan
+    (operators/sampling.py unimax_plan): full epochs per language plus a
+    deterministic-hash-order prefix fill of the remainder — n_copies per
+    doc, ready for epoch_shuffle.  Distributed-prefix form: per-doc
+    windows run within (lang, hash-bucket), never one mega-partition per
+    language; the oracle's single plain window is provably the same
+    prefix because the bucket is a prefix of the ordering key."""
+    from ocr_spark.operators.sampling import unimax_plan
+
+    docs = _docs(spark, sf_dir)
+    total = (
+        docs.where(F.col("lang").isNotNull())
+        .select(F.sum(F.size(T.norm_tokens(F.col("text")))).cast("bigint"))
+        .first()[0]
+    )
+    return unimax_plan(docs, int(total) // 3, max_epochs=2)
+
+
 def q_tokenize_asciifold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full ES-analyzer tokenization (F13, elastic_search.py:19-36):
     whitespace → lower → asciifold → stopword drop; per-token counts."""
@@ -5022,6 +5058,64 @@ from (select distinct doc_id from documents where source <> 'src1') b
 left join hd using (doc_id)
 left join ng using (doc_id)
 """
+# unimax twins: the same closed-form integer water-fill — caps sorted
+# ascending, k = longest prefix with cap*(L-rn)+S <= B (f nondecreasing ⇒
+# prefix), capped langs get cap, the rest the identical floor share.
+# B is derived from the data (sum tokens // 3) in BOTH engines.
+_UNIMAX_CORE = f"""
+t as (select doc_id, lang, cast(len({_NT}) as bigint) as tok
+      from documents where lang is not null),
+bb as (select sum(tok) // 3 as bv from t),
+st as (select lang, cast(sum(tok) as bigint) as c from t group by lang),
+caps as (select lang, c, c * 2 as cap from st),
+w as (select lang, c, cap,
+             cast(row_number() over (order by cap, lang) as bigint) as rn,
+             cast(sum(cap) over (order by cap, lang
+                  rows between unbounded preceding and current row)
+                  as bigint) as s,
+             cast(count(*) over () as bigint) as nl
+      from caps),
+fl as (select *, cap * (nl - rn) + s <= (select bv from bb) as ok from w),
+kk as (select max(case when ok then rn else 0 end) as k,
+              max(case when ok then s else 0 end) as sk from fl),
+a as (select fl.lang, fl.c, fl.cap,
+             case when fl.rn <= kk.k then fl.cap
+                  else least(fl.cap,
+                             cast(floor(((select bv from bb) - kk.sk)
+                                        / (fl.nl - kk.k)) as bigint)) end
+                 as alloc
+      from fl, kk)
+"""
+
+_ORACLES["unimax_alloc"] = f"""
+with {_UNIMAX_CORE}
+select lang, c as n_tokens, cap, alloc,
+       case when c = 0 then 0.0
+            else round(cast(alloc as double) / c, 6) end as epochs
+from a
+"""
+
+# unimax_plan twin: integral epoch split (// ↔ Spark `div`), then the
+# plain per-language window cumsum in hash order — exactly the Spark
+# plan's (lang, bucket)-windowed prefix because bucket = substr(key,1,2)
+# is a prefix of the ordering key.
+_ORACLES["unimax_plan"] = f"""
+with {_UNIMAX_CORE},
+al as (select lang, alloc // c as e, alloc % c as rem from a where c > 0),
+k2 as (select doc_id, lang, tok,
+              substr(md5('42|' || cast(doc_id as varchar)), 1, 12) as kx
+       from t),
+fine as (select doc_id, lang, tok,
+                cast(sum(tok) over (partition by lang order by kx, doc_id
+                     rows between unbounded preceding and current row)
+                     as bigint) as cend
+         from k2)
+select f2.doc_id, f2.lang, f2.tok as n_tokens,
+       cast(al.e + case when f2.cend <= al.rem then 1 else 0 end
+            as bigint) as n_copies
+from fine f2 join al using (lang)
+"""
+
 _ORACLES["corpus_datasheet"] = f"""
 with st as (select doc_id, source, lang,
                    cast(len({_RT}) as bigint) as ntok,
@@ -5612,6 +5706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datasheet": q_corpus_datasheet,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "unimax_alloc": q_unimax_alloc,
+        "unimax_plan": q_unimax_plan,
         "crawl_plan": q_crawl_plan,
         "domain_cap": q_domain_cap,
         "lm_quality": q_lm_quality,

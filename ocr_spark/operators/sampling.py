@@ -392,3 +392,188 @@ def epoch_shuffle(
             "doc_id",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# UniMax — per-language token-budget allocation (Chung et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def _lang_token_stats(docs: DataFrame, lang_col: str) -> DataFrame:
+    """(lang, c) — total normalized-token count per language.  One tiny
+    aggregate: the key space is the language set (dozens), the partial
+    agg is map-side, and the output frame is dims-sized forever after."""
+    from ocr_spark.functions.text import norm_tokens
+
+    return (
+        docs.where(F.col(lang_col).isNotNull())
+        .select(
+            F.col(lang_col).alias("lang"),
+            F.size(norm_tokens(F.col("text"))).cast("bigint").alias("_tok"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("_tok").alias("c"))
+    )
+
+
+def unimax_budget(
+    docs: DataFrame,
+    budget: int,
+    max_epochs: int = 2,
+    lang_col: str = "lang",
+) -> DataFrame:
+    """UniMax per-language budget allocation (Chung et al. 2023,
+    "UniMax: Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining", PAPERS.md): distribute a total token
+    ``budget`` across languages as uniformly as possible, capping every
+    language at ``max_epochs`` passes over its data — the successor to
+    temperature sampling that never over-repeats low-resource languages.
+
+    Closed form instead of the paper's per-language loop: with caps
+    ``cap_i = c_i * max_epochs`` sorted ascending, the allocation is the
+    water-fill ``alloc_i = min(cap_i, t)`` where the water level ``t``
+    makes the total spend the budget.  ``f(i) = cap_i*(L-i) + S_i`` (S =
+    prefix cap sum) is nondecreasing in i, so the capped set is the
+    longest prefix with ``f(i) ≤ budget`` and every uncapped language
+    gets the SAME integer share ``(budget - S_k) // (L - k)`` — all
+    bigint cross-multiplication, no float, hash-exact in the DuckDB twin.
+    (The ≤ L-1 tokens lost to the floor are undistributed by contract.)
+
+    Output: one row per language — ``lang, n_tokens (=c_i), cap, alloc,
+    epochs (=round(alloc/c, 6))``.
+
+    Scale shape: the ONLY data-scaled work is the per-language token
+    aggregate (uniform map-side partial agg); the water-fill itself runs
+    on a dims-sized frame (L = languages, dozens), so its global windows
+    are deliberate — a single-partition window over ≤ hundreds of rows,
+    never over documents.
+    """
+    st = _lang_token_stats(docs, lang_col)
+    b = F.lit(int(budget)).cast("bigint")
+    wo = Window.orderBy("cap", "lang")
+    wall = Window.orderBy("cap", "lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    caps = st.select(
+        "lang", "c", (F.col("c") * F.lit(int(max_epochs))).alias("cap")
+    )
+    w = caps.select(
+        "lang",
+        "c",
+        "cap",
+        F.row_number().over(wo).cast("bigint").alias("rn"),
+        F.sum("cap").over(wcum).alias("s"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("nl"),
+    )
+    flagged = w.withColumn(
+        "_ok", F.col("cap") * (F.col("nl") - F.col("rn")) + F.col("s") <= b
+    ).select(
+        "*",
+        F.max(F.when(F.col("_ok"), F.col("rn")).otherwise(F.lit(0)))
+        .over(wall)
+        .alias("k"),
+        F.max(F.when(F.col("_ok"), F.col("s")).otherwise(F.lit(0)))
+        .over(wall)
+        .alias("sk"),
+    )
+    alloc = F.when(F.col("rn") <= F.col("k"), F.col("cap")).otherwise(
+        F.least(
+            F.col("cap"),
+            F.floor((b - F.col("sk")) / (F.col("nl") - F.col("k"))).cast(
+                "bigint"
+            ),
+        )
+    )
+    return flagged.select(
+        "lang",
+        F.col("c").alias("n_tokens"),
+        "cap",
+        alloc.cast("bigint").alias("alloc"),
+        F.when(F.col("c") == 0, F.lit(0.0))
+        .otherwise(F.round(alloc / F.col("c"), 6))
+        .alias("epochs"),
+    )
+
+
+def unimax_plan(
+    docs: DataFrame,
+    budget: int,
+    max_epochs: int = 2,
+    lang_col: str = "lang",
+    seed: int = 42,
+) -> DataFrame:
+    """Materialize the UniMax allocation as a per-document epoch plan:
+    every document of language ℓ appears ``alloc_ℓ // c_ℓ`` times (full
+    epochs), and the remainder ``alloc_ℓ % c_ℓ`` tokens are filled by the
+    deterministic-hash-order prefix of ℓ's documents (the same stable
+    md5 order every sampler here uses) — ``n_copies`` per doc, ready to
+    drive ``epoch_shuffle``.
+
+    Scale shape — the distributed prefix trick: a naive "window cumsum
+    per language" makes one mega-partition per language.  Instead docs
+    bucket by the FIRST TWO hex chars of their sample key (256 buckets
+    per language); bucket token subtotals cumsum on the dims-sized
+    (lang, bucket) frame, and the per-doc window runs within (lang,
+    bucket) — 256× finer partitions, same exact math, because the bucket
+    is a prefix of the ordering key (order by (bucket, key) ≡ order by
+    key).  The oracle twin uses the plain single window, which is
+    provably the same prefix.
+
+    Output: ``doc_id, lang, n_tokens, n_copies`` (bigint ≥ 0) for every
+    document of a non-null language.
+    """
+    from ocr_spark.functions.text import norm_tokens
+
+    # integral epoch split: `div` is Spark's exact bigint division
+    # (DuckDB twin: `//`); zero-token languages are excluded by contract
+    al = (
+        unimax_budget(docs, budget, max_epochs, lang_col)
+        .where(F.col("n_tokens") > 0)
+        .select(
+            "lang",
+            F.expr("alloc div n_tokens").cast("bigint").alias("e"),
+            (F.col("alloc") % F.col("n_tokens")).alias("rem"),
+        )
+    )
+    t = (
+        docs.where(F.col(lang_col).isNotNull())
+        .select(
+            "doc_id",
+            F.col(lang_col).alias("lang"),
+            F.size(norm_tokens(F.col("text"))).cast("bigint").alias("tok"),
+            sample_key(F.col("doc_id"), seed).alias("_k"),
+        )
+        .withColumn("_bkt", F.substring("_k", 1, 2))
+    )
+    bt = t.groupBy("lang", "_bkt").agg(F.sum("tok").alias("_btok"))
+    wb = Window.partitionBy("lang").orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bstart = bt.select(
+        "lang",
+        "_bkt",
+        (F.sum("_btok").over(wb) - F.col("_btok")).alias("_bstart"),
+    )
+    wf = Window.partitionBy("lang", "_bkt").orderBy("_k", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fine = t.join(bstart, ["lang", "_bkt"]).select(
+        "doc_id",
+        "lang",
+        "tok",
+        (F.col("_bstart") + F.sum("tok").over(wf)).alias("_cend"),
+    )
+    return fine.join(F.broadcast(al), "lang").select(
+        "doc_id",
+        "lang",
+        F.col("tok").alias("n_tokens"),
+        (
+            F.col("e")
+            + F.when(F.col("_cend") <= F.col("rem"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_copies"),
+    )
