@@ -157,7 +157,7 @@ def bloom_decontaminate(
     m: int = 1 << 20,
 ) -> DataFrame:
     """Bloom-filter benchmark decontamination — the Dolma "bff" shape
-    (Soldaini et al. 2024; same role as :func:`ngram_decontaminate` but
+    (Soldaini et al. 2024, "Dolma", arXiv:2402.00159; same role as :func:`ngram_decontaminate` but
     the eval side is compressed to an m-bit filter instead of a gram
     string set): every eval n-gram sets k bit positions; a training gram
     is flagged iff ALL k of its positions are set.  False positives are

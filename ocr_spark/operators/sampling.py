@@ -424,7 +424,7 @@ def unimax_budget(
 ) -> DataFrame:
     """UniMax per-language budget allocation (Chung et al. 2023,
     "UniMax: Fairer and More Effective Language Sampling for Large-Scale
-    Multilingual Pretraining", PAPERS.md): distribute a total token
+    Multilingual Pretraining", arXiv:2304.09151): distribute a total token
     ``budget`` across languages as uniformly as possible, capping every
     language at ``max_epochs`` passes over its data — the successor to
     temperature sampling that never over-repeats low-resource languages.
