@@ -5017,11 +5017,12 @@ from documents d left join fda g using (doc_id)
 where d.doc_id % 2 = 1
 """
 # bloom_decontaminate twin: same 4-gram shingles as the decontaminate
-# twin; the k=3 positions per gram are conv(md5(gram||':'||j)[1:12],16,10)
-# % 2^20 — '0x'||hex cast is the proven-parity bigint path (gumbel twin).
-# A gram hits iff all 3 exploded position rows match the distinct eval
-# position set (duplicate positions within a gram match-or-drop together,
-# identically in both engines).
+# twin; the k=3 positions per gram are DISJOINT 40-bit slices of ONE
+# md5(gram) digest (hex 1-10 / 11-20 / 21-30) mod 2^20 — '0x'||hex cast
+# is the proven-parity bigint path.  The oracle keys the per-gram
+# aggregation on the gram string where the Spark plan keys on the gram's
+# array index: identical results because per-doc shingle sets are
+# distinct (gi ↔ gram bijection within a doc).
 _ORACLES["bloom_decontaminate"] = f"""
 with t as (select doc_id, source, {_NT} as toks from documents),
 s as (select doc_id, source,
@@ -5032,90 +5033,31 @@ s as (select doc_id, source,
 js as (select unnest(range(0, 3)) as j),
 eg as (select distinct unnest(grams) as gram from s where source = 'src1'),
 epos as (select distinct
-                cast('0x' || substr(md5(gram || ':' || cast(j as varchar)),
-                                    1, 12) as bigint) % 1048576 as pos
+                cast('0x' || substr(md5(gram), cast(1 + 10 * j as int), 10)
+                     as bigint) % 1048576 as pos
          from eg cross join js),
 tg as (select doc_id, cast(len(grams) as bigint) as n_grams,
               unnest(grams) as gram
        from s where source <> 'src1'),
 probe as (select doc_id, n_grams, gram,
-                 cast('0x' || substr(md5(gram || ':' || cast(j as varchar)),
-                                     1, 12) as bigint) % 1048576 as pos
+                 cast('0x' || substr(md5(gram), cast(1 + 10 * j as int), 10)
+                      as bigint) % 1048576 as pos
           from tg cross join js),
-hits as (select doc_id, n_grams
-         from probe join epos using (pos)
-         group by doc_id, n_grams, gram
-         having count(*) = 3),
-hd as (select doc_id, n_grams, cast(count(*) as bigint) as n_hit_grams
-       from hits group by doc_id, n_grams),
-ng as (select doc_id, cast(len(grams) as bigint) as n_grams
-       from s where source <> 'src1')
+g1 as (select doc_id, n_grams, gram,
+              sum(case when epos.pos is not null then 1 else 0 end) as n_set
+       from probe left join epos on probe.pos = epos.pos
+       group by doc_id, n_grams, gram),
+hd as (select doc_id, n_grams,
+              cast(sum(case when n_set = 3 then 1 else 0 end) as bigint)
+                  as n_hit_grams
+       from g1 group by doc_id, n_grams)
 select b.doc_id,
-       cast(coalesce(hd.n_grams, ng.n_grams, 0) as bigint) as n_grams,
+       cast(coalesce(hd.n_grams, 0) as bigint) as n_grams,
        cast(coalesce(hd.n_hit_grams, 0) as bigint) as n_hit_grams,
        coalesce(hd.n_hit_grams, 0) > 0 as contaminated
 from (select distinct doc_id from documents where source <> 'src1') b
 left join hd using (doc_id)
-left join ng using (doc_id)
 """
-# unimax twins: the same closed-form integer water-fill — caps sorted
-# ascending, k = longest prefix with cap*(L-rn)+S <= B (f nondecreasing ⇒
-# prefix), capped langs get cap, the rest the identical floor share.
-# B is derived from the data (sum tokens // 3) in BOTH engines.
-_UNIMAX_CORE = f"""
-t as (select doc_id, lang, cast(len({_NT}) as bigint) as tok
-      from documents where lang is not null),
-bb as (select sum(tok) // 3 as bv from t),
-st as (select lang, cast(sum(tok) as bigint) as c from t group by lang),
-caps as (select lang, c, c * 2 as cap from st),
-w as (select lang, c, cap,
-             cast(row_number() over (order by cap, lang) as bigint) as rn,
-             cast(sum(cap) over (order by cap, lang
-                  rows between unbounded preceding and current row)
-                  as bigint) as s,
-             cast(count(*) over () as bigint) as nl
-      from caps),
-fl as (select *, cap * (nl - rn) + s <= (select bv from bb) as ok from w),
-kk as (select max(case when ok then rn else 0 end) as k,
-              max(case when ok then s else 0 end) as sk from fl),
-a as (select fl.lang, fl.c, fl.cap,
-             case when fl.rn <= kk.k then fl.cap
-                  else least(fl.cap,
-                             cast(floor(((select bv from bb) - kk.sk)
-                                        / (fl.nl - kk.k)) as bigint)) end
-                 as alloc
-      from fl, kk)
-"""
-
-_ORACLES["unimax_alloc"] = f"""
-with {_UNIMAX_CORE}
-select lang, c as n_tokens, cap, alloc,
-       case when c = 0 then 0.0
-            else round(cast(alloc as double) / c, 6) end as epochs
-from a
-"""
-
-# unimax_plan twin: integral epoch split (// ↔ Spark `div`), then the
-# plain per-language window cumsum in hash order — exactly the Spark
-# plan's (lang, bucket)-windowed prefix because bucket = substr(key,1,2)
-# is a prefix of the ordering key.
-_ORACLES["unimax_plan"] = f"""
-with {_UNIMAX_CORE},
-al as (select lang, alloc // c as e, alloc % c as rem from a where c > 0),
-k2 as (select doc_id, lang, tok,
-              substr(md5('42|' || cast(doc_id as varchar)), 1, 12) as kx
-       from t),
-fine as (select doc_id, lang, tok,
-                cast(sum(tok) over (partition by lang order by kx, doc_id
-                     rows between unbounded preceding and current row)
-                     as bigint) as cend
-         from k2)
-select f2.doc_id, f2.lang, f2.tok as n_tokens,
-       cast(al.e + case when f2.cend <= al.rem then 1 else 0 end
-            as bigint) as n_copies
-from fine f2 join al using (lang)
-"""
-
 _ORACLES["corpus_datasheet"] = f"""
 with st as (select doc_id, source, lang,
                    cast(len({_RT}) as bigint) as ntok,

@@ -124,29 +124,20 @@ def fuzzy_decontaminate(
     )
 
 
-def _bloom_positions(gram, k: int, m: int):
-    """The k Bloom bit positions of one gram: independent hashes via
-    md5(gram || ':' || j), first 12 hex chars (48 bits) mod m — string
-    concat + md5 + conv are byte-identical across Spark and DuckDB, so
-    the filter CONTENT (and therefore every false positive) is exactly
-    reproducible by the oracle twin."""
-    return F.array(
-        *[
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(gram, F.lit(f":{j}")).cast("binary")
-                    ),
-                    1,
-                    12,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % m
-            for j in range(k)
-        ]
-    )
+def _slice_positions(h, k: int, m: int) -> list:
+    """k Bloom positions from DISJOINT 40-bit slices of ONE md5 digest
+    (hex chars 1-10, 11-20, 21-30) mod m — one digest per gram instead of
+    k, because md5 over the gram string is the dominant probe cost.
+    Slices of a single digest are independent uniform bits; requires
+    k ≤ 3.  The hex→bigint conv is byte-identical across Spark and
+    DuckDB, so the filter CONTENT (and therefore every false positive)
+    is exactly reproducible by the oracle twin."""
+    if not 1 <= k <= 3:
+        raise ValueError("k must be 1..3 (three 40-bit md5 slices)")
+    return [
+        F.conv(F.substring(h, 1 + 10 * j, 10), 16, 10).cast("bigint") % m
+        for j in range(k)
+    ]
 
 
 def bloom_decontaminate(
@@ -157,80 +148,81 @@ def bloom_decontaminate(
     m: int = 1 << 20,
 ) -> DataFrame:
     """Bloom-filter benchmark decontamination — the Dolma "bff" shape
-    (Soldaini et al. 2024, "Dolma", arXiv:2402.00159; same role as :func:`ngram_decontaminate` but
-    the eval side is compressed to an m-bit filter instead of a gram
-    string set): every eval n-gram sets k bit positions; a training gram
-    is flagged iff ALL k of its positions are set.  False positives are
-    part of the contract — rate ≈ (1 - e^(-k·G/m))^k for G distinct eval
-    grams — and because the hash basis is deterministic md5, the exact
-    same false positives occur in the DuckDB twin, so the gate is still
-    hash-exact.
+    (Soldaini et al. 2024, "Dolma", arXiv:2402.00159; same role as
+    :func:`ngram_decontaminate` but the eval side is compressed to an
+    m-bit filter instead of a gram string set): every eval n-gram sets k
+    bit positions; a training gram is flagged iff ALL k of its positions
+    are set.  False positives are part of the contract — rate ≈
+    (1 - e^(-k·G/m))^k for G distinct eval grams — and because the hash
+    basis is deterministic md5, the exact same false positives occur in
+    the DuckDB twin, so the gate is still hash-exact.
 
     Why this survives 100 TB where the string join strains: the filter
     is at most m distinct int positions (m=2^20 ⇒ ≤ 8 MB as a bigint
-    dim) NO MATTER how large the eval suite is, so the probe side is a
-    guaranteed broadcast hash join on ints — never a shuffle keyed on
-    13-gram strings.  The training side stays one narrow
-    tokenize+shingle projection + one per-doc count, O(train tokens).
+    dim) NO MATTER how large the eval suite is, so the probe is a
+    guaranteed broadcast hash join on ints — and the training side never
+    shuffles a gram STRING at all: grams are identified by their
+    position index ``gi`` inside the doc's shingle array, so both
+    aggregation stages key on compact ints (doc_id, gi).  One
+    tokenize+shingle scan total (the md5 is staged as a named column —
+    the usual re-inline trap — and costs ONE digest per gram, k slices);
+    the verdict join reads only the pruned doc_id column of ``train``.
 
     Output: one verdict row per training document — ``doc_id, n_grams,
     n_hit_grams, contaminated`` (``n_hit_grams`` counts distinct grams
     whose k positions are all set; docs with fewer than ``n`` tokens
     have ``n_grams = 0`` and are never flagged).
     """
-    eg = (
+    filt = (
         with_shingles(eval_docs, n)
         .select(F.explode("sh").alias("gram"))
         .distinct()
-    )
-    filt = (
-        eg.select(
-            F.explode(_bloom_positions(F.col("gram"), k, m)).alias("pos")
+        .withColumn("_h", F.md5(F.col("gram").cast("binary")))
+        .select(
+            F.explode(F.array(*_slice_positions(F.col("_h"), k, m))).alias(
+                "pos"
+            )
         )
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    tg = with_shingles(train, n).select(
-        "doc_id",
-        F.size("sh").cast("bigint").alias("n_grams"),
-        F.explode("sh").alias("gram"),
-    )
-    probe = tg.select(
-        "doc_id",
-        "n_grams",
-        "gram",
-        F.explode(_bloom_positions(F.col("gram"), k, m)).alias("pos"),
-    )
-    # inner join drops unset positions; a gram survives iff all k of its
-    # exploded rows matched (duplicate positions within one gram both
-    # match or both drop, so the count stays exactly k on a full hit)
-    hits = (
-        probe.join(filt, "pos")
-        .groupBy("doc_id", "n_grams", "gram")
-        .agg(F.count(F.lit(1)).alias("n_set"))
-        .where(F.col("n_set") == k)
-        .groupBy("doc_id", "n_grams")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_grams"))
-    )
-    base = train.select("doc_id").distinct()
-    return (
-        base.join(hits, "doc_id", "left")
-        .join(
-            with_shingles(train, n).select(
-                "doc_id", F.size("sh").cast("bigint").alias("_ng")
-            ),
-            "doc_id",
-            "left",
-        )
+    probe = (
+        with_shingles(train, n)
         .select(
             "doc_id",
-            F.coalesce(F.col("n_grams"), F.col("_ng"), F.lit(0))
-            .cast("bigint")
-            .alias("n_grams"),
-            F.coalesce(F.col("n_hit_grams"), F.lit(0))
-            .cast("bigint")
-            .alias("n_hit_grams"),
-            (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0).alias(
-                "contaminated"
+            F.size("sh").cast("bigint").alias("n_grams"),
+            F.posexplode("sh").alias("gi", "gram"),
+        )
+        .withColumn("_h", F.md5(F.col("gram").cast("binary")))
+        .select(
+            "doc_id",
+            "n_grams",
+            "gi",
+            F.explode(F.array(*_slice_positions(F.col("_h"), k, m))).alias(
+                "pos"
             ),
         )
+    )
+    # left join keeps every slice row; a gram is a full hit iff all k of
+    # its slice rows matched (duplicate positions within one gram both
+    # match or both miss, so the sum still reaches k exactly on a hit)
+    hits = (
+        probe.join(F.broadcast(filt), "pos", "left")
+        .groupBy("doc_id", "n_grams", "gi")
+        .agg((F.sum(F.coalesce(F.col("_hit"), F.lit(0))) == k).alias("_full"))
+        .groupBy("doc_id", "n_grams")
+        .agg(
+            F.sum(F.when(F.col("_full"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hit_grams")
+        )
+    )
+    base = train.select("doc_id").distinct()
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce(F.col("n_hit_grams"), F.lit(0))
+        .cast("bigint")
+        .alias("n_hit_grams"),
+        (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0).alias("contaminated"),
     )

@@ -32,10 +32,9 @@ def _grams(text, n=4):
 
 
 def _positions(gram):
-    return [
-        int(hashlib.md5(f"{gram}:{j}".encode()).hexdigest()[:12], 16) % M
-        for j in range(K)
-    ]
+    # k disjoint 40-bit slices of ONE md5 digest, matching _slice_positions
+    h = hashlib.md5(gram.encode()).hexdigest()
+    return [int(h[10 * j : 10 * j + 10], 16) % M for j in range(K)]
 
 
 def _brute_bloom(train_rows, eval_rows, n=4):
