@@ -368,6 +368,24 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.corpus_mix(docs, _MIX_BUDGETS, seed=42)
 
 
+def q_phrase_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-phrase lexicon tagging (operators/search.py phrase_tag —
+    the FlashText/Aho-Corasick role): the lexicon is synthesized from
+    the corpus itself (tokens 3-5 of every doc_id % 89 == 0 document,
+    phrase_id = source doc), so real multi-token hits are guaranteed at
+    every sf; slot-cover votes, overlaps counted, broadcast lexicon."""
+    from ocr_spark.operators.search import phrase_tag
+
+    docs = _docs(spark, sf_dir)
+    lex = docs.where(F.col("doc_id") % 89 == 0).select(
+        F.col("doc_id").alias("phrase_id"),
+        F.array_join(
+            F.slice(T.norm_tokens(F.col("text")), 3, 3), " "
+        ).alias("phrase"),
+    )
+    return phrase_tag(docs, lex)
+
+
 def q_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniMax per-language token-budget allocation (operators/sampling.py
     unimax_budget — Chung et al. 2023): water-fill a budget of 1/3 of
@@ -5058,6 +5076,98 @@ select b.doc_id,
 from (select distinct doc_id from documents where source <> 'src1') b
 left join hd using (doc_id)
 """
+# phrase_tag twin: the same corpus-derived lexicon (tokens 3-5 of every
+# doc_id % 89 == 0 doc) and the same slot-cover vote — per-row positional
+# unnest on both sides, join on term, start = pos - slot, a start owning
+# all plen slots is a match.  Re-normalizing the joined phrase is
+# idempotent (tokens are already lowercase/punct-free), so building the
+# lexicon from toks slices directly is exact.
+_ORACLES["phrase_tag"] = f"""
+with t as (select doc_id, {_NT} as toks from documents),
+lex as (select doc_id as phrase_id, toks[3:5] as pt
+        from t where doc_id % 89 = 0),
+lex2 as (select phrase_id, pt, cast(len(pt) as int) as plen
+         from lex where len(pt) > 0),
+s1 as (select phrase_id, plen, pt, unnest(range(1, plen + 1)) as j
+       from lex2),
+slots as (select phrase_id, plen, cast(j - 1 as bigint) as slot,
+                 pt[cast(j as int)] as term
+          from s1),
+d1 as (select doc_id, toks, unnest(range(1, len(toks) + 1)) as p from t),
+dtok as (select doc_id, cast(p - 1 as bigint) as pos,
+                toks[cast(p as int)] as term
+         from d1),
+occ as (select d.doc_id, s.phrase_id, s.plen, d.pos - s.slot as start
+        from dtok d join slots s using (term)),
+starts as (select doc_id, phrase_id, plen, start,
+                  count(*) as n_slots
+           from occ where start >= 0
+           group by doc_id, phrase_id, plen, start)
+select doc_id, phrase_id,
+       cast(count(*) as bigint) as n_matches,
+       cast(min(start) as int) as first_pos
+from starts where n_slots = plen
+group by doc_id, phrase_id
+"""
+
+# unimax twins: the same closed-form integer water-fill — caps sorted
+# ascending, k = longest prefix with cap*(L-rn)+S <= B (f nondecreasing =>
+# prefix), capped langs get cap, the rest the identical floor share.
+# B is derived from the data (sum tokens // 3) in BOTH engines.
+_UNIMAX_CORE = f"""
+t as (select doc_id, lang, cast(len({_NT}) as bigint) as tok
+      from documents where lang is not null),
+bb as (select sum(tok) // 3 as bv from t),
+st as (select lang, cast(sum(tok) as bigint) as c from t group by lang),
+caps as (select lang, c, c * 2 as cap from st),
+w as (select lang, c, cap,
+             cast(row_number() over (order by cap, lang) as bigint) as rn,
+             cast(sum(cap) over (order by cap, lang
+                  rows between unbounded preceding and current row)
+                  as bigint) as s,
+             cast(count(*) over () as bigint) as nl
+      from caps),
+fl as (select *, cap * (nl - rn) + s <= (select bv from bb) as ok from w),
+kk as (select max(case when ok then rn else 0 end) as k,
+              max(case when ok then s else 0 end) as sk from fl),
+a as (select fl.lang, fl.c, fl.cap,
+             case when fl.rn <= kk.k then fl.cap
+                  else least(fl.cap,
+                             cast(floor(((select bv from bb) - kk.sk)
+                                        / (fl.nl - kk.k)) as bigint)) end
+                 as alloc
+      from fl, kk)
+"""
+
+_ORACLES["unimax_alloc"] = f"""
+with {_UNIMAX_CORE}
+select lang, c as n_tokens, cap, alloc,
+       case when c = 0 then 0.0
+            else round(cast(alloc as double) / c, 6) end as epochs
+from a
+"""
+
+# unimax_plan twin: integral epoch split (// <-> Spark `div`), then the
+# plain per-language window cumsum in hash order — exactly the Spark
+# plan's (lang, bucket)-windowed prefix because bucket = substr(key,1,2)
+# is a prefix of the ordering key.
+_ORACLES["unimax_plan"] = f"""
+with {_UNIMAX_CORE},
+al as (select lang, alloc // c as e, alloc % c as rem from a where c > 0),
+k2 as (select doc_id, lang, tok,
+              substr(md5('42|' || cast(doc_id as varchar)), 1, 12) as kx
+       from t),
+fine as (select doc_id, lang, tok,
+                cast(sum(tok) over (partition by lang order by kx, doc_id
+                     rows between unbounded preceding and current row)
+                     as bigint) as cend
+         from k2)
+select f2.doc_id, f2.lang, f2.tok as n_tokens,
+       cast(al.e + case when f2.cend <= al.rem then 1 else 0 end
+            as bigint) as n_copies
+from fine f2 join al using (lang)
+"""
+
 _ORACLES["corpus_datasheet"] = f"""
 with st as (select doc_id, source, lang,
                    cast(len({_RT}) as bigint) as ntok,
@@ -5650,6 +5760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": q_bloom_decontaminate,
         "unimax_alloc": q_unimax_alloc,
         "unimax_plan": q_unimax_plan,
+        "phrase_tag": q_phrase_tag,
         "crawl_plan": q_crawl_plan,
         "domain_cap": q_domain_cap,
         "lm_quality": q_lm_quality,

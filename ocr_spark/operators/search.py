@@ -187,3 +187,70 @@ def phrase_search(docs: DataFrame, phrase: tuple[str, ...]) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),
         F.min("start").cast("int").alias("first_pos"),
     )
+
+
+def phrase_tag(docs: DataFrame, phrases: DataFrame) -> DataFrame:
+    """Multi-phrase lexicon tagging — the FlashText / Aho-Corasick role
+    (tag every document with every dictionary phrase it contains) done
+    relationally: :func:`phrase_search`'s slot-cover vote generalized
+    from one phrase literal to a whole phrase TABLE.  This is the
+    standard curation tagger for multi-word lexicons (topic lists,
+    phrase blocklists) where :func:`~ocr_spark.operators.quality.
+    c4_badword_filter` handles only single tokens.
+
+    ``phrases``: ``(phrase_id int/bigint, phrase string)``; each phrase
+    is normalized by the SAME analyzer as the documents, so matching is
+    punctuation/case-robust on both sides.  Empty-after-normalization
+    phrases are dropped.
+
+    Semantics: a match is a contiguous occurrence of the phrase's full
+    normalized token sequence; overlapping occurrences all count (same
+    contract as phrase_search).  Output: one row per (document, phrase)
+    with ≥ 1 match — ``doc_id, phrase_id, n_matches, first_pos``.
+
+    Scale shape: the slot table is O(lexicon tokens) and broadcast; doc
+    tokens meet it in an inner broadcast join, so every token outside
+    the lexicon vocabulary dies in the scan stage before any shuffle.
+    Rows (doc_id, phrase_id, start, slot) are unique by construction
+    (pos = start + slot within a phrase), so the slot-cover count is a
+    plain count — never a count(distinct) double shuffle — and both
+    aggregations key on compact ints.  A pathological lexicon sharing
+    one ultra-frequent term across many phrases multiplies occurrences
+    by its slot fan-out; that is the documented cost model (occurrence
+    rows × matching slots), the same as Aho-Corasick's output-link walk.
+    """
+    slots = (
+        phrases.select(
+            F.col("phrase_id").cast("bigint").alias("phrase_id"),
+            norm_tokens(F.col("phrase")).alias("_pt"),
+        )
+        .where(F.size("_pt") > 0)
+        .select(
+            "phrase_id",
+            F.size("_pt").alias("plen"),
+            F.posexplode("_pt").alias("slot", "term"),
+        )
+    )
+    occ = (
+        docs.select(
+            "doc_id",
+            F.posexplode(norm_tokens(F.col("text"))).alias("pos", "term"),
+        )
+        .join(F.broadcast(slots), "term")
+        .select(
+            "doc_id",
+            "phrase_id",
+            "plen",
+            (F.col("pos") - F.col("slot")).alias("start"),
+        )
+    )
+    starts = (
+        occ.where(F.col("start") >= 0)
+        .groupBy("doc_id", "phrase_id", "plen", "start")
+        .agg(F.count(F.lit(1)).alias("n_slots"))
+        .where(F.col("n_slots") == F.col("plen"))
+    )
+    return starts.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.min("start").cast("int").alias("first_pos"),
+    )

@@ -308,6 +308,10 @@ def test_url_queries_survive_strict_codegen(spark):
             "sitemap_seeds",
             "crawl_plan",
             "recrawl_diff",
+            # r2 s6: md5-heavy contamination probe + the UniMax windows
+            "bloom_decontaminate",
+            "unimax_alloc",
+            "unimax_plan",
         ):
             assert q[name](spark, SF).count() > 0
     finally:
