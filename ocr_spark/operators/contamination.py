@@ -140,12 +140,37 @@ def _slice_positions(h, k: int, m: int) -> list:
     ]
 
 
+def bloom_eval_filter(
+    eval_docs: DataFrame, n: int = 4, k: int = 3, m: int = 1 << 20
+) -> DataFrame:
+    """The eval suite compressed to its Bloom position set: ``(pos
+    bigint, _hit 1)`` — at most m distinct ints (m=2^20 ⇒ ≤ 8 MB), the
+    broadcastable dim side of every decontamination probe.  Factored out
+    so long-lived consumers (the streaming path, repeated training
+    sweeps) build it ONCE and persist it instead of re-deriving the eval
+    tokenization per use."""
+    return (
+        with_shingles(eval_docs, n)
+        .select(F.explode("sh").alias("gram"))
+        .distinct()
+        .withColumn("_h", F.md5(F.col("gram").cast("binary")))
+        .select(
+            F.explode(F.array(*_slice_positions(F.col("_h"), k, m))).alias(
+                "pos"
+            )
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+
+
 def bloom_decontaminate(
     train: DataFrame,
-    eval_docs: DataFrame,
+    eval_docs: DataFrame | None = None,
     n: int = 4,
     k: int = 3,
     m: int = 1 << 20,
+    filt: DataFrame | None = None,
 ) -> DataFrame:
     """Bloom-filter benchmark decontamination — the Dolma "bff" shape
     (Soldaini et al. 2024, "Dolma", arXiv:2402.00159; same role as
@@ -172,20 +197,15 @@ def bloom_decontaminate(
     n_hit_grams, contaminated`` (``n_hit_grams`` counts distinct grams
     whose k positions are all set; docs with fewer than ``n`` tokens
     have ``n_grams = 0`` and are never flagged).
+
+    Pass a prebuilt (optionally persisted) ``filt`` from
+    :func:`bloom_eval_filter` to skip the eval-side derivation —
+    ``eval_docs`` is then ignored; one of the two must be given.
     """
-    filt = (
-        with_shingles(eval_docs, n)
-        .select(F.explode("sh").alias("gram"))
-        .distinct()
-        .withColumn("_h", F.md5(F.col("gram").cast("binary")))
-        .select(
-            F.explode(F.array(*_slice_positions(F.col("_h"), k, m))).alias(
-                "pos"
-            )
-        )
-        .distinct()
-        .withColumn("_hit", F.lit(1))
-    )
+    if filt is None and eval_docs is None:
+        raise ValueError("need eval_docs or a prebuilt filt")
+    if filt is None:
+        filt = bloom_eval_filter(eval_docs, n=n, k=k, m=m)
     probe = (
         with_shingles(train, n)
         .select(

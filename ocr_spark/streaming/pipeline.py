@@ -79,6 +79,62 @@ def run_extraction_stream(
     return q
 
 
+def run_decontaminate_stream(
+    spark: SparkSession,
+    input_path: str,
+    eval_docs: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    n: int = 4,
+    k: int = 3,
+    m: int = 1 << 20,
+    await_termination: bool = True,
+):
+    """Streaming benchmark decontamination — the Bloom probe as a
+    stream-static pattern: training documents arrive as a file stream,
+    the eval suite is compressed ONCE into its position filter
+    (:func:`~ocr_spark.operators.contamination.bloom_eval_filter`,
+    ≤ 8 MB) and persisted, and every micro-batch runs the SAME batch
+    operator against that static side via ``foreachBatch`` — one engine,
+    two drivers, identical verdicts (asserted stream==batch in tests).
+
+    This is the shape a 100 TB ingest-time hygiene gate wants: the eval
+    filter is built once per eval-suite release, broadcast to every
+    micro-batch's executors, and the stream never shuffles gram strings
+    (the per-doc verdict aggregation is batch-local).  Idempotence:
+    per-batch ``batch_id=<id>/`` dynamic overwrite, exactly like
+    :func:`run_extraction_stream`.
+    """
+    from ocr_spark.operators.contamination import (
+        bloom_decontaminate,
+        bloom_eval_filter,
+    )
+
+    filt = bloom_eval_filter(eval_docs, n=n, k=k, m=m).persist()
+    filt.count()  # materialize once, before the first trigger
+    src = stream_documents(spark, input_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = bloom_decontaminate(batch_df, n=n, k=k, m=m, filt=filt)
+        out.write.mode("overwrite").parquet(
+            f"{output_path}/batch_id={batch_id}"
+        )
+
+    q = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if await_termination:
+            q.awaitTermination()
+    finally:
+        if await_termination:
+            filt.unpersist()
+    return q
+
+
 def fold_stream_output(
     spark: SparkSession,
     stream_output_path: str,
