@@ -1873,6 +1873,58 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_filter(docs)
 
 
+def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spam mass (operators/graph.py spam_mass — Gyöngyi et al. 2006):
+    PageRank share minus TrustRank share per registered domain over the
+    SAME synthesized link graph as domain_pagerank/domain_trustrank —
+    the canonical link-spam signal composed from the two priors this
+    engine already computes.  Integer micro-unit shares, exact twin =
+    the two unrolled fixed-point twins joined and differenced."""
+    from ocr_spark.functions.url import registered_domain, url_host
+    from ocr_spark.operators.graph import pagerank, spam_mass, trustrank
+
+    t = _docs_with_url(spark, sf_dir).select(
+        "doc_id", registered_domain(url_host(F.col("url"))).alias("domain")
+    )
+    n_docs = t.count()
+    tgt = t.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    ((F.col("doc_id") * 31 + k * 101) % n_docs)
+                    for k in (1, 2, 3)
+                ]
+            )
+        ).alias("dst_doc"),
+    )
+    edges = (
+        tgt.join(t.select("doc_id", F.col("domain").alias("src")), "doc_id")
+        .join(
+            t.select(
+                F.col("doc_id").alias("dst_doc"),
+                F.col("domain").alias("dst"),
+            ),
+            "dst_doc",
+        )
+        .select("src", "dst")
+    )
+    seeds = (
+        t.select(F.col("domain").alias("node"))
+        .where(
+            F.col("node").endswith(".org") | F.col("node").endswith(".gov.uk")
+        )
+        .distinct()
+    )
+    return spam_mass(pagerank(edges), trustrank(edges, seeds)).select(
+        F.col("node").alias("domain"),
+        "pr_micro",
+        "tr_micro",
+        "mass_micro",
+        "rel_mass",
+    )
+
+
 def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level PageRank (operators/graph.py pagerank): the link-graph
     quality prior over the registered-domain graph.  Links are synthesized
@@ -4753,6 +4805,28 @@ from flagged group by doc_id
 
 _url_sqls()
 
+# spam_mass twin: the two unrolled fixed-point twins as nested CTEs,
+# L1-normalized to integer micro shares with the same exact `//`
+# division, then differenced; only the audit ratio is float (round 6).
+_ORACLES["spam_mass"] = f"""
+with pr as ({_ORACLES["domain_pagerank"]}),
+tr as ({_ORACLES["domain_trustrank"]}),
+tp as (select sum(rank) as v from pr),
+tt as (select sum(rank) as v from tr),
+j as (select pr.domain as domain,
+             cast(pr.rank * 1000000 // (select v from tp) as bigint)
+                 as pr_micro,
+             cast(coalesce(tr.rank, 0) * 1000000 // (select v from tt)
+                  as bigint) as tr_micro
+      from pr left join tr on pr.domain = tr.domain)
+select domain, pr_micro, tr_micro,
+       pr_micro - tr_micro as mass_micro,
+       case when pr_micro = 0 then 0.0
+            else round(cast(pr_micro - tr_micro as double) / pr_micro, 6)
+            end as rel_mass
+from j
+"""
+
 # dedup_canonical twin: the recursive-CTE components closure joined with
 # the n_chars score, best row per cluster under the same (score desc,
 # doc_id asc) order
@@ -5761,6 +5835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_alloc": q_unimax_alloc,
         "unimax_plan": q_unimax_plan,
         "phrase_tag": q_phrase_tag,
+        "spam_mass": q_spam_mass,
         "crawl_plan": q_crawl_plan,
         "domain_cap": q_domain_cap,
         "lm_quality": q_lm_quality,

@@ -485,3 +485,57 @@ def hits(
             "hub",
         )
     return hub.join(auth, "node")
+
+
+def spam_mass(pr: DataFrame, tr: DataFrame, micro: int = 1_000_000) -> DataFrame:
+    """Spam mass (Gyöngyi, Berkhin, Garcia-Molina & Pedersen 2006, "Link
+    Spam Detection Based on Mass Estimation") — the fraction of a node's
+    PageRank NOT accounted for by trusted sources: nodes whose rank comes
+    from link farms score high, trusted-neighborhood nodes near (or
+    below) zero.  The standard composition of the two priors this module
+    already computes: ``mass = PR − TR`` after putting both vectors on a
+    common scale.
+
+    Integer contract: both inputs are the exact-bigint ``(node, rank)``
+    fixed points; each is L1-normalized to per-node SHARES in
+    ``micro``-units (``rank * micro div sum(rank)``, exact bigint
+    division — fits while ``sum(rank) * micro < 2^63``, i.e. graphs up to
+    ~9×10^12 rank-units at the default scales; raise ``scale`` down or
+    ``micro`` down for larger graphs).  ``mass_micro`` is then an exact
+    bigint difference — negative for nodes trusted ABOVE their raw rank —
+    and only the audit ratio ``rel_mass`` (mass/pr share, round 6) is
+    float, computed identically in both engines.
+
+    Output: ``node, pr_micro, tr_micro, mass_micro, rel_mass``, one row
+    per PageRank node (missing trust ⇒ 0).  Scale shape: two dims-sized
+    scalar aggregates cross-joined onto a node-keyed projection — nothing
+    data-scaled beyond the fixed points themselves.
+    """
+    tot_pr = pr.agg(F.sum("rank").alias("_tp"))
+    tot_tr = tr.agg(F.sum("rank").alias("_tt"))
+    j = (
+        pr.select("node", F.col("rank").alias("_pr"))
+        .join(tr.select("node", F.col("rank").alias("_tr")), "node", "left")
+        .crossJoin(F.broadcast(tot_pr))
+        .crossJoin(F.broadcast(tot_tr))
+        .select(
+            "node",
+            F.expr(f"_pr * {int(micro)} div _tp").alias("pr_micro"),
+            F.expr(
+                f"coalesce(_tr, 0L) * {int(micro)} div _tt"
+            ).alias("tr_micro"),
+        )
+    )
+    return j.select(
+        "node",
+        "pr_micro",
+        "tr_micro",
+        (F.col("pr_micro") - F.col("tr_micro")).alias("mass_micro"),
+        F.when(F.col("pr_micro") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.col("pr_micro") - F.col("tr_micro")) / F.col("pr_micro"), 6
+            )
+        )
+        .alias("rel_mass"),
+    )

@@ -316,3 +316,34 @@ def test_trustrank_no_seeds_in_graph_is_all_zero(spark):
     sd = spark.createDataFrame([(42,)], "node bigint")
     got = {r["node"]: r["rank"] for r in trustrank(e, sd).collect()}
     assert got == {1: 0, 2: 0}
+
+
+def test_spam_mass_separates_farm_from_trusted(spark):
+    """spam_mass = PR share − TR share (micro-units): the unreachable
+    self-linking farm carries ALL of its pagerank as spam mass
+    (rel_mass = 1.0, since its trust is exactly zero), the trusted
+    triangle's mass is negative or near zero, and the micro shares are
+    internally consistent."""
+    from ocr_spark.operators.graph import pagerank, spam_mass, trustrank
+
+    trusted = [(1, 2), (2, 3), (3, 1)]
+    farm = [(a, b) for a in (10, 11, 12) for b in (10, 11, 12) if a != b]
+    e = spark.createDataFrame(trusted + farm, "src bigint, dst bigint")
+    sd = spark.createDataFrame([(1,)], "node bigint")
+    rows = {
+        r["node"]: r
+        for r in spam_mass(pagerank(e), trustrank(e, sd)).collect()
+    }
+    assert set(rows) == {1, 2, 3, 10, 11, 12}
+    for n in (10, 11, 12):
+        assert rows[n]["tr_micro"] == 0
+        assert rows[n]["mass_micro"] == rows[n]["pr_micro"] > 0
+        assert rows[n]["rel_mass"] == 1.0
+    for n in (1, 2, 3):
+        # trusted nodes hold a larger share of trust than of raw rank
+        assert rows[n]["mass_micro"] < 0 and rows[n]["rel_mass"] < 0
+    for r in rows.values():
+        assert r["mass_micro"] == r["pr_micro"] - r["tr_micro"]
+    # shares are L1-normalized: each vector sums to ~1e6 (floor slack)
+    assert 1_000_000 - 6 <= sum(r["pr_micro"] for r in rows.values()) <= 1_000_000
+    assert 1_000_000 - 6 <= sum(r["tr_micro"] for r in rows.values()) <= 1_000_000
