@@ -1925,6 +1925,47 @@ def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (operators/graph.py
+    label_propagation — Raghavan et al. 2007) over the SAME synthesized
+    registered-domain link graph: 5 synchronous deterministic rounds,
+    (count desc, label asc) ties — splits link communities that
+    connected components cannot.  Twin = the same rounds unrolled with a
+    row_number argmax."""
+    from ocr_spark.functions.url import registered_domain, url_host
+    from ocr_spark.operators.graph import label_propagation
+
+    t = _docs_with_url(spark, sf_dir).select(
+        "doc_id", registered_domain(url_host(F.col("url"))).alias("domain")
+    )
+    n_docs = t.count()
+    tgt = t.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    ((F.col("doc_id") * 31 + k * 101) % n_docs)
+                    for k in (1, 2, 3)
+                ]
+            )
+        ).alias("dst_doc"),
+    )
+    edges = (
+        tgt.join(t.select("doc_id", F.col("domain").alias("src")), "doc_id")
+        .join(
+            t.select(
+                F.col("doc_id").alias("dst_doc"),
+                F.col("domain").alias("dst"),
+            ),
+            "dst_doc",
+        )
+        .select("src", "dst")
+    )
+    return label_propagation(edges, n_iter=5).select(
+        F.col("node").alias("domain"), "community", "community_size"
+    )
+
+
 def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level PageRank (operators/graph.py pagerank): the link-graph
     quality prior over the registered-domain graph.  Links are synthesized
@@ -4764,6 +4805,45 @@ select h.node as domain, h.hub, a.auth
 from hh8 h join ha8 a on h.node = a.node
 """
 
+    # domain_communities twin: 5 unrolled SYNCHRONOUS label-propagation
+    # rounds over the same synthesized edge set — per round a neighbor
+    # label histogram and a (count desc, label asc) row_number argmax,
+    # no-neighbor nodes coalesce to their own id (graph.py
+    # label_propagation's determinism contract, mirrored exactly).
+    lpa_iters = ""
+    for i in range(1, 6):
+        p = f"l{i - 1}"
+        lpa_iters += f""",
+h{i} as (select und.u, {p}.label, count(*) as c
+         from und join {p} on und.v = {p}.node
+         group by und.u, {p}.label),
+b{i} as (select u as node, label from (
+           select u, label, row_number() over (partition by u
+                order by c desc, label asc) as rn from h{i}) q
+         where rn = 1),
+l{i} as materialized (select n.node, coalesce(b.label, n.node) as label
+         from lnodes n left join b{i} b using (node))"""
+    _ORACLES["domain_communities"] = f"""
+with {dom_ctes},
+tgt as (select d.doc_id,
+               (d.doc_id * 31 + k.k * 101)
+                   % (select count(*) from documents) as dst_doc
+        from documents d, (values (1), (2), (3)) as k(k)),
+raw_edges as materialized (select distinct s.domain as src, t.domain as dst
+             from tgt join dom s using (doc_id)
+             join dom t on tgt.dst_doc = t.doc_id),
+und as materialized (select src as u, dst as v from raw_edges
+                     where src <> dst
+                     union
+                     select dst, src from raw_edges where src <> dst),
+lnodes as materialized (select src as node from raw_edges
+                        union select dst from raw_edges),
+l0 as (select node, node as label from lnodes){lpa_iters}
+select l5.node as domain, l5.label as community, s.community_size
+from l5 join (select label, cast(count(*) as bigint) as community_size
+              from l5 group by label) s using (label)
+"""
+
     # line_dedup twin: domain-scoped repeated-line boilerplate removal
     # (dedup.py line_boilerplate_filter) over the planted chrome lines —
     # same synthesis ((c)-header / footer / doc_id%97 rare line), same
@@ -5836,6 +5916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_plan": q_unimax_plan,
         "phrase_tag": q_phrase_tag,
         "spam_mass": q_spam_mass,
+        "domain_communities": q_domain_communities,
         "crawl_plan": q_crawl_plan,
         "domain_cap": q_domain_cap,
         "lm_quality": q_lm_quality,

@@ -539,3 +539,79 @@ def spam_mass(pr: DataFrame, tr: DataFrame, micro: int = 1_000_000) -> DataFrame
         )
         .alias("rel_mass"),
     )
+
+
+def label_propagation(
+    edges: DataFrame, n_iter: int = 5
+) -> DataFrame:
+    """Synchronous label propagation communities (Raghavan et al. 2007)
+    over an undirected view of the edge list — the standard cheap
+    community detector for host/domain graphs (a connected component can
+    contain several link communities; LPA splits them where
+    ``connected_components`` cannot).
+
+    Determinism contract (the stock algorithm is famously order-
+    dependent; this one is exact): SYNCHRONOUS rounds — every node
+    updates from the previous round's labels — and ties on the neighbor
+    label histogram break by ``(count desc, label asc)``; isolated
+    self-loop-only nodes keep their own label.  A fixed ``n_iter``
+    rounds (default 5), so the result is a pure function of the edge
+    set, bit-identical across partitionings and engines — the DuckDB
+    twin unrolls the same rounds with a ``row_number`` argmax.
+
+    Output: ``node, community, community_size`` — community = the
+    converged label (a node id), one row per node.
+
+    Scale shape: per round one (dst → label) hash join + one
+    (node, label) count + one per-node argmax via ``max_by`` struct
+    ordering — all shuffles keyed on node/domain strings, uniform;
+    lineage truncated per round with ``localCheckpoint`` (the module
+    discipline, see ``pagerank``).
+    """
+    e = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .union(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+            .where(F.col("u") != F.col("v"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    lab = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(n_iter):
+        hist = (
+            e.join(lab, e["v"] == lab["node"])
+            .groupBy(F.col("u"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax (count desc, label asc) via min of (-c, label) struct
+        best = (
+            hist.groupBy("u")
+            .agg(
+                F.min(F.struct((-F.col("c")).alias("nc"), "label")).alias(
+                    "_b"
+                )
+            )
+            .select(F.col("u").alias("node"), F.col("_b.label").alias("label"))
+        )
+        lab = (
+            nodes.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("label"), F.col("node")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    sizes = lab.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return lab.join(sizes, "label").select(
+        "node", F.col("label").alias("community"), "community_size"
+    )

@@ -347,3 +347,73 @@ def test_spam_mass_separates_farm_from_trusted(spark):
     # shares are L1-normalized: each vector sums to ~1e6 (floor slack)
     assert 1_000_000 - 6 <= sum(r["pr_micro"] for r in rows.values()) <= 1_000_000
     assert 1_000_000 - 6 <= sum(r["tr_micro"] for r in rows.values()) <= 1_000_000
+
+
+def _lpa_model(edges, n_iter=5):
+    """Driver-side synchronous LPA mirroring graph.py label_propagation:
+    per round every node takes the (count desc, label asc) argmax of its
+    PREVIOUS-round neighbor labels; no neighbors → own id."""
+    from collections import Counter
+
+    und = {}
+    for s, d in edges:
+        if s != d:
+            und.setdefault(s, []).append(d)
+            und.setdefault(d, []).append(s)
+    for n in und:
+        und[n] = sorted(set(und[n]))
+    nodes = sorted({x for e in edges for x in e})
+    lab = {n: n for n in nodes}
+    for _ in range(n_iter):
+        new = {}
+        for n in nodes:
+            nb = [lab[v] for v in und.get(n, [])]
+            if not nb:
+                new[n] = n
+            else:
+                cnt = Counter(nb)
+                new[n] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lab = new
+    return lab
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # two cliques + one bridge — communities must NOT merge
+        [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a < b]
+        + [(a, b) for a in (10, 11, 12) for b in (10, 11, 12) if a < b]
+        + [(3, 10)],
+        # chain
+        [(1, 2), (2, 3), (3, 4), (4, 5)],
+        # star
+        [(1, k) for k in range(2, 8)],
+        # messy: duplicates, self-loops, both directions
+        [(1, 1), (1, 2), (2, 1), (2, 3), (2, 3), (5, 5)],
+    ],
+)
+def test_label_propagation_matches_sync_model(spark, edges):
+    from ocr_spark.operators.graph import label_propagation
+
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(e, n_iter=5).collect()
+    }
+    assert got == _lpa_model(edges, n_iter=5)
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    from ocr_spark.operators.graph import label_propagation
+
+    edges = (
+        [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+        + [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+        + [(4, 10)]
+    )
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    rows = {r["node"]: r for r in label_propagation(e).collect()}
+    c_lo = {rows[n]["community"] for n in (1, 2, 3, 4)}
+    c_hi = {rows[n]["community"] for n in (10, 11, 12, 13)}
+    assert len(c_lo) == 1 and len(c_hi) == 1 and c_lo != c_hi
+    assert rows[1]["community_size"] == 4 and rows[10]["community_size"] == 4
