@@ -1966,6 +1966,50 @@ def q_domain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-structure spam features (operators/graph.py link_features —
+    Becchetti et al. 2008): degrees, reciprocity share, self-linking per
+    registered domain over the same synthesized graph — the feature
+    block that feeds the per-domain prior alongside pagerank/spam_mass."""
+    from ocr_spark.functions.url import registered_domain, url_host
+    from ocr_spark.operators.graph import link_features
+
+    t = _docs_with_url(spark, sf_dir).select(
+        "doc_id", registered_domain(url_host(F.col("url"))).alias("domain")
+    )
+    n_docs = t.count()
+    tgt = t.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    ((F.col("doc_id") * 31 + k * 101) % n_docs)
+                    for k in (1, 2, 3)
+                ]
+            )
+        ).alias("dst_doc"),
+    )
+    edges = (
+        tgt.join(t.select("doc_id", F.col("domain").alias("src")), "doc_id")
+        .join(
+            t.select(
+                F.col("doc_id").alias("dst_doc"),
+                F.col("domain").alias("dst"),
+            ),
+            "dst_doc",
+        )
+        .select("src", "dst")
+    )
+    return link_features(edges).select(
+        F.col("node").alias("domain"),
+        "out_deg",
+        "in_deg",
+        "n_recip",
+        "recip_micro",
+        "self_loop",
+    )
+
+
 def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level PageRank (operators/graph.py pagerank): the link-graph
     quality prior over the registered-domain graph.  Links are synthesized
@@ -4844,6 +4888,41 @@ from l5 join (select label, cast(count(*) as bigint) as community_size
               from l5 group by label) s using (label)
 """
 
+    # link_features twin: degrees/reciprocity/self-loop over the same
+    # deduped edge set; integral reciprocity share via `//`.
+    _ORACLES["link_features"] = f"""
+with {dom_ctes},
+tgt as (select d.doc_id,
+               (d.doc_id * 31 + k.k * 101)
+                   % (select count(*) from documents) as dst_doc
+        from documents d, (values (1), (2), (3)) as k(k)),
+raw_edges as materialized (select distinct s.domain as src, t.domain as dst
+             from tgt join dom s using (doc_id)
+             join dom t on tgt.dst_doc = t.doc_id),
+e as materialized (select src, dst from raw_edges where src <> dst),
+nodes as (select src as node from raw_edges
+          union select dst from raw_edges),
+od as (select src as node, cast(count(*) as bigint) as out_deg
+       from e group by src),
+idg as (select dst as node, cast(count(*) as bigint) as in_deg
+        from e group by dst),
+rc as (select e1.src as node, cast(count(*) as bigint) as n_recip
+       from e e1 join e e2 on e1.src = e2.dst and e1.dst = e2.src
+       group by e1.src),
+sl as (select distinct src as node, true as self_loop
+       from raw_edges where src = dst)
+select n.node as domain,
+       coalesce(od.out_deg, 0) as out_deg,
+       coalesce(idg.in_deg, 0) as in_deg,
+       coalesce(rc.n_recip, 0) as n_recip,
+       cast(case when coalesce(od.out_deg, 0) = 0 then 0
+            else coalesce(rc.n_recip, 0) * 1000000 // od.out_deg end
+            as bigint) as recip_micro,
+       coalesce(sl.self_loop, false) as self_loop
+from nodes n left join od using (node) left join idg using (node)
+left join rc using (node) left join sl using (node)
+"""
+
     # line_dedup twin: domain-scoped repeated-line boilerplate removal
     # (dedup.py line_boilerplate_filter) over the planted chrome lines —
     # same synthesis ((c)-header / footer / doc_id%97 rare line), same
@@ -5917,6 +5996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_tag": q_phrase_tag,
         "spam_mass": q_spam_mass,
         "domain_communities": q_domain_communities,
+        "link_features": q_link_features,
         "crawl_plan": q_crawl_plan,
         "domain_cap": q_domain_cap,
         "lm_quality": q_lm_quality,

@@ -134,7 +134,7 @@ def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
         "reading_order", "line_dedup", "domain_trustrank",
         # round-2 session 5
         "domain_hits", "winnow_overlap", "bloom_decontaminate",
-        "unimax_plan", "phrase_tag", "spam_mass", "domain_communities",
+        "unimax_plan", "phrase_tag", "spam_mass", "domain_communities", "link_features",
     ]
     # Per-workload scan tuning (the conf is runtime-settable): thin
     # TPC-H-ish tables are scan-bound and want the vectorized reader's

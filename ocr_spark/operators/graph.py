@@ -615,3 +615,70 @@ def label_propagation(
     return lab.join(sizes, "label").select(
         "node", F.col("label").alias("community"), "community_size"
     )
+
+
+def link_features(edges: DataFrame) -> DataFrame:
+    """Per-node link-structure features — the classic web-spam feature
+    block (Becchetti et al. 2008, "Link Analysis for Web Spam
+    Detection"): degrees, reciprocity, and self-linking.  Link farms
+    show extreme reciprocity (everyone links back) and near-zero
+    organic in-links; these features feed the same per-domain prior
+    table as ``pagerank``/``spam_mass``.
+
+    Output per node (every src or dst in the edge list): ``node,
+    out_deg, in_deg, n_recip (distinct out-neighbors that link back),
+    recip_micro (n_recip·10^6 div out_deg, 0 for dangling), self_loop
+    boolean``.  All-integer except nothing — hash-exact by construction.
+
+    Scale shape: one distinct + three (node)-keyed aggregates and a
+    self-join on the deduped edge set for reciprocity — every shuffle is
+    keyed on the node/domain, uniform, O(edges).
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("out_deg")
+    )
+    in_deg = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("in_deg")
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = (
+        e.join(rev, ["src", "dst"])
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_recip"))
+    )
+    selfs = (
+        edges.where(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("_self", F.lit(True))
+    )
+    return (
+        nodes.join(out_deg, "node", "left")
+        .join(in_deg, "node", "left")
+        .join(recip, "node", "left")
+        .join(selfs, "node", "left")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).cast("bigint").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("bigint").alias("in_deg"),
+            F.coalesce("n_recip", F.lit(0)).cast("bigint").alias("n_recip"),
+            F.when(F.coalesce("out_deg", F.lit(0)) == 0, F.lit(0))
+            .otherwise(
+                F.expr("coalesce(n_recip, 0) * 1000000 div out_deg")
+            )
+            .cast("bigint")
+            .alias("recip_micro"),
+            F.coalesce("_self", F.lit(False)).alias("self_loop"),
+        )
+    )

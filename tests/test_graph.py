@@ -417,3 +417,38 @@ def test_label_propagation_splits_bridged_cliques(spark):
     c_hi = {rows[n]["community"] for n in (10, 11, 12, 13)}
     assert len(c_lo) == 1 and len(c_hi) == 1 and c_lo != c_hi
     assert rows[1]["community_size"] == 4 and rows[10]["community_size"] == 4
+
+
+def test_link_features_exact_small_graph(spark):
+    from ocr_spark.operators.graph import link_features
+
+    edges = [
+        (1, 2), (2, 1),          # reciprocal pair
+        (1, 3),                  # one-way
+        (3, 3),                  # self loop (excluded from degrees)
+        (4, 1), (1, 2),          # duplicate edge collapses
+    ]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"]: r.asDict() for r in link_features(e).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert (got[1]["out_deg"], got[1]["in_deg"], got[1]["n_recip"]) == (2, 2, 1)
+    assert got[1]["recip_micro"] == 500000
+    assert (got[2]["out_deg"], got[2]["n_recip"], got[2]["recip_micro"]) == (1, 1, 1000000)
+    assert got[3]["self_loop"] is True and got[3]["out_deg"] == 0
+    assert got[3]["recip_micro"] == 0  # dangling after self-loop drop
+    assert got[4]["in_deg"] == 0 and got[4]["out_deg"] == 1
+    assert not got[1]["self_loop"] and not got[4]["self_loop"]
+
+
+def test_link_features_farm_reciprocity(spark):
+    """A full clique (the farm) hits recip_micro = 1e6 on every node;
+    a star's center gets zero reciprocity."""
+    from ocr_spark.operators.graph import link_features
+
+    farm = [(a, b) for a in (10, 11, 12) for b in (10, 11, 12) if a != b]
+    star = [(1, k) for k in (2, 3, 4)]
+    e = spark.createDataFrame(farm + star, "src bigint, dst bigint")
+    got = {r["node"]: r.asDict() for r in link_features(e).collect()}
+    for n in (10, 11, 12):
+        assert got[n]["recip_micro"] == 1000000
+    assert got[1]["recip_micro"] == 0 and got[1]["out_deg"] == 3
