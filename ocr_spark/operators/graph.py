@@ -507,23 +507,33 @@ def spam_mass(pr: DataFrame, tr: DataFrame, micro: int = 1_000_000) -> DataFrame
     float, computed identically in both engines.
 
     Output: ``node, pr_micro, tr_micro, mass_micro, rel_mass``, one row
-    per PageRank node (missing trust ⇒ 0).  Scale shape: two dims-sized
-    scalar aggregates cross-joined onto a node-keyed projection — nothing
-    data-scaled beyond the fixed points themselves.
+    per PageRank node (missing trust ⇒ 0).  Scale shape: the totals are
+    global windows over the dims-sized node frame (deliberate single
+    partition, like the UniMax water-fill) — nothing data-scaled beyond
+    the fixed points themselves, and no scalar cross join (which would
+    compile to a nested-loop broadcast and trip the NLJ plan gate).
     """
-    tot_pr = pr.agg(F.sum("rank").alias("_tp"))
-    tot_tr = tr.agg(F.sum("rank").alias("_tt"))
+    from pyspark.sql.window import Window
+
+    # global-window totals over the dims-sized node frame — NOT a scalar
+    # cross join, which would compile to a BroadcastNestedLoopJoin and
+    # trip the whole-surface NLJ plan gate; both fixed points emit every
+    # node, so the totals over the left-joined frame are the vector sums.
+    wall = Window.partitionBy()
     j = (
         pr.select("node", F.col("rank").alias("_pr"))
         .join(tr.select("node", F.col("rank").alias("_tr")), "node", "left")
-        .crossJoin(F.broadcast(tot_pr))
-        .crossJoin(F.broadcast(tot_tr))
+        .select(
+            "node",
+            "_pr",
+            F.coalesce(F.col("_tr"), F.lit(0)).cast("bigint").alias("_tr"),
+        )
+        .withColumn("_tp", F.sum("_pr").over(wall))
+        .withColumn("_tt", F.sum("_tr").over(wall))
         .select(
             "node",
             F.expr(f"_pr * {int(micro)} div _tp").alias("pr_micro"),
-            F.expr(
-                f"coalesce(_tr, 0L) * {int(micro)} div _tt"
-            ).alias("tr_micro"),
+            F.expr(f"_tr * {int(micro)} div _tt").alias("tr_micro"),
         )
     )
     return j.select(
