@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ocr_spark.functions.text import norm_tokens
 
@@ -192,65 +193,98 @@ def phrase_search(docs: DataFrame, phrase: tuple[str, ...]) -> DataFrame:
 def phrase_tag(docs: DataFrame, phrases: DataFrame) -> DataFrame:
     """Multi-phrase lexicon tagging — the FlashText / Aho-Corasick role
     (tag every document with every dictionary phrase it contains) done
-    relationally: :func:`phrase_search`'s slot-cover vote generalized
-    from one phrase literal to a whole phrase TABLE.  This is the
-    standard curation tagger for multi-word lexicons (topic lists,
-    phrase blocklists) where :func:`~ocr_spark.operators.quality.
-    c4_badword_filter` handles only single tokens.
+    relationally, with the **rarest-term anchor** optimization that
+    makes it survive common-word lexicons: for each phrase ONE anchor
+    slot is chosen — the slot whose term has the lowest corpus document
+    frequency (ties: lowest slot) — token occurrences join only that
+    anchor, and every candidate start is verified by an exact array
+    slice against the phrase's token sequence.  This is the standard
+    grep-literal trick (pick the rarest literal, verify around it): a
+    first cut that joined tokens to EVERY slot fanned out by
+    |occurrences| × |slots sharing the term| and ran ~100× slower on a
+    1M-doc probe whose lexicon contained common words (BENCH notes).
 
     ``phrases``: ``(phrase_id int/bigint, phrase string)``; each phrase
-    is normalized by the SAME analyzer as the documents, so matching is
-    punctuation/case-robust on both sides.  Empty-after-normalization
-    phrases are dropped.
+    is normalized by the SAME analyzer as the documents.  Empty-after-
+    normalization phrases are dropped.  Matching counts overlapping
+    occurrences (same contract as :func:`phrase_search`).
 
-    Semantics: a match is a contiguous occurrence of the phrase's full
-    normalized token sequence; overlapping occurrences all count (same
-    contract as phrase_search).  Output: one row per (document, phrase)
-    with ≥ 1 match — ``doc_id, phrase_id, n_matches, first_pos``.
+    Output: one row per (document, phrase) with ≥ 1 match — ``doc_id,
+    phrase_id, n_matches, first_pos``.
 
-    Scale shape: the slot table is O(lexicon tokens) and broadcast; doc
-    tokens meet it in an inner broadcast join, so every token outside
-    the lexicon vocabulary dies in the scan stage before any shuffle.
-    Rows (doc_id, phrase_id, start, slot) are unique by construction
-    (pos = start + slot within a phrase), so the slot-cover count is a
-    plain count — never a count(distinct) double shuffle — and both
-    aggregations key on compact ints.  A pathological lexicon sharing
-    one ultra-frequent term across many phrases multiplies occurrences
-    by its slot fan-out; that is the documented cost model (occurrence
-    rows × matching slots), the same as Aho-Corasick's output-link walk.
+    Scale shape: one corpus term-frequency aggregate builds the anchor
+    table (model-side, O(tokens) with map-side partial agg); the anchor
+    table and the phrase token arrays are lexicon-sized broadcasts; the
+    only data-scaled shuffle is the doc_id-keyed verify join, whose
+    probe side is bounded by the anchors' corpus frequency — a phrase
+    made ENTIRELY of stopwords still degrades to its least-common
+    stopword's frequency, the documented worst case.
     """
-    slots = (
-        phrases.select(
-            F.col("phrase_id").cast("bigint").alias("phrase_id"),
-            norm_tokens(F.col("phrase")).alias("_pt"),
-        )
-        .where(F.size("_pt") > 0)
-        .select(
-            "phrase_id",
-            F.size("_pt").alias("plen"),
-            F.posexplode("_pt").alias("slot", "term"),
-        )
+    toks_df = docs.select(
+        "doc_id", norm_tokens(F.col("text")).alias("_toks")
+    )
+    pt = phrases.select(
+        F.col("phrase_id").cast("bigint").alias("phrase_id"),
+        norm_tokens(F.col("phrase")).alias("_pt"),
+    ).where(F.size("_pt") > 0)
+    terms = pt.select(
+        "phrase_id",
+        F.size("_pt").alias("plen"),
+        F.posexplode("_pt").alias("slot", "term"),
+    )
+    term_df = (
+        toks_df.select(F.explode("_toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    w = Window.partitionBy("phrase_id").orderBy("_dfc", "slot")
+    anchors = (
+        terms.join(term_df, "term", "left")
+        .withColumn("_dfc", F.coalesce(F.col("_df"), F.lit(0)))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("phrase_id", "plen", "slot", "term")
     )
     occ = (
-        docs.select(
-            "doc_id",
-            F.posexplode(norm_tokens(F.col("text"))).alias("pos", "term"),
+        toks_df.select(
+            "doc_id", F.posexplode("_toks").alias("pos", "term")
         )
-        .join(F.broadcast(slots), "term")
+        .join(F.broadcast(anchors), "term")
         .select(
             "doc_id",
             "phrase_id",
             "plen",
             (F.col("pos") - F.col("slot")).alias("start"),
         )
+        .where(F.col("start") >= 0)
     )
-    starts = (
-        occ.where(F.col("start") >= 0)
+    # verify WITHOUT shuffling token arrays (a slice-verify join on
+    # toks_df GCLocker-crashed a 1M-doc probe — arrays duplicated per
+    # candidate): explode each candidate into its plen expected
+    # (pos, term) cells and equijoin the narrow (doc_id, pos, term)
+    # token table — (doc_id, pos) is unique there, so no fan-out, and
+    # a candidate with all plen cells matched is a verified occurrence.
+    cslots = occ.join(
+        F.broadcast(terms.select("phrase_id", "slot", "term")), "phrase_id"
+    ).select(
+        "doc_id",
+        "phrase_id",
+        "plen",
+        "start",
+        (F.col("start") + F.col("slot")).alias("pos"),
+        "term",
+    )
+    tokpos = toks_df.select(
+        "doc_id", F.posexplode("_toks").alias("pos", "term")
+    )
+    return (
+        cslots.join(tokpos, ["doc_id", "pos", "term"])
         .groupBy("doc_id", "phrase_id", "plen", "start")
-        .agg(F.count(F.lit(1)).alias("n_slots"))
-        .where(F.col("n_slots") == F.col("plen"))
-    )
-    return starts.groupBy("doc_id", "phrase_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
-        F.min("start").cast("int").alias("first_pos"),
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") == F.col("plen"))
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+            F.min("start").cast("int").alias("first_pos"),
+        )
     )
