@@ -1367,6 +1367,43 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_spans(docs)
 
 
+# Table fixture (html_tables): depends only on doc_id and is valid Spark
+# SQL AND DuckDB SQL verbatim.  Branches: th header row inside <thead>
+# (section wrappers must not perturb row numbering), inline tag + entity
+# in cells, attribute'd cells, `</td >` spaced close, colspan (ignored —
+# col_idx counts elements), <br> inside a cell (→ space), a conditional
+# CAPS table with an empty first cell (case-insensitivity + empty-string
+# cell + per-doc table-count variation), a comment-wrapped ghost table,
+# and prose outside tables (ignored).
+_TABLES_SYNTH = """concat(
+ '<html><body><h1>Report ', cast(doc_id % 50 as string), '</h1>',
+ '<p>Not a table: inline numbers ', cast(doc_id % 97 as string), '.</p>',
+ '<table class="data"><thead><tr><th>Item</th>',
+ '<th scope="col">Qty &amp; Cost</th></tr></thead><tbody>',
+ '<tr><td class="nm">Widget <b>', cast(doc_id % 10 as string),
+ '</b></td><td>', cast(doc_id % 97 as string), '.50</td ></tr>',
+ '<tr><td colspan="2">Total &lt;net&gt;  for<br>order ',
+ cast(doc_id % 200 as string), '</td></tr></tbody></table>',
+ case when doc_id % 3 = 0
+      then concat('<TABLE><TR><TD></TD><TD>caps ',
+                  cast(doc_id % 7 as string), '</TD></TR></TABLE>')
+      else '' end,
+ '<!-- <table><tr><td>ghost</td></tr></table> -->',
+ '<p>Trailing prose.</p></body></html>')"""
+
+
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured table extraction (operators/html.py html_tables): the
+    data-table leg of main-content extraction — synthesized web pages →
+    one row per cell (table_idx, row_idx, col_idx, is_header, cell),
+    section wrappers traversed, comments stripped first.  Zero-shuffle:
+    three posexplode stages in one narrow scan partition."""
+    from ocr_spark.operators.html import html_tables
+
+    docs = _docs(spark, sf_dir).withColumn("html", F.expr(_TABLES_SYNTH))
+    return html_tables(docs.select("doc_id", "html"))
+
+
 def q_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-style overlapping sliding-window chunking
     (operators/packing.py sliding_chunks): 16-token windows, stride 12
@@ -4432,6 +4469,37 @@ select dst_domain, term, cast(count(*) as bigint) as n_mentions,
        cast(count(distinct src_domain) as bigint) as n_src_domains
 from tx group by dst_domain, term
 """
+    # html_tables twin: same TABLE/TR/CELL/TH constants; three parallel
+    # unnest+range levels for Spark's posexplode ladder; cell
+    # normalization via the same hnorm chain as the other html twins.
+    _ORACLES["html_tables"] = f"""
+with pg as (select doc_id, {_TABLES_SYNTH} as html from documents),
+tb as (select doc_id,
+              regexp_extract_all(
+                  regexp_replace(html, '{hsq(H.COMMENT_RE)}', ' ', 'g'),
+                  '{hsq(H.TABLE_RE)}') as ts
+       from pg),
+tx as (select doc_id,
+              cast(unnest(range(0, len(ts))) as int) as table_idx,
+              unnest(ts) as tbl
+       from tb),
+rw0 as (select doc_id, table_idx,
+               regexp_extract_all(tbl, '{hsq(H.TR_RE)}') as rs from tx),
+rw as (select doc_id, table_idx,
+              cast(unnest(range(0, len(rs))) as int) as row_idx,
+              unnest(rs) as rh
+       from rw0),
+cl0 as (select doc_id, table_idx, row_idx,
+               regexp_extract_all(rh, '{hsq(H.CELL_RE)}') as cs from rw),
+cl as (select doc_id, table_idx, row_idx,
+              cast(unnest(range(0, len(cs))) as int) as col_idx,
+              unnest(cs) as ch
+       from cl0)
+select doc_id, table_idx, row_idx, col_idx,
+       regexp_matches(ch, '{hsq(H.TH_OPEN_RE)}') as is_header,
+       {hnorm('ch')} as cell
+from cl
+"""
     # frontier_plan twin: same md5 order key, same (host, bucket) window,
     # same slot arithmetic (// = Spark floor-div on exact small ints).
     fp_host, fp_buckets = 2, 8
@@ -5974,6 +6042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_stack": q_quality_stack,
         "quality_full": q_quality_full,
         "html_extract": q_html_extract,
+        "html_tables": q_html_tables,
         "html_links": q_html_links,
         "link_edges": q_link_edges,
         "anchor_terms": q_anchor_terms,

@@ -150,6 +150,25 @@ OG_IMAGE_RE = (
 )
 
 
+# --- table extraction constants (html_tables; twin in __spark_entry__) ----
+
+# One table ELEMENT per match.  `\b` keeps `<table` from matching nothing
+# longer (no standard tag extends it) but guards attribute forms; the
+# non-greedy body means a NESTED table closes the outer match at the inner
+# `</table>` (documented limitation, shared by both engines — HTML tables
+# used for layout nesting predate CSS and are boilerplate anyway).
+TABLE_RE = r"(?is)<table\b[^>]*>.*?</table\s*>"
+# `<tr\b` cannot match `<track`; rows without an explicit `</tr>` close
+# tag emit nothing (shared limitation).
+TR_RE = r"(?is)<tr\b[^>]*>.*?</tr\s*>"
+# One cell per match, td and th alike; `\b` keeps `<th` from matching
+# `<thead` (no boundary between 'h' and 'e') and `</th\s*>` from matching
+# `</thead>`.
+CELL_RE = r"(?is)<t[dh]\b[^>]*>.*?</t[dh]\s*>"
+# Header flag = the cell element opens with <th.
+TH_OPEN_RE = r"(?is)^<th\b"
+
+
 def container_re(tag: str) -> str:
     """Content-dropping pattern for one chrome container tag."""
     return rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>"
@@ -389,4 +408,80 @@ def html_links(
         F.col("s.anchor").alias("anchor"),
         F.col("s.nofollow").alias("nofollow"),
         dst.alias("dst_url"),
+    )
+
+
+def html_tables(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """``(doc_id, html)`` → one row per table CELL: the structured-data
+    leg of main-content extraction.  jusText-style block scoring (and so
+    :func:`html_spans`) treats table markup as boundary noise — correct
+    for layout tables, lossy for data tables, whose row/column structure
+    is exactly what a training pipeline wants to keep (table-to-text,
+    fact extraction, markdown rendering).  This operator recovers it.
+
+    Output: ``doc_id, table_idx int, row_idx int, col_idx int,
+    is_header boolean, cell string`` — ``table_idx`` the table's document
+    position, ``row_idx`` the ``<tr>`` position within the table (rows
+    inside ``<thead>``/``<tbody>``/``<tfoot>`` are found by the same
+    scan, so section wrappers don't perturb numbering), ``col_idx`` the
+    cell position within the row, ``is_header`` whether the cell element
+    is ``<th>``, ``cell`` the normalized (tag-stripped, entity-decoded,
+    whitespace-collapsed) text.
+
+    Documented limitations (shared by both engines, so parity always
+    holds): ``colspan``/``rowspan`` are ignored — ``col_idx`` counts cell
+    ELEMENTS, not the visual grid; a nested table closes its parent at
+    the inner ``</table>``; cells/rows missing explicit close tags emit
+    nothing.  Comments are stripped first so commented-out tables are
+    never extracted.
+
+    Scale shape: **zero shuffles** — three ``posexplode`` stages
+    (tables → rows → cells) in one narrow scan partition; fan-out is
+    bounded by cells-per-page.  Per the HOF staging rule
+    (BENCH/BASELINE.md §3), the per-cell normalize + header test are
+    staged ONCE into struct fields inside the cells array before the
+    final explode.  All regexes are in the Java↔RE2-agreeing subset, so
+    the driver query has an exact DuckDB twin (``__spark_entry__`` builds
+    it from THESE constants).
+
+    Reference tie-in: the reference exports per-page word grids to CSV
+    (server/src/utils/export.py) but has no HTML surface; this is the
+    web-corpus analog of keeping layout structure that plain text
+    assembly flattens.
+    """
+    tables = F.regexp_extract_all(
+        F.regexp_replace(F.col(html_col), COMMENT_RE, " "),
+        F.lit(TABLE_RE),
+        F.lit(0),
+    )
+    t = df.select(
+        "doc_id", F.posexplode(tables).alias("table_idx", "_tbl")
+    )
+    r = t.select(
+        "doc_id",
+        "table_idx",
+        F.posexplode(
+            F.regexp_extract_all(F.col("_tbl"), F.lit(TR_RE), F.lit(0))
+        ).alias("row_idx", "_row"),
+    )
+    cells = F.transform(
+        F.regexp_extract_all(F.col("_row"), F.lit(CELL_RE), F.lit(0)),
+        lambda c: F.struct(
+            c.rlike(TH_OPEN_RE).alias("is_header"),
+            _normalize(c).alias("cell"),
+        ),
+    )
+    out = r.select(
+        "doc_id",
+        "table_idx",
+        "row_idx",
+        F.posexplode(cells).alias("col_idx", "_c"),
+    )
+    return out.select(
+        "doc_id",
+        "table_idx",
+        "row_idx",
+        "col_idx",
+        F.col("_c.is_header").alias("is_header"),
+        F.col("_c.cell").alias("cell"),
     )

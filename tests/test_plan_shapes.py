@@ -312,6 +312,8 @@ def test_url_queries_survive_strict_codegen(spark):
             "bloom_decontaminate",
             "unimax_alloc",
             "unimax_plan",
+            # r2 s7: the regex-ladder table extractor
+            "html_tables",
         ):
             assert q[name](spark, SF).count() > 0
     finally:
