@@ -1404,6 +1404,19 @@ def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_tables(docs.select("doc_id", "html"))
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear file-layout pruning stats (operators/zorder.py):
+    per-file min/max manifest stats for a Morton-key quadrant layout and
+    the n_chars-linear layout over documents, each with the would_scan
+    pruning verdict for the planted 2-D band predicate.  sum(would_scan)
+    under zorder << linear is the measured skipping contrast.  One
+    shuffle (≤ 2·64 groups, map-side combine); scale + key staged once;
+    no global window anywhere."""
+    from ocr_spark.operators.zorder import zorder_file_stats
+
+    return zorder_file_stats(_docs(spark, sf_dir), "n_chars", "doc_id")
+
+
 def q_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-style overlapping sliding-window chunking
     (operators/packing.py sliding_chunks): 16-token windows, stride 12
@@ -4500,6 +4513,47 @@ select doc_id, table_idx, row_idx, col_idx,
        {hnorm('ch')} as cell
 from cl
 """
+    # zorder_layout twin: the identical Morton interleave is generated by
+    # the SAME module function (morton_key_sql), the min-max scale and
+    # band fractions share the module constants; the Spark path's driver
+    # lo/hi scalars are exact integer min/max, so computing them in a
+    # DuckDB CTE yields the same values.  // ≡ Spark div on the
+    # non-negative operands produced here.
+    from ocr_spark.operators import zorder as Z
+
+    _zb, _zfb = Z.DEFAULT_BITS, Z.DEFAULT_FILE_BITS
+    _zm = (1 << _zb) - 1
+    _ORACLES["zorder_layout"] = f"""
+with mm as (select min(n_chars) as la, max(n_chars) as ha,
+                   min(doc_id) as lb, max(doc_id) as hb from documents),
+sc as (select d.n_chars as ra, d.doc_id as rb,
+              ((d.n_chars - mm.la) * {_zm} // greatest(mm.ha - mm.la, 1))
+                  as sa,
+              ((d.doc_id - mm.lb) * {_zm} // greatest(mm.hb - mm.lb, 1))
+                  as sb
+       from documents d cross join mm),
+zk as (select ra, rb, sa, {Z.morton_key_sql('sa', 'sb', _zb)} as z from sc),
+fl as (select 'zorder' as layout, (z >> {2 * _zb - _zfb}) as file_id,
+              ra, rb from zk
+       union all
+       select 'linear' as layout, (sa >> {_zb - _zfb}) as file_id,
+              ra, rb from zk),
+st as (select layout, cast(file_id as bigint) as file_id,
+              cast(count(*) as bigint) as n_rows,
+              min(ra) as min_a, max(ra) as max_a,
+              min(rb) as min_b, max(rb) as max_b
+       from fl group by layout, file_id),
+pb as (select la + ((ha - la) * {Z.BAND_LO_NUM}) // {Z.BAND_DEN} as pa_lo,
+              la + ((ha - la) * {Z.BAND_HI_NUM}) // {Z.BAND_DEN} as pa_hi,
+              lb + ((hb - lb) * {Z.BAND_LO_NUM}) // {Z.BAND_DEN} as pb_lo,
+              lb + ((hb - lb) * {Z.BAND_HI_NUM}) // {Z.BAND_DEN} as pb_hi
+       from mm)
+select st.layout, st.file_id, st.n_rows, st.min_a, st.max_a,
+       st.min_b, st.max_b,
+       not (st.max_a < pb.pa_lo or st.min_a > pb.pa_hi
+            or st.max_b < pb.pb_lo or st.min_b > pb.pb_hi) as would_scan
+from st cross join pb
+"""
     # frontier_plan twin: same md5 order key, same (host, bucket) window,
     # same slot arithmetic (// = Spark floor-div on exact small ints).
     fp_host, fp_buckets = 2, 8
@@ -6043,6 +6097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_full": q_quality_full,
         "html_extract": q_html_extract,
         "html_tables": q_html_tables,
+        "zorder_layout": q_zorder_layout,
         "html_links": q_html_links,
         "link_edges": q_link_edges,
         "anchor_terms": q_anchor_terms,
