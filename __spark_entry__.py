@@ -1404,6 +1404,31 @@ def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_tables(docs.select("doc_id", "html"))
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window gap sessions over events — the exact
+    expression streaming/pipeline.py session_stats_stream runs
+    incrementally, here as a batch groupBy so the boundary semantics are
+    DuckDB-oracle-gated: inclusive merge (split iff gap > 30 min),
+    session end = last event + gap.  One shuffle on user_id."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("win")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_sv"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("sess_start"),
+            F.col("win.end").alias("sess_end"),
+            "n_events",
+            F.col("_sv").cast("double").alias("sum_value"),
+        )
+    )
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order vs linear file-layout pruning stats (operators/zorder.py):
     per-file min/max manifest stats for a Morton-key quadrant layout and
@@ -3822,6 +3847,31 @@ select user_id, cast(session_id as bigint) as session_id,
 from sess group by user_id, session_id
 order by user_id, session_id
 """,
+    # session_windows: the native session_window expression (the one the
+    # streaming session_stats_stream runs incrementally) restated as the
+    # gaps-and-islands twin — inclusive merge boundary (split iff gap >
+    # threshold), window end = last event + gap.  Same decimal(18,2)
+    # value-sum discipline as range_join.
+    "session_windows": """
+with flagged as (
+  select user_id, event_id, ts, value,
+         case when epoch(ts) - lag(epoch(ts)) over w > 1800
+              then 1 else 0 end as new_sess
+  from events
+  window w as (partition by user_id order by ts, event_id)),
+sess as (
+  select user_id, ts, value,
+         sum(new_sess) over (partition by user_id order by ts, event_id
+                             rows between unbounded preceding
+                             and current row) as sid
+  from flagged)
+select user_id,
+       min(ts) as sess_start,
+       max(ts) + interval 30 minute as sess_end,
+       count(*) as n_events,
+       cast(sum(cast(value as decimal(18,2))) as double) as sum_value
+from sess group by user_id, sid
+""",
     "above_cust_avg": """
 select o_orderkey, o_custkey,
        cast(cast(o_totalprice as decimal(18,2)) as double) as o_totalprice
@@ -6098,6 +6148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "html_tables": q_html_tables,
         "zorder_layout": q_zorder_layout,
+        "session_windows": q_session_windows,
         "html_links": q_html_links,
         "link_edges": q_link_edges,
         "anchor_terms": q_anchor_terms,

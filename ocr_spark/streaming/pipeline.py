@@ -329,6 +329,46 @@ def streaming_span_stats(
     )
 
 
+def session_stats_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Native gap-based session windows (``F.session_window``) — the
+    streaming counterpart of the batch gaps-and-islands ``sessionize``
+    (operators/relational.py): per user, events whose ``[ts, ts+gap)``
+    windows overlap merge into one session; the aggregate is incremental
+    (MergingSessions state operator), and the watermark bounds state —
+    a session's state is dropped once the watermark passes its close,
+    so open sessions never accumulate forever.
+
+    Boundary semantics MATCH the batch operator: the session extension
+    test is inclusive (an event exactly ``gap`` after the previous one
+    merges — touching windows coalesce), just as the batch ``> gap``
+    split test keeps exactly-gap events together — pinned by test.
+
+    Works identically on a batch frame (session_window is a plain
+    groupBy key there; the watermark is only attached to streaming
+    inputs), which is what the stream==batch test compares against.
+    """
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("sess_start"),
+            F.col("win.end").alias("sess_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def interval_join_streams(
     submissions: DataFrame,
     results: DataFrame,
