@@ -1404,6 +1404,43 @@ def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_tables(docs.select("doc_id", "html"))
 
 
+# Outline fixture (html_outline): depends only on doc_id, valid Spark SQL
+# AND DuckDB SQL verbatim.  Branches: chrome heading (stripped with nav),
+# orphan deep heading before any h1 (path = itself), entity + inline tag
+# in titles, CAPS heading tag, h3 under h2 under h1 (full chain), sibling
+# h2 resetting the h3, conditional second h2 (per-doc outline variation),
+# new h1 making the old h2 STALE (the h3 right after must skip it), a
+# comment-wrapped ghost heading, and an empty-body heading.
+_OUTLINE_SYNTH = """concat(
+ '<html><head><title>T</title></head><body>',
+ '<nav><h2>Site nav heading</h2></nav>',
+ '<h4>Orphan ', cast(doc_id % 11 as string), '</h4>',
+ '<h1>Guide &amp; Manual ', cast(doc_id % 50 as string), '</h1><p>i</p>',
+ '<h2 class="s">Setup <b>fast</b></h2><p>x</p>',
+ '<h3>On Linux ', cast(doc_id % 3 as string), '</h3><p>y</p>',
+ case when doc_id % 2 = 0
+      then concat('<H2>Usage ', cast(doc_id % 7 as string), '</H2>')
+      else '' end,
+ '<h3>Deep ', cast(doc_id % 5 as string), '</h3>',
+ '<h1>Appendix</h1>',
+ '<h3>Stale-parent case</h3>',
+ '<!-- <h1>ghost</h1> -->',
+ '<h2></h2>',
+ '</body></html>')"""
+
+
+def q_html_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading-hierarchy extraction (operators/html.py html_outline):
+    synthesized pages → one row per heading with its section path —
+    current-ancestor chain only (a shallower heading closes every deeper
+    section; stale siblings never leak), chrome headings stripped.  One
+    doc_id-window shuffle."""
+    from ocr_spark.operators.html import html_outline
+
+    docs = _docs(spark, sf_dir).withColumn("html", F.expr(_OUTLINE_SYNTH))
+    return html_outline(docs.select("doc_id", "html"))
+
+
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window gap sessions over events — the exact
     expression streaming/pipeline.py session_stats_stream runs
@@ -4604,6 +4641,65 @@ select st.layout, st.file_id, st.n_rows, st.min_a, st.max_a,
             or st.max_b < pb.pb_lo or st.min_b > pb.pb_hi) as would_scan
 from st cross join pb
 """
+    # html_outline twin: same chrome-strip chain and HEADING_RE constants;
+    # the last-title/last-pos per level via last_value(... ignore nulls)
+    # windows, the same staged running maxima, the same include chain.
+    oh_clean = f"regexp_replace(html, '{hsq(H.COMMENT_RE)}', ' ', 'g')"
+    for tag in H.DROP_CONTAINER_TAGS:
+        oh_clean = (
+            f"regexp_replace({oh_clean}, '{hsq(H.container_re(tag))}',"
+            " ' ', 'g')"
+        )
+    for img_re in (H.IMG_DQ_RE, H.IMG_SQ_RE):
+        oh_clean = (
+            f"regexp_replace({oh_clean}, '{hsq(img_re)}', "
+            f"'<br>{H.MEDIA_SENTINEL}\\1<br>', 'g')"
+        )
+    oh_clean = f"regexp_replace({oh_clean}, '{hsq(H.IMG_BARE_RE)}', ' ', 'g')"
+    _ol_last = "\n".join(
+        f"""              last_value(case when level = {k} then title end
+                  ignore nulls) over w as t{k},
+              last_value(case when level = {k} then pos end
+                  ignore nulls) over w as p{k},"""
+        for k in range(1, 6)
+    ).rstrip(",")
+    _ORACLES["html_outline"] = f"""
+with og as (select doc_id, {_OUTLINE_SYNTH} as html from documents),
+oc as (select doc_id, {oh_clean} as c from og),
+oz as (select doc_id,
+              regexp_extract_all(c, '{hsq(H.HEADING_RE)}', 1) as lv,
+              regexp_extract_all(c, '{hsq(H.HEADING_RE)}', 2) as bd
+       from oc),
+oe as (select doc_id,
+              cast(unnest(range(0, len(lv))) as int) as pos,
+              cast(unnest(lv) as int) as level,
+              unnest(bd) as body
+       from oz),
+oh as (select doc_id, pos, level, {hnorm('body')} as title from oe),
+ow as (select doc_id, pos, level, title,
+{_ol_last}
+       from oh
+       window w as (partition by doc_id order by pos
+                    rows between unbounded preceding and current row)),
+om as (select *,
+              coalesce(p1, -1) as m1,
+              greatest(coalesce(p1, -1), coalesce(p2, -1)) as m2,
+              greatest(greatest(coalesce(p1, -1), coalesce(p2, -1)),
+                       coalesce(p3, -1)) as m3,
+              greatest(greatest(greatest(coalesce(p1, -1),
+                       coalesce(p2, -1)), coalesce(p3, -1)),
+                       coalesce(p4, -1)) as m4
+       from ow)
+select doc_id, pos, level, title,
+       concat_ws(' > ',
+         case when level > 1 and p1 is not null and p1 > -1 then t1 end,
+         case when level > 2 and p2 is not null and p2 > m1 then t2 end,
+         case when level > 3 and p3 is not null and p3 > m2 then t3 end,
+         case when level > 4 and p4 is not null and p4 > m3 then t4 end,
+         case when level > 5 and p5 is not null and p5 > m4 then t5 end,
+         title) as path
+from om
+"""
     # frontier_plan twin: same md5 order key, same (host, bucket) window,
     # same slot arithmetic (// = Spark floor-div on exact small ints).
     fp_host, fp_buckets = 2, 8
@@ -6149,6 +6245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_tables": q_html_tables,
         "zorder_layout": q_zorder_layout,
         "session_windows": q_session_windows,
+        "html_outline": q_html_outline,
         "html_links": q_html_links,
         "link_edges": q_link_edges,
         "anchor_terms": q_anchor_terms,

@@ -168,6 +168,14 @@ CELL_RE = r"(?is)<t[dh]\b[^>]*>.*?</t[dh]\s*>"
 # Header flag = the cell element opens with <th.
 TH_OPEN_RE = r"(?is)^<th\b"
 
+# --- outline extraction constants (html_outline; twin in __spark_entry__)
+
+# One heading element per match: group 1 the level digit, group 2 the
+# body.  The close tag is any `</hN>` — a mismatched close level ends the
+# heading early (documented limitation, shared by both engines).  No
+# backreference, so the pattern stays in the Java↔RE2-agreeing subset.
+HEADING_RE = r"(?is)<h([1-6])(?:\s[^>]*)?>(.*?)</h[1-6]\s*>"
+
 
 def container_re(tag: str) -> str:
     """Content-dropping pattern for one chrome container tag."""
@@ -484,4 +492,110 @@ def html_tables(df: DataFrame, html_col: str = "html") -> DataFrame:
         "col_idx",
         F.col("_c.is_header").alias("is_header"),
         F.col("_c.cell").alias("cell"),
+    )
+
+
+def html_outline(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """``(doc_id, html)`` → one row per heading with its SECTION PATH —
+    the heading-hierarchy operator behind header-aware RAG chunking
+    (LangChain's HTMLHeaderTextSplitter role): a chunk tagged
+    ``"Guide > Setup > On Linux"`` retrieves better than naked text, and
+    the outline is the document-structure signal table-of-contents
+    features feed on.
+
+    Output: ``doc_id, pos int, level int, title string, path string`` —
+    ``pos`` the heading's document position, ``level`` 1-6, ``title``
+    the normalized heading text, ``path`` the ``" > "``-joined chain of
+    CURRENT ancestors plus the heading itself.
+
+    Ancestor semantics (the part naive last-per-level gets wrong): a
+    shallower heading CLOSES every deeper section, so a remembered
+    level-k heading is a valid ancestor only if it appeared AFTER every
+    shallower heading — i.e. its position exceeds the running maximum of
+    all shallower last-positions.  A stale ``<h2>`` from the previous
+    ``<h1>`` section never leaks into paths under the new ``<h1>``;
+    missing intermediate levels are skipped (an ``<h3>`` directly under
+    an ``<h1>`` gets the two-element path).
+
+    Chrome is stripped first (same ``_strip_chrome`` chain as
+    :func:`html_spans`): nav/header/footer headings are site furniture,
+    not document structure; comments never contribute.
+
+    Scale shape: one narrow heading-harvest projection (two
+    ``regexp_extract_all`` passes over the SAME pattern — Spark extracts
+    one group per call — zipped positionally), then ONE shuffle: the
+    per-doc window that materializes the last-title/last-pos columns per
+    level; the include chain and running maxima are staged named columns
+    over those window attributes (BENCH/BASELINE.md §3 staging rule).
+    All regexes Java↔RE2-agreeing, so the driver query has an exact
+    DuckDB twin built from THESE constants.
+    """
+    from pyspark.sql import Window
+
+    cleaned = _strip_chrome(F.col(html_col))
+    st = df.select(
+        "doc_id",
+        F.regexp_extract_all(cleaned, F.lit(HEADING_RE), F.lit(1)).alias(
+            "_lv"
+        ),
+        F.regexp_extract_all(cleaned, F.lit(HEADING_RE), F.lit(2)).alias(
+            "_bd"
+        ),
+    )
+    ex = st.select(
+        "doc_id", "_bd", F.posexplode("_lv").alias("pos", "_l")
+    )
+    cur = ex.select(
+        "doc_id",
+        "pos",
+        F.col("_l").cast("int").alias("level"),
+        _normalize(F.get("_bd", "pos")).alias("title"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for k in range(1, 6):
+        cur = cur.withColumn(
+            f"_t{k}",
+            F.last(
+                F.when(F.col("level") == k, F.col("title")), True
+            ).over(w),
+        ).withColumn(
+            f"_p{k}",
+            F.last(F.when(F.col("level") == k, F.col("pos")), True).over(w),
+        )
+    # Running max of shallower last-positions (staged, never re-nested).
+    cur = cur.withColumn("_m1", F.coalesce(F.col("_p1"), F.lit(-1)))
+    for k in range(2, 5):
+        cur = cur.withColumn(
+            f"_m{k}",
+            F.greatest(
+                F.col(f"_m{k-1}"), F.coalesce(F.col(f"_p{k}"), F.lit(-1))
+            ),
+        )
+    parts = [
+        F.when(
+            (F.col("level") > 1)
+            & F.col("_p1").isNotNull()
+            & (F.col("_p1") > F.lit(-1)),
+            F.col("_t1"),
+        )
+    ]
+    for k in range(2, 6):
+        parts.append(
+            F.when(
+                (F.col("level") > k)
+                & F.col(f"_p{k}").isNotNull()
+                & (F.col(f"_p{k}") > F.col(f"_m{k-1}")),
+                F.col(f"_t{k}"),
+            )
+        )
+    return cur.select(
+        "doc_id",
+        "pos",
+        "level",
+        "title",
+        F.concat_ws(" > ", *parts, F.col("title")).alias("path"),
     )

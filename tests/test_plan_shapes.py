@@ -312,8 +312,9 @@ def test_url_queries_survive_strict_codegen(spark):
             "bloom_decontaminate",
             "unimax_alloc",
             "unimax_plan",
-            # r2 s7: the regex-ladder table extractor
+            # r2 s7: the regex-ladder table and outline extractors
             "html_tables",
+            "html_outline",
         ):
             assert q[name](spark, SF).count() > 0
     finally:
