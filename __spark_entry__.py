@@ -1441,6 +1441,48 @@ def q_html_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_outline(docs.select("doc_id", "html"))
 
 
+# ALTO fixture (alto_words): depends only on doc_id, valid Spark SQL AND
+# DuckDB SQL verbatim.  Branches: entities in CONTENT (&amp;/&lt;/&gt;),
+# variable WIDTH, two lines in the first block, a conditional second
+# block using the open/close (non-self-closing) String form, and the
+# namespace/Page/PrintSpace wrapper noise the ladder must see through.
+_ALTO_SYNTH = """concat(
+ '<?xml version="1.0" encoding="UTF-8"?>',
+ '<alto xmlns="http://www.loc.gov/standards/alto/ns-v3#"><Layout>',
+ '<Page ID="page_', cast(doc_id % 5 as string),
+ '" WIDTH="2480" HEIGHT="3508"><PrintSpace WIDTH="2480" HEIGHT="3508">',
+ '<TextBlock><TextLine>',
+ '<String CONTENT="Word', cast(doc_id % 10 as string),
+ '" HPOS="10" VPOS="20" WIDTH="100" HEIGHT="32"/>',
+ '<String CONTENT="Fish &amp; &lt;Chips&gt;" HPOS="120" VPOS="20"',
+ ' WIDTH="', cast(30 + doc_id % 40 as string), '" HEIGHT="32"/>',
+ '</TextLine><TextLine>',
+ '<String CONTENT="line2w" HPOS="10" VPOS="60" WIDTH="50" HEIGHT="30"/>',
+ '</TextLine></TextBlock>',
+ case when doc_id % 2 = 0
+      then concat('<TextBlock><TextLine><String CONTENT="blk2-',
+                  cast(doc_id % 7 as string),
+                  '" HPOS="15" VPOS="400" WIDTH="60" HEIGHT="28">',
+                  '</String></TextLine></TextBlock>')
+      else '' end,
+ '</PrintSpace></Page></Layout></alto>')"""
+
+
+def q_alto_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTO XML ingest (sources/alto.py alto_words): synthesized ALTO v3
+    pages → one row per word with block/line/word position and the
+    (x1,y1,x2,y2) box inverted from HPOS/VPOS/WIDTH/HEIGHT — the ingest
+    twin of the ALTO exporter.  Zero-shuffle three-level parse ladder."""
+    from ocr_spark.sources.alto import alto_words
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "cast(doc_id % 5 as int) as page_no",
+        f"{_ALTO_SYNTH} as alto_xml",
+    )
+    return alto_words(docs)
+
+
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window gap sessions over events — the exact
     expression streaming/pipeline.py session_stats_stream runs
@@ -4700,6 +4742,57 @@ select doc_id, pos, level, title,
          title) as path
 from om
 """
+    # alto_words twin: same block/line/string ladder constants and the
+    # same reverse-order unescape chain; try_cast('' as int) is NULL in
+    # both engines (fixture always carries geometry, so no NULLs here).
+    from ocr_spark.sources import alto as AL
+
+    def _alto_unesc(v: str) -> str:
+        out = v
+        for ent, rep in AL.UNESCAPE_RULES:
+            out = f"replace({out}, '{hsq(ent)}', '{hsq(rep)}')"
+        return out
+
+    _ORACLES["alto_words"] = f"""
+with ax as (select doc_id, cast(doc_id % 5 as int) as page_no,
+                   {_ALTO_SYNTH} as alto_xml from documents),
+ab as (select doc_id, page_no,
+              regexp_extract_all(alto_xml, '{hsq(AL.TEXTBLOCK_RE)}') as bs
+       from ax),
+abe as (select doc_id, page_no,
+               cast(unnest(range(0, len(bs))) as int) as block_idx,
+               unnest(bs) as blk
+        from ab),
+al0 as (select doc_id, page_no, block_idx,
+               regexp_extract_all(blk, '{hsq(AL.TEXTLINE_RE)}') as ls
+        from abe),
+ale as (select doc_id, page_no, block_idx,
+               cast(unnest(range(0, len(ls))) as int) as line_idx,
+               unnest(ls) as ln
+        from al0),
+aw0 as (select doc_id, page_no, block_idx, line_idx,
+               regexp_extract_all(ln, '{hsq(AL.STRING_RE)}') as ws
+        from ale),
+awe as (select doc_id, page_no, block_idx, line_idx,
+               cast(unnest(range(0, len(ws))) as int) as word_idx,
+               unnest(ws) as tag
+        from aw0),
+awp as (select doc_id, page_no, block_idx, line_idx, word_idx,
+               {_alto_unesc(f"regexp_extract(tag, '{hsq(AL.CONTENT_RE)}', 1)")}
+                   as text,
+               try_cast(regexp_extract(tag, '{hsq(AL.HPOS_RE)}', 1)
+                        as int) as x1,
+               try_cast(regexp_extract(tag, '{hsq(AL.VPOS_RE)}', 1)
+                        as int) as y1,
+               try_cast(regexp_extract(tag, '{hsq(AL.WIDTH_RE)}', 1)
+                        as int) as w,
+               try_cast(regexp_extract(tag, '{hsq(AL.HEIGHT_RE)}', 1)
+                        as int) as h
+        from awe)
+select doc_id, page_no, block_idx, line_idx, word_idx, text,
+       x1, y1, (x1 + w) as x2, (y1 + h) as y2
+from awp
+"""
     # frontier_plan twin: same md5 order key, same (host, bucket) window,
     # same slot arithmetic (// = Spark floor-div on exact small ints).
     fp_host, fp_buckets = 2, 8
@@ -6246,6 +6339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "session_windows": q_session_windows,
         "html_outline": q_html_outline,
+        "alto_words": q_alto_words,
         "html_links": q_html_links,
         "link_edges": q_link_edges,
         "anchor_terms": q_anchor_terms,
