@@ -111,3 +111,79 @@ def word_pages_raw(
         )
         .withColumn("syntax", F.lit(True))
     )
+
+
+# vbyte size thresholds: a gap v needs k bytes iff v < 128^k; 8 CASE arms
+# cover 2^56, anything larger takes the 9-byte max (63 payload bits).
+# Shared with the DuckDB twin via vbyte_case_sql.
+VBYTE_THRESHOLDS: tuple[int, ...] = tuple(1 << (7 * k) for k in range(1, 9))
+
+
+def vbyte_case_sql(v: str) -> str:
+    """``CASE`` expression computing the vbyte byte count of a positive
+    integer — identical text on both engines (generated once here)."""
+    arms = " ".join(
+        f"when {v} < {t} then {k}"
+        for k, t in enumerate(VBYTE_THRESHOLDS, start=1)
+    )
+    return f"(case {arms} else 9 end)"
+
+
+def postings_codec(
+    docs: DataFrame,
+    block: int = 128,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-word postings storage accounting under the Lucene-style
+    block-delta + vbyte layout — what the inverted index actually COSTS
+    on disk at corpus scale, and why: sorted doc ids are stored as
+    128-entry blocks whose first posting is absolute (a block restart
+    point, so skip lists can seek without decoding predecessors) and the
+    rest are gaps, each vbyte-encoded (7 payload bits per byte).
+
+    Output: ``word, df bigint, n_blocks bigint, raw_bytes bigint,
+    vbyte_bytes bigint`` — ``raw_bytes = 8·df`` (the naive fixed-width
+    bigint cost), ``vbyte_bytes`` the exact coded size.  Dense postings
+    (stopwords) compress hardest — small gaps take 1 byte vs 8 — which
+    is exactly the hot-word tail that dominates index size.
+
+    Scale shape: the block key is ``doc_id div block`` — a VALUE-range
+    restart grid, so blocks are ≤ ``block`` postings by construction and
+    no (word, bucket) group is ever hot: the mega-partition problem the
+    salted ``inverted_index`` build solves with salts is solved here by
+    the format's own block structure.  Two bounded shuffles ((word,
+    bucket) then word), gap/byte math as array HOFs staged per the
+    BENCH/BASELINE.md §3 rule; no windows.  Spark ``transform`` indices
+    are 0-based while DuckDB's ``list_transform`` are 1-based — each
+    side uses its own first-element test, pinned by the parity gate.
+    """
+    posts = (
+        docs.select(
+            doc_col, F.explode(norm_tokens(F.col(text_col))).alias("word")
+        )
+        .distinct()
+        .withColumn("bucket", F.expr(f"{doc_col} div {block}"))
+    )
+    blocks = posts.groupBy("word", "bucket").agg(
+        F.sort_array(F.collect_list(doc_col)).alias("ds")
+    )
+    staged = blocks.withColumn(
+        "gaps",
+        F.expr(
+            "transform(ds, (d, i) -> case when i = 0 then d + 1"
+            " else d - element_at(ds, i) end)"
+        ),
+    ).withColumn(
+        "blk_bytes",
+        F.expr(
+            "aggregate(gaps, cast(0 as bigint),"
+            f" (acc, g) -> acc + {vbyte_case_sql('g')})"
+        ),
+    )
+    return staged.groupBy("word").agg(
+        F.sum(F.size("ds")).alias("df"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        (F.sum(F.size("ds")) * F.lit(8)).alias("raw_bytes"),
+        F.sum("blk_bytes").alias("vbyte_bytes"),
+    )
