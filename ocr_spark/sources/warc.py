@@ -151,3 +151,74 @@ def warc_records(df: DataFrame) -> DataFrame:
             yield from tbl.to_batches()
 
     return df.select("file_id", "content").mapInArrow(fn, WARC_OUT_DDL)
+
+
+# --- HTTP response-head metadata (http_response_meta; twin in -----------
+# --- __spark_entry__) — shared Spark/DuckDB constants --------------------
+
+# Status line: protocol, then the 3-digit code.
+HTTP_STATUS_RE = r"(?is)^http/[0-9.]+\s+([0-9]{3})"
+# The response head = everything before the first blank line.
+HTTP_HEAD_RE = r"(?s)^(.*?)\r\n\r\n"
+# Body = the head plus terminator removed; a payload with no terminator
+# is all head, empty body (shared semantics).
+HTTP_BODY_STRIP_RE = r"(?s)^.*?\r\n\r\n"
+# Header lines are CRLF-separated; (?m)^ anchors after \n in both RE2
+# and Java.  MIME stops at ';' (parameters) or line end.
+HTTP_CTYPE_RE = r"(?im)^content-type:\s*([^\r\n;]+)"
+HTTP_CHARSET_RE = r"(?is)charset\s*=\s*\"?([A-Za-z0-9_-]+)"
+
+
+def http_response_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """HTTP response payload → typed fetch metadata + body — the filter
+    gate between the WARC record walk and content extraction: a real
+    crawl keeps only ``status == 200`` + ``text/html`` responses (the
+    CommonCrawl WET-extraction precondition), and charset drives decode
+    routing.
+
+    Adds to the frame: ``status int`` (NULL when the payload has no
+    HTTP status line), ``mime string`` (lowercased, parameters
+    stripped; '' when absent), ``charset string`` (lowercased, '' when
+    undeclared), ``body string`` (payload after the first CRLF-CRLF;
+    '' when no terminator — a head-only or malformed response), and
+    ``keep boolean`` = status 200 AND mime text/html.
+
+    Pure-Catalyst zero-shuffle projection; the head is staged ONCE and
+    every attribute regex reads the staged column (BENCH/BASELINE.md §3
+    rule).  All regexes Java↔RE2-agreeing, so the driver query has an
+    exact DuckDB twin built from THESE constants.
+    """
+    from pyspark.sql import functions as F
+
+    p = F.col(payload_col)
+    staged = df.withColumn("_head", F.regexp_extract(p, HTTP_HEAD_RE, 1))
+    h = F.col("_head")
+    out = (
+        staged.withColumn(
+            "status",
+            F.regexp_extract(h, HTTP_STATUS_RE, 1).try_cast("int"),
+        )
+        .withColumn(
+            "mime",
+            F.lower(F.trim(F.regexp_extract(h, HTTP_CTYPE_RE, 1))),
+        )
+        .withColumn(
+            "charset",
+            F.lower(F.regexp_extract(h, HTTP_CHARSET_RE, 1)),
+        )
+        .withColumn(
+            "body",
+            F.when(
+                p.rlike(HTTP_HEAD_RE),
+                F.regexp_replace(p, HTTP_BODY_STRIP_RE, ""),
+            ).otherwise(F.lit("")),
+        )
+        .withColumn(
+            "keep",
+            F.coalesce(
+                (F.col("status") == 200) & (F.col("mime") == "text/html"),
+                F.lit(False),
+            ),
+        )
+    )
+    return out.drop("_head")
