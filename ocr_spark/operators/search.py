@@ -288,3 +288,85 @@ def phrase_tag(docs: DataFrame, phrases: DataFrame) -> DataFrame:
             F.min("start").cast("int").alias("first_pos"),
         )
     )
+
+
+def more_like_this(
+    docs: DataFrame,
+    seed_doc_id: int,
+    max_terms: int = 8,
+    top_n: int = 50,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """ES ``more_like_this`` analog — "find documents like this one",
+    the remaining piece of the reference's search surface next to
+    multi_match / match_phrase / fuzzy (elastic_search.py delegates all
+    of them to ES; MLT is the same API family).
+
+    Two phases, exactly ES's published algorithm shape:
+
+    1. **Term selection** — the seed document's terms ranked by
+       ``tf_seed · idf`` (idf over the CORPUS document frequency of the
+       term, Lucene non-negative form, micro-nat quantized — the same
+       constant discipline as :func:`bm25_rank`).  ``max_doc_freq``
+       optionally hard-drops terms above a df ceiling (the ES knob of
+       the same name); per ES's default it is OFF — idf already demotes
+       common terms, and a hard cut can select nothing on a
+       small-vocabulary corpus.  Top ``max_terms`` by (score desc,
+       term asc).  The winners — a ≤ ``max_terms`` driver list, the
+       kmeans-centroid-sized collect, never corpus-sized — parameterize
+       phase 2.
+    2. **Retrieval** — :func:`bm25_rank` over the selected terms, the
+       seed document itself excluded, re-sorted and cut to ``top_n``.
+
+    Output: the ``bm25_rank`` schema (``doc_id, n_hit_terms,
+    score_micro, score``).  Scale shape: phase 1 adds one distinct
+    (doc, term) shuffle for df and a broadcast semi-join against the
+    seed's term set; phase 2 is the existing oracle-gated BM25 plan.
+    """
+    toks = (
+        docs.select("doc_id", norm_tokens(F.col("text")).alias("_toks"))
+        .where(F.size("_toks") > 0)
+    )
+    n_docs = toks.count()
+    seed_tf = (
+        toks.where(F.col("doc_id") == seed_doc_id)
+        .select(F.explode("_toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf_seed"))
+    )
+    df_t = (
+        toks.select("doc_id", F.explode("_toks").alias("term"))
+        .distinct()
+        .join(F.broadcast(seed_tf.select("term")), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    sel = seed_tf.join(df_t, "term")
+    if max_doc_freq is not None:
+        sel = sel.where(F.col("df") <= F.lit(max_doc_freq))
+    sel = (
+        sel.withColumn(
+            "idf_micro",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * 1e6,
+                0,
+            ).cast("bigint"),
+        )
+        .withColumn("sel_score", F.col("idf_micro") * F.col("tf_seed"))
+        .orderBy(F.desc("sel_score"), F.asc("term"))
+        .limit(max_terms)
+    )
+    terms = tuple(r["term"] for r in sel.collect())
+    if not terms:
+        return bm25_rank(docs, ("",), top_n=0)
+    return (
+        bm25_rank(docs, terms, top_n=top_n + 1)
+        .where(F.col("doc_id") != seed_doc_id)
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(top_n)
+    )
