@@ -370,3 +370,54 @@ def more_like_this(
         .orderBy(F.desc("score_micro"), F.asc("doc_id"))
         .limit(top_n)
     )
+
+
+def kwic_snippets(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    context: int = 3,
+) -> DataFrame:
+    """Keyword-in-context concordance — the search-result SNIPPET
+    surface: for every occurrence of a query term, the ±``context``
+    normalized-token window around it.  This is the batch analog of the
+    reference editor's match highlighting (its word→pages map,
+    file.py:116-150 / the A3 ``word_pages_raw`` operator, exists to
+    locate hits on a page; the snippet is the same locate-and-show move
+    over token positions).
+
+    Output: ``doc_id, pos int (0-based token position), term,
+    snippet string`` — snippet is the window's tokens space-joined;
+    windows clip at document edges.  Overlapping occurrences each emit
+    their own row (a run of hits reads as staggered snippets, the
+    standard concordance presentation).
+
+    Scale shape: **zero shuffles** — tokens staged once, ``posexplode``
+    + an ``isin`` filter that kills non-query tokens in the scan stage,
+    and the snippet is pure ``slice`` arithmetic over the staged array.
+    Engine note for the twin: Spark ``slice(arr, start, len)`` is
+    1-based with a length; DuckDB slices ``arr[a:b]`` 1-based inclusive
+    — same window, different spelling, pinned by the parity gate.
+    """
+    toks = docs.select(
+        "doc_id", norm_tokens(F.col("text")).alias("_toks")
+    ).where(F.size("_toks") > 0)
+    ex = toks.select(
+        "doc_id", "_toks", F.posexplode("_toks").alias("pos", "term")
+    ).where(F.col("term").isin(*terms))
+    start = F.greatest(F.col("pos") - F.lit(context), F.lit(0))
+    length = (
+        F.least(
+            F.col("pos") + F.lit(context),
+            F.size("_toks") - F.lit(1),
+        )
+        - start
+        + F.lit(1)
+    )
+    return ex.select(
+        "doc_id",
+        "pos",
+        "term",
+        F.array_join(
+            F.slice(F.col("_toks"), start + F.lit(1), length), " "
+        ).alias("snippet"),
+    )
