@@ -726,3 +726,52 @@ def domain_cap(
         .where(F.col("rank") <= cap)
         .select("domain", "doc_id", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def robots_sitemaps(
+    robots: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """RFC 9309 §2.3 ``Sitemap:`` discovery — the directive that closes
+    the crawl-seeding loop: robots.txt is where publishers DECLARE their
+    sitemap locations, so the chain is robots fetch → ``robots_sitemaps``
+    → sitemap fetch → :func:`sitemap_urls` → :func:`sitemap_seeds` →
+    :func:`robots_filter` → :func:`frontier_plan`.
+
+    Semantics: ``Sitemap`` records are GLOBAL — they live outside
+    user-agent groups (unlike allow/disallow they apply regardless of
+    agent), so no group bookkeeping applies; the directive name is
+    case-insensitive, comments strip first, and per the spec the value
+    must be an absolute URL — relative values are dropped (shared rule,
+    both engines).
+
+    Output: ``host, line_no int, sitemap_url`` — one row per declared
+    sitemap, document order preserved via ``line_no``.
+
+    Scale shape: zero shuffle — a narrow line projection over the same
+    split/strip/extract constants as :func:`robots_rules`.
+    """
+    from ocr_spark.operators.html import ABS_URL_RE
+
+    raw = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), r"\n")).alias("ln", "raw"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("raw"), ROBOTS_COMMENT_RE, ""))
+    lines = raw.select(
+        "host",
+        F.col("ln").cast("int").alias("line_no"),
+        F.lower(F.regexp_extract(clean, ROBOTS_DIRECTIVE_RE, 1)).alias(
+            "_d"
+        ),
+        F.trim(F.regexp_extract(clean, ROBOTS_DIRECTIVE_RE, 2)).alias(
+            "_v"
+        ),
+    )
+    return (
+        lines.where(
+            (F.col("_d") == "sitemap") & F.col("_v").rlike(ABS_URL_RE)
+        )
+        .select("host", "line_no", F.col("_v").alias("sitemap_url"))
+    )

@@ -190,3 +190,31 @@ def test_fixture_covers_branches(spark):
     # src5 (CAPS directive) blocked on robots hosts.
     for r in by_src["src5"]:
         assert r.allowed == (r.host not in blocked_hosts)
+
+
+def test_sitemap_discovery_global_case_insensitive(spark):
+    from ocr_spark.operators.web import robots_sitemaps
+
+    txt = (
+        "User-agent: *\nDisallow: /x\n\n"
+        "Sitemap: https://a.example/sitemap.xml\n"
+        "sitemap: http://cdn.a.example/sm.xml.gz  # comment\n"
+        "SITEMAP: /relative-ignored.xml\n"
+        "Sitemap:\n"
+        "User-agent: otherbot\nDisallow: /y\n"
+    )
+    df = spark.createDataFrame(
+        [("a.example", txt)], "host string, robots_txt string"
+    )
+    got = [
+        (r.line_no, r.sitemap_url)
+        for r in robots_sitemaps(df).orderBy("line_no").collect()
+    ]
+    # Absolute values only, any case, comments stripped; relative and
+    # empty values dropped; position inside/outside groups irrelevant.
+    assert got == [
+        (3, "https://a.example/sitemap.xml"),
+        (4, "http://cdn.a.example/sm.xml.gz"),
+    ]
+    plan = robots_sitemaps(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
