@@ -312,9 +312,13 @@ def test_url_queries_survive_strict_codegen(spark):
             "bloom_decontaminate",
             "unimax_alloc",
             "unimax_plan",
-            # r2 s7: the regex-ladder table and outline extractors
+            # r2 s7: the regex-ladder extractors + HTTP/robots additions
             "html_tables",
             "html_outline",
+            "alto_words",
+            "http_meta",
+            "robots_sitemaps",
+            "kwic_snippets",
         ):
             assert q[name](spark, SF).count() > 0
     finally:
