@@ -137,7 +137,7 @@ def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
         "unimax_plan", "phrase_tag", "spam_mass", "domain_communities", "link_features",
         # round-2 session 7
         "html_tables", "zorder_layout", "session_windows", "html_outline",
-        "alto_words", "postings_codec", "http_meta", "more_like_this", "kwic_snippets", "robots_sitemaps", "compaction_plan",
+        "alto_words", "postings_codec", "http_meta", "more_like_this", "kwic_snippets", "robots_sitemaps", "compaction_plan", "html_markdown",
     ]
     # Per-workload scan tuning (the conf is runtime-settable): thin
     # TPC-H-ish tables are scan-bound and want the vectorized reader's

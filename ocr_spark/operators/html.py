@@ -599,3 +599,87 @@ def html_outline(df: DataFrame, html_col: str = "html") -> DataFrame:
         "title",
         F.concat_ws(" > ", *parts, F.col("title")).alias("path"),
     )
+
+
+# --- markdown conversion rules (html_markdown; twin in __spark_entry__) --
+
+# Ordered (pattern, replacement) pairs applied BEFORE the generic tag
+# strip.  Replacements use Java's `$N` group refs; the DuckDB twin
+# rewrites them to RE2's `\N`.  Order is load-bearing: links/images
+# first (their bodies keep inline markup for later rules), then headings
+# (before the block rule eats <h*> as a plain tag), then inline
+# emphasis, then list/table markers, then block separators.
+MD_RULES: tuple[tuple[str, str], ...] = (
+    # links (double- then single-quoted href); no-href anchors fall
+    # through to the tag strip as plain text
+    (r'(?is)<a\b[^>]*\bhref\s*=\s*"([^"]*)"[^>]*>(.*?)</a\s*>', "[$2]($1)"),
+    (r"(?is)<a\b[^>]*\bhref\s*=\s*'([^']*)'[^>]*>(.*?)</a\s*>", "[$2]($1)"),
+    # images → markdown image refs (reuses the img src patterns)
+    (IMG_DQ_RE, "![]($1)"),
+    (IMG_SQ_RE, "![]($1)"),
+    # headings: one rule per level (a regex replacement cannot compute
+    # '#'*level); mismatched close levels end the heading early, the
+    # html_outline limitation shared verbatim
+    *(
+        (
+            rf"(?is)<h{k}(?:\s[^>]*)?>(.*?)</h[1-6]\s*>",
+            "\n\n" + "#" * k + " $1\n\n",
+        )
+        for k in range(1, 7)
+    ),
+    # inline emphasis (open and close both map to the marker)
+    (r"(?is)</?(?:b|strong)\b[^>]*>", "**"),
+    (r"(?is)</?(?:i|em)\b[^>]*>", "*"),
+    # list items and table rows/cells
+    (r"(?is)<li\b[^>]*>", "\n- "),
+    (r"(?is)<tr\b[^>]*>", "\n| "),
+    (r"(?is)</t[dh]\s*>", " | "),
+    # block-level separators, then line breaks
+    (r"(?is)</?(?:p|div|ul|ol|table|thead|tbody|tfoot|blockquote|pre|"
+     r"section|article|main|figure)\b[^>]*>", "\n\n"),
+    (r"(?is)<br\b[^>]*/?>", "\n"),
+)
+
+# Whitespace discipline AFTER tag strip + entity decode: spaces/tabs
+# collapse within lines, line edges trim, blank-line runs collapse to
+# one blank line.
+MD_WS_RULES: tuple[tuple[str, str], ...] = (
+    (r"[ \t]+", " "),
+    (r"[ \t]*\n[ \t]*", "\n"),
+    (r"\n{3,}", "\n\n"),
+    # edge trim incl. newlines (SQL trim() strips spaces only)
+    (r"(?s)^\s+", ""),
+    (r"(?s)\s+$", ""),
+)
+
+
+def html_markdown(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """``(doc_id, html)`` → ``doc_id, markdown`` — HTML rendered to the
+    markdown-ish plain text modern LLM corpora actually train on (the
+    FineWeb/Jina-reader presentation: headings as ``#`` runs, lists as
+    ``- `` items, tables as ``|`` rows, links as ``[text](url)``,
+    emphasis as ``*``/``**``), preserving document STRUCTURE that the
+    span extractor's flat text assembly deliberately drops.
+
+    Pipeline (one linear regexp_replace chain — zero shuffles, every
+    constant shared with the DuckDB twin): comment + chrome strip (the
+    same ``DROP_CONTAINER_TAGS`` chain as :func:`html_spans`) →
+    ``MD_RULES`` in order → generic tag strip → entity decode (ordered
+    ``ENTITY_RULES``) → ``MD_WS_RULES`` whitespace discipline → trim.
+
+    Documented limitations (shared by both engines): no nested-list
+    indentation (every ``<li>`` renders at one level); table rows get no
+    header-separator line; unclosed ``<b>``/``<i>`` leave a dangling
+    marker; a literal ``[``/``]`` in anchor text is not escaped.
+    """
+    c = F.regexp_replace(F.col(html_col), COMMENT_RE, " ")
+    for tag in DROP_CONTAINER_TAGS:
+        c = F.regexp_replace(c, container_re(tag), " ")
+    for pat, repl in MD_RULES:
+        c = F.regexp_replace(c, pat, repl)
+    c = F.regexp_replace(c, TAG_RE, " ")
+    for ent, repl in ENTITY_RULES:
+        c = F.replace(c, F.lit(ent), F.lit(repl))
+    for pat, repl in MD_WS_RULES:
+        c = F.regexp_replace(c, pat, repl)
+    return df.select("doc_id", c.alias("markdown"))
