@@ -507,20 +507,15 @@ def spam_mass(pr: DataFrame, tr: DataFrame, micro: int = 1_000_000) -> DataFrame
     float, computed identically in both engines.
 
     Output: ``node, pr_micro, tr_micro, mass_micro, rel_mass``, one row
-    per PageRank node (missing trust ⇒ 0).  Scale shape: the totals are
-    global windows over the dims-sized node frame (deliberate single
-    partition, like the UniMax water-fill) — nothing data-scaled beyond
-    the fixed points themselves, and no scalar cross join (which would
-    compile to a nested-loop broadcast and trip the NLJ plan gate).
+    per PageRank node (missing trust ⇒ 0).  Scale shape: the two L1
+    totals are DRIVER SCALARS from one partial-aggregated ``.agg()``
+    action over the joined frame (the ``hits._normalize`` pattern above),
+    injected back as literals — the node table is data-scaled (10^8+
+    registered domains at crawl scale), so no global window / single
+    partition may ever see it, and no scalar cross join either (which
+    would compile to a nested-loop broadcast and trip the NLJ plan gate).
     """
-    from pyspark.sql.window import Window
-
-    # global-window totals over the dims-sized node frame — NOT a scalar
-    # cross join, which would compile to a BroadcastNestedLoopJoin and
-    # trip the whole-surface NLJ plan gate; both fixed points emit every
-    # node, so the totals over the left-joined frame are the vector sums.
-    wall = Window.partitionBy()
-    j = (
+    joined = (
         pr.select("node", F.col("rank").alias("_pr"))
         .join(tr.select("node", F.col("rank").alias("_tr")), "node", "left")
         .select(
@@ -528,13 +523,19 @@ def spam_mass(pr: DataFrame, tr: DataFrame, micro: int = 1_000_000) -> DataFrame
             "_pr",
             F.coalesce(F.col("_tr"), F.lit(0)).cast("bigint").alias("_tr"),
         )
-        .withColumn("_tp", F.sum("_pr").over(wall))
-        .withColumn("_tt", F.sum("_tr").over(wall))
-        .select(
-            "node",
-            F.expr(f"_pr * {int(micro)} div _tp").alias("pr_micro"),
-            F.expr(f"_tr * {int(micro)} div _tt").alias("tr_micro"),
-        )
+        .localCheckpoint()
+    )
+    # the totals over the left-joined frame are the vector sums (both
+    # fixed points emit every node); map-side partial agg → two scalars
+    tot = joined.agg(
+        F.coalesce(F.sum("_pr"), F.lit(0)).alias("tp"),
+        F.coalesce(F.sum("_tr"), F.lit(0)).alias("tt"),
+    ).first()
+    tp, tt = max(int(tot["tp"]), 1), max(int(tot["tt"]), 1)
+    j = joined.select(
+        "node",
+        F.expr(f"_pr * {int(micro)} div {tp}").alias("pr_micro"),
+        F.expr(f"_tr * {int(micro)} div {tt}").alias("tr_micro"),
     )
     return j.select(
         "node",

@@ -281,6 +281,8 @@ def ccnet_partition(
     ref_docs: DataFrame,
     mid_frac: float = 0.5,
     seed: int = 42,
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """CCNet's perplexity bucketing + selection (Wenzek et al. 2020 §4.4):
     score the corpus with the reference LM, split it into head / middle /
@@ -302,18 +304,30 @@ def ccnet_partition(
     of (doc_id, seed), so the kept set is repartition/engine-stable.
 
     Scale shape: scoring is ``lm_quality`` (one corpus scan + bounded
-    vocab join); the exact percentile is the only wide step and is
-    replaced by the GK sketch (``doclen_quantile_sketch`` precedent) at
-    10^12 rows — the bucket/keep projection itself is narrow.
+    vocab join); the exact percentile is the only wide step.  At 10^12
+    rows pass ``approx=True``: the cutoffs come from Spark's
+    Greenwald–Khanna sketch (``approx_percentile``, the
+    ``doclen_quantile_sketch`` precedent) — a mergeable fixed-size
+    per-partition summary, map-side combined, so the quantile step
+    becomes one narrow scan + tiny merge instead of a full sort.
+    ``accuracy`` bounds the sketch's rank error at 1/accuracy of N; the
+    kept set shifts only for docs whose ``avg_nll`` lies within that
+    rank band of a cutoff (tolerance-gated in pytest).  Exact mode
+    (default) is the DuckDB-oracle twin — the bucket/keep projection
+    itself is narrow in both modes.
 
     Output: ``doc_id, n_tokens, avg_nll, bucket, kept``.
     """
     from ocr_spark.operators.sampling import keep_predicate
 
     scored = lm_quality(docs, ref_docs)
-    cuts = scored.agg(
-        F.percentile("avg_nll", F.array(F.lit(0.25), F.lit(0.75))).alias("q")
-    ).collect()[0]["q"]
+    if approx:
+        pct = F.expr(
+            f"approx_percentile(avg_nll, array(0.25d, 0.75d), {int(accuracy)})"
+        )
+    else:
+        pct = F.percentile("avg_nll", F.array(F.lit(0.25), F.lit(0.75)))
+    cuts = scored.agg(pct.alias("q")).collect()[0]["q"]
     t1, t2 = float(cuts[0]), float(cuts[1])
     is_head = F.col("avg_nll") <= F.lit(t1)
     is_mid = F.col("avg_nll") <= F.lit(t2)

@@ -543,8 +543,11 @@ def cosine_topk_pq(
     vec_col: str = "embedding",
     exclude_self: bool = True,
     chunk: int = 65536,
+    max_index_rows: int = 50_000_000,
 ) -> DataFrame:
-    """Approximate top-k via product quantization + exact re-rank.
+    """Approximate top-k via product quantization + exact re-rank — the
+    MID tier: broadcast ceiling = the compressed code table, bound
+    ASSERTED (``max_index_rows``), not assumed.
 
     Shape: codebooks train on a bounded driver sample (like IVF); the index
     is PQ-encoded DISTRIBUTED (pq_encode) and only the compressed codes —
@@ -559,14 +562,25 @@ def cosine_topk_pq(
     only costs recall, never precision of reported sims.
 
     vs cosine_topk_bruteforce: the broadcast ceiling grows by dim·4/m
-    (~32× at dim=64, m=8 ⇒ ~1B vectors per 8 GB executor).  Beyond that,
-    the same ADC kernel composes with the IVF cell layout (encode per
-    cell, probe cells, ADC within cell) — cosine_topk_ivf holds that
-    layout.  Approximate (recall < 1) — recall-gated in pytest like
+    (~32× at dim=64, m=8 ⇒ ~1B vectors per 8 GB executor).  The ceiling
+    is enforced, not assumed: the index row count (already an O(1)
+    driver scalar from the trainer's bounded-sample path) must be ≤
+    ``max_index_rows`` or this raises with a pointer to
+    ``cosine_topk_ivfpq`` — the genuinely unbounded tier, where codes
+    stay distributed in the inverted file and NOTHING O(N) ever reaches
+    the driver.  Approximate (recall < 1) — recall-gated in pytest like
     LSH/IVF, not oracle-checked.
     """
     spark = queries.sparkSession
     S = shortlist if shortlist is not None else 10 * k
+    n_index = index.count()
+    if n_index > max_index_rows:
+        raise ValueError(
+            f"cosine_topk_pq is the broadcast-codes MID tier: index has "
+            f"{n_index} rows > max_index_rows={max_index_rows} "
+            f"(~{n_index * (m * 8 + 8) // 2**20} MiB of driver codes); "
+            f"use cosine_topk_ivfpq, whose inverted file stays distributed."
+        )
     mat = _training_sample_matrix(index, vec_col, train_sample, seed)
     cbs = _pq_codebooks(mat, m, n_codes, seed)
     b_cb = spark.sparkContext.broadcast(cbs)

@@ -121,6 +121,11 @@ def zorder_file_stats(
         F.min(col_b).alias("lb"),
         F.max(col_b).alias("hb"),
     ).first()
+    if row.la is None or row.lb is None:
+        raise ValueError(
+            "zorder_file_stats: input DataFrame is empty — no min/max "
+            "bounds exist to scale the Morton key against"
+        )
     la, ha, lb, hb = int(row.la), int(row.ha), int(row.lb), int(row.hb)
     pa_lo, pa_hi = band_bounds(la, ha)
     pb_lo, pb_hi = band_bounds(lb, hb)

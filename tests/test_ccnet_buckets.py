@@ -43,3 +43,39 @@ def test_ccnet_partition_buckets_and_keep(spark):
     assert again == {
         d: (r["bucket"], r["kept"]) for d, r in rows.items()
     }
+
+
+def test_ccnet_partition_approx_mode_tolerance(spark):
+    """approx=True swaps the exact full-sort percentile for the GK sketch
+    (the 10^12-row scale path).  avg_nll is identical in both modes; the
+    sketch's cutoff is a data value within 1/accuracy rank of the exact
+    interpolated cutoff, so bucket labels may flip ONLY for the <=1 doc
+    per cutoff sitting between the two candidate cut values."""
+    # 101 docs with strictly increasing reference-unlikeness
+    data = [
+        (i, "the quick brown fox " * max(1, 20 - i // 6) + " ".join(
+            f"zz{i}x{j}" for j in range(i // 4)
+        ))
+        for i in range(1, 102)
+    ]
+    docs = spark.createDataFrame(data, "doc_id bigint, text string")
+    ref = spark.createDataFrame(REF, "doc_id bigint, text string")
+    exact = {r["doc_id"]: r for r in ccnet_partition(docs, ref).collect()}
+    approx = {
+        r["doc_id"]: r
+        for r in ccnet_partition(docs, ref, approx=True).collect()
+    }
+    assert set(exact) == set(approx)
+    # scoring itself is mode-independent
+    for d in exact:
+        assert exact[d]["avg_nll"] == approx[d]["avg_nll"]
+        assert exact[d]["n_tokens"] == approx[d]["n_tokens"]
+    # at most one doc per cutoff may change bucket
+    flips = [d for d in exact if exact[d]["bucket"] != approx[d]["bucket"]]
+    assert len(flips) <= 2, flips
+    # keep policy stays bucket-consistent in approx mode
+    for r in approx.values():
+        if r["bucket"] == "head":
+            assert r["kept"]
+        elif r["bucket"] == "tail":
+            assert not r["kept"]

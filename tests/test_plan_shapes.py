@@ -75,6 +75,17 @@ def test_no_accidental_nested_loop_joins_anywhere(spark):
     assert not flagged, flagged
 
 
+def test_spam_mass_has_no_single_partition_window(spark):
+    """spam_mass's L1 totals must be driver scalars injected as literals
+    (the hits._normalize pattern) — round 2 shipped a Window.partitionBy()
+    global window that funneled the data-scaled domain table through ONE
+    task.  No Exchange SinglePartition may appear anywhere in the plan."""
+    import __spark_entry__ as entry_mod
+
+    plan = checks.physical_plan(entry_mod.queries()["spam_mass"](spark, SF))
+    assert "SinglePartition" not in plan, plan
+
+
 def test_fuzzy_dict_is_blocked_hash_join(spark):
     """The fuzzy dictionary match must run as a length-band HASH join —
     round 1 shipped a BroadcastNestedLoopJoin over |vocab| x |corpus|."""

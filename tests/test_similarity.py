@@ -157,6 +157,19 @@ def test_pq_adc_chunking_is_exact(spark, emb):
     )
 
 
+def test_pq_asserts_its_broadcast_ceiling(spark, emb):
+    """cosine_topk_pq is the MID tier: the compressed-code collect is
+    BOUNDED and the bound is enforced, not assumed — over the limit it
+    must refuse with a pointer at the unbounded IVF-PQ tier instead of
+    silently materializing O(N) driver state."""
+    import pytest
+
+    from ocr_spark.operators.similarity import cosine_topk_pq
+
+    with pytest.raises(ValueError, match="cosine_topk_ivfpq"):
+        cosine_topk_pq(emb, emb, k=5, max_index_rows=3)
+
+
 def test_chunked_scoring_is_exact(spark, emb):
     """The memory-bounding chunk merge inside the group scorers is
     exact: a tiny chunk size (forcing many merge rounds) must reproduce

@@ -1,6 +1,7 @@
 """session_stats_stream (streaming/pipeline.py): native session-window
 aggregation — stream result equals the same aggregation run as a batch
-job, gap-boundary semantics are pinned (touching windows split), and the
+job, gap-boundary semantics are pinned (touching windows merge; windows
+split iff the gap strictly exceeds the threshold), and the
 stateful operator is a real session-window merge with watermark-bounded
 state.
 """

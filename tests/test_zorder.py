@@ -117,3 +117,11 @@ def test_plan_one_shuffle_no_window(spark):
     assert "Window" not in plan
     assert "SinglePartition" not in plan
     assert plan.count("Exchange") <= 2  # one shuffle (partial+final agg)
+
+
+def test_empty_input_raises_clearly(spark):
+    import pytest
+
+    empty = spark.createDataFrame([], "x bigint, y bigint")
+    with pytest.raises(ValueError, match="empty"):
+        zorder_file_stats(empty, "x", "y")
