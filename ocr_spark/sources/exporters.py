@@ -258,6 +258,116 @@ def alto_pages(page_ir: DataFrame, page_w: int = 2480, page_h: int = 3508) -> Da
     return page_ir.select("doc_id", "page_no", alto.alias("alto_xml"))
 
 
+def hocr_pages(
+    page_ir: DataFrame, page_w: int = 2480, page_h: int = 3508
+) -> DataFrame:
+    """hOCR page writer — the export round-trip's last leg: page IR
+    (doc_id, page_no, paragraphs — sources/hocr shape) → one
+    Tesseract-shaped hOCR document per page, built entirely with
+    higher-order array expressions (no Python), the exact inverse of
+    ``sources/hocr.parse_hocr_pages`` the way ``alto_pages`` inverts
+    ``sources/alto.alto_words``.
+
+    Reference parity: the reference stores Tesseract's raw hOCR and
+    serves it per document (/root/reference/server/app.py:488-494
+    ``/get_hocr`` → ``_export/_hocr.hocr``; engines request it via
+    ``tessedit_create_hocr=1``, src/engines/ocr_pytesseract.py:26).  The
+    structure written here is exactly what parse_hocr.py:38-104 walks:
+    ocr_par → ocr_line (title ``bbox …; baseline a b``) → ocrx_word
+    (title ``bbox …; x_wconf …[; x_font …]``).
+
+    Round-trip contract (``parse(write(ir)) == ir`` on the parser's
+    output domain, golden-gated in tests/test_hocr_writer.py):
+
+    * text: XML-escaped here, entity-unescaped by the parser (lxml
+      ``text_content()`` parity) — exact;
+    * box: hOCR bboxes are integers (parse_hocr.py regex ``\\d+``), and
+      parser-produced IR boxes are therefore integral doubles — exact;
+    * confidence / font: carried verbatim in the word title — exact;
+    * b: the IR drops the line box + baseline that produced it, so the
+      writer re-fits a per-line baseline — slope from the (first, last)
+      word pair, intercept anchored at the first word against the
+      word-box hull — emitted as fixed decimal(20,6) (identical
+      rendering in Spark and DuckDB; never float-formatted, which the
+      two engines disagree on).  Exact whenever the line's b values are
+      collinear dyadic rationals (always true for integer-box flat or
+      half-integer-slope baselines, the golden domain); within
+      ~1e-6·width otherwise.
+
+    Empty lines / empty paragraphs are dropped before writing — the
+    parser drops them on read (parse_hocr.py:99-102), so the writer is
+    idempotent with the parse domain.
+
+    Narrow zero-shuffle projection; per-line hull/baseline
+    subexpressions re-evaluate per reference but only over one line's
+    words (bounded), never over data-scale arrays.
+    """
+    esc = (
+        "replace(replace(replace(replace({x}, '&', '&amp;'), '<', '&lt;'),"
+        " '>', '&gt;'), '\"', '&quot;')"
+    )
+
+    def i4(v: str) -> str:
+        return f"cast(cast({v} as bigint) as string)"
+
+    page_s = "cast(page_no as string)"
+    hx1 = "array_min(transform(line, w2 -> w2.box[0]))"
+    hy1 = "array_min(transform(line, w2 -> w2.box[1]))"
+    hx2 = "array_max(transform(line, w2 -> w2.box[2]))"
+    hy2 = "array_max(transform(line, w2 -> w2.box[3]))"
+    xmf = "((line[0].box[0] + line[0].box[2]) / 2)"
+    xml_ = "((element_at(line, -1).box[0] + element_at(line, -1).box[2]) / 2)"
+    araw = (
+        f"case when {xml_} <> {xmf} then "
+        f"(element_at(line, -1).b - line[0].b) / ({xml_} - {xmf}) "
+        f"else cast(0.0 as double) end"
+    )
+    a_dec = f"cast({araw} as decimal(20,6))"
+    c_dec = (
+        f"cast(line[0].b - ({xmf} - {hx1}) * cast({a_dec} as double) "
+        f"- {hy2} as decimal(20,6))"
+    )
+    word_xml = (
+        "concat('<span class=\"ocrx_word\" id=\"word_', "
+        f"{page_s}, '_', cast(bi + 1 as string), '_', "
+        "cast(li + 1 as string), '_', cast(wi + 1 as string), "
+        f"'\" title=\"bbox ', {i4('w.box[0]')}, ' ', {i4('w.box[1]')}, "
+        f"' ', {i4('w.box[2]')}, ' ', {i4('w.box[3]')}, "
+        "'; x_wconf ', cast(w.confidence as string), "
+        "coalesce(concat('; x_font ', w.font), ''), "
+        f"'\">', {esc.format(x='w.text')}, '</span>')"
+    )
+    line_xml = (
+        "concat('<span class=\"ocr_line\" id=\"line_', "
+        f"{page_s}, '_', cast(bi + 1 as string), '_', "
+        "cast(li + 1 as string), "
+        f"'\" title=\"bbox ', {i4(hx1)}, ' ', {i4(hy1)}, ' ', {i4(hx2)}, "
+        f"' ', {i4(hy2)}, '; baseline ', cast({a_dec} as string), ' ', "
+        f"cast({c_dec} as string), '\">', "
+        f"array_join(transform(line, (w, wi) -> {word_xml}), ''), "
+        "'</span>')"
+    )
+    filtered = (
+        "filter(transform(paragraphs, "
+        "block0 -> filter(block0, line0 -> size(line0) > 0)), "
+        "block1 -> size(block1) > 0)"
+    )
+    pars_xml = (
+        f"array_join(transform({filtered}, (block, bi) -> concat("
+        f"'<p class=\"ocr_par\" id=\"par_', {page_s}, '_', "
+        "cast(bi + 1 as string), '\" lang=\"por\">', "
+        f"array_join(transform(block, (line, li) -> {line_xml}), ''), "
+        "'</p>')), '')"
+    )
+    hocr = F.expr(
+        "concat('<?xml version=\"1.0\" encoding=\"UTF-8\"?>"
+        "<html><body><div class=\"ocr_page\" id=\"page_', "
+        f"{page_s}, '\" title=\"bbox 0 0 {int(page_w)} {int(page_h)}\">', "
+        f"{pars_xml}, '</div></body></html>')"
+    )
+    return page_ir.select("doc_id", "page_no", hocr.alias("hocr_xml"))
+
+
 def _json_escape(c: Column) -> Column:
     """The five JSON string escapes the training-JSONL surface needs,
     applied in the only safe order (backslash first).  Exactly mirrored

@@ -83,6 +83,24 @@ _OUT_SCHEMA = pa.schema(
 _BBOX_COLS_RE = r"bbox (\d+) (\d+) (\d+) (\d+)"
 _BASELINE_COLS_RE = r"baseline ([\d.\-]+) ([\d.\-]+)"
 
+# XML entity decode, vectorized — the reference reads word text with lxml
+# ``text_content()`` (parse_hocr.py:65), which unescapes entities; the
+# named five cover everything Tesseract (and our hocr_pages writer) emit.
+# &amp; decodes LAST so '&amp;lt;' → '&lt;' (lxml-identical).
+_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def _unescape(s: pd.Series) -> pd.Series:
+    for pat, rep in _ENTITIES:
+        s = s.str.replace(pat, rep, regex=False)
+    return s
+
 
 def _parse_batch_arrow(pdf: pd.DataFrame, segment_origin: bool) -> pa.Table:
     """Fully vectorized parse: three ``extractall`` passes locate the
@@ -134,12 +152,14 @@ def _parse_batch_arrow(pdf: pd.DataFrame, segment_origin: bool) -> pa.Table:
         ltitle.str.extract(_BASELINE_COLS_RE).astype(np.float64).fillna(0.0)
     )
     bl_a, bl_b = lbl[0].to_numpy(), lbl[1].to_numpy()
-    lbody_text = (
-        lines["body"].str.replace(_TAG_RE, "", regex=True).str.strip()
-    )
+    lbody_text = _unescape(
+        lines["body"].str.replace(_TAG_RE, "", regex=True)
+    ).str.strip()
 
     # --- vectorized per-word attributes -------------------------------
-    wtext = words["body"].str.replace(_TAG_RE, "", regex=True).str.strip()
+    wtext = _unescape(
+        words["body"].str.replace(_TAG_RE, "", regex=True)
+    ).str.strip()
     wbox = words["title"].str.extract(_BBOX_COLS_RE).astype(np.float64)
     wconf = (
         words["title"].str.extract(CONF_RE.pattern)[0]
@@ -320,10 +340,17 @@ def render_hocr(paragraphs: list, page_no: int = 1) -> str:
                 wid += 1
                 b = w["box"]
                 font = f"; x_font {w['font']}" if w.get("font") else ""
+                txt = (
+                    w["text"]
+                    .replace("&", "&amp;")
+                    .replace("<", "&lt;")
+                    .replace(">", "&gt;")
+                    .replace('"', "&quot;")
+                )
                 parts.append(
                     f"<span class='ocrx_word' id='word_{page_no}_{wid}' "
                     f"title='bbox {b[0]:.0f} {b[1]:.0f} {b[2]:.0f} {b[3]:.0f}; "
-                    f"x_wconf {w['confidence']}{font}'>{w['text']}</span>"
+                    f"x_wconf {w['confidence']}{font}'>{txt}</span>"
                 )
             parts.append("</span>")
         parts.append("</p>")

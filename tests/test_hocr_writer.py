@@ -1,0 +1,143 @@
+"""hOCR writer (sources/exporters.py hocr_pages): the export round-trip's
+last leg — page IR → Tesseract-shaped hOCR → parse_hocr_pages == the IR,
+exactly (text / box / confidence / font verbatim; b via the re-fitted
+per-line decimal baseline, exact on the collinear dyadic domain).
+
+Reference: /get_hocr serves the stored raw hOCR per document
+(server/app.py:488-494); parse_hocr.py:38-104 is the structure the writer
+must emit for its own reader to invert.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.sources.exporters import hocr_pages
+from ocr_spark.sources.hocr import PAGE_IR_DDL, parse_hocr_pages
+
+
+def _w(text, box, b, conf, font=None):
+    return {
+        "text": text,
+        "box": [float(v) for v in box],
+        "b": float(b),
+        "confidence": conf,
+        "font": font,
+    }
+
+
+# golden IR: flat line with entities + quotes + two fonts, a single-word
+# line, and a slope-0.5 collinear baseline (all dyadic → exact b)
+_PAGE_A = [
+    [
+        [
+            _w("Fish & <Chips>", [10, 20, 110, 52], 50.0, 91,
+               "Times_New-Roman"),
+            _w('say "hi"', [120, 20, 180, 52], 50.0, 75),
+        ],
+        [_w("line2w", [10, 60, 60, 90], 88.0, 0, "f-g_h")],
+    ],
+    [
+        [
+            _w("sl0", [0, 400, 10, 430], 440.5, 93),
+            _w("sl1", [20, 400, 40, 430], 453.0, 94),
+            _w("sl2", [60, 400, 80, 430], 473.0, 95),
+        ]
+    ],
+]
+_PAGE_B = [[[_w("only", [5, 5, 50, 30], 30.0, 80)]], [], [[]]]
+_PAGE_B_EXPECT = [[[_w("only", [5, 5, 50, 30], 30.0, 80)]]]
+
+
+def _ir_df(spark, rows):
+    return spark.createDataFrame(rows, PAGE_IR_DDL)
+
+
+def _collect_ir(df):
+    out = {}
+    for r in df.collect():
+        out[(r["doc_id"], r["page_no"])] = [
+            [
+                [
+                    (w["text"], tuple(w["box"]), w["b"], w["confidence"],
+                     w["font"])
+                    for w in line
+                ]
+                for line in par
+            ]
+            for par in r["paragraphs"]
+        ]
+    return out
+
+
+def _norm(paragraphs):
+    return [
+        [
+            [
+                (w["text"], tuple(w["box"]), w["b"], w["confidence"],
+                 w["font"])
+                for w in line
+            ]
+            for line in par
+        ]
+        for par in paragraphs
+    ]
+
+
+def test_hocr_round_trip_is_exact(spark):
+    ir = _ir_df(spark, [("docA", 1, _PAGE_A), ("docB", 2, _PAGE_B)])
+    hocr = hocr_pages(ir)
+    assert hocr.columns == ["doc_id", "page_no", "hocr_xml"]
+    back = parse_hocr_pages(
+        hocr.select("doc_id", "page_no", F.col("hocr_xml").alias("hocr"))
+    )
+    got = _collect_ir(back)
+    assert got[("docA", 1)] == _norm(_PAGE_A)
+    # empty line / empty paragraph dropped by the writer == the parser's
+    # own read-side drops (parse_hocr.py:99-102)
+    assert got[("docB", 2)] == _norm(_PAGE_B_EXPECT)
+
+
+def test_hocr_writer_is_pure_catalyst(spark):
+    ir = _ir_df(spark, [("docA", 1, _PAGE_A)])
+    plan = (
+        hocr_pages(ir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "Exchange" not in plan
+
+
+def test_hocr_writer_shape_is_tesseract_parsable(spark):
+    """Structural facts Tesseract consumers rely on: entity escaping in
+    word bodies, integer bboxes, decimal baselines, x_wconf / x_font
+    title keys in parse_hocr.py's regex shapes."""
+    ir = _ir_df(spark, [("docA", 3, _PAGE_A)])
+    xml = hocr_pages(ir).collect()[0]["hocr_xml"]
+    assert xml.startswith('<?xml version="1.0" encoding="UTF-8"?>')
+    assert 'class="ocr_page" id="page_3"' in xml
+    assert "Fish &amp; &lt;Chips&gt;" in xml
+    assert "say &quot;hi&quot;" in xml
+    assert 'title="bbox 10 20 180 52; baseline 0.000000 -2.000000"' in xml
+    assert "; x_wconf 91; x_font Times_New-Roman" in xml
+    # slope-0.5 line: hull (0,400,80,430), intercept 440.5-2.5-430 = 8
+    assert 'title="bbox 0 400 80 430; baseline 0.500000 8.000000"' in xml
+    # single-word line: slope degenerates to 0, intercept b - hull_y2
+    assert 'title="bbox 10 60 60 90; baseline 0.000000 -2.000000"' in xml
+
+
+def test_parser_unescapes_entities_like_lxml(spark):
+    """The reference reads word text via lxml text_content(), which
+    decodes entities (parse_hocr.py:65) — the lexer must match, &amp;
+    decoded last so double-encoded text survives one level."""
+    page = (
+        "<div class='ocr_page'><p class='ocr_par'>"
+        "<span class='ocr_line' title='bbox 0 0 100 20; baseline 0 0'>"
+        "<span class='ocrx_word' title='bbox 0 0 50 20; x_wconf 90'>"
+        "A &amp; B &lt;c&gt; &quot;d&quot; &#39;e&#39; &amp;lt;f"
+        "</span></span></p></div>"
+    )
+    df = spark.createDataFrame(
+        [("d", 1, page)], "doc_id string, page_no int, hocr string"
+    )
+    [row] = parse_hocr_pages(df).collect()
+    assert row["paragraphs"][0][0][0]["text"] == 'A & B <c> "d" \'e\' &lt;f'
