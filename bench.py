@@ -15,6 +15,12 @@ Two modes:
   PROCESSES: local-cluster[N,2,4096] vs local-cluster[4N,2,4096]
   (default N = 1) — separate executor JVMs, serialized broadcasts, netty
   shuffle transfers; the closest sandbox analog of "N vs 4N executors".
+* ``--soak`` — the full-lifecycle soak (BENCH/BASELINE.md §3b family) as
+  a reproducible mode: waved checkpointed extraction → durable edit
+  batch → durable expire → overlay compaction → exact reconciliation,
+  with a /proc RSS sampler recording PEAK memory (JVM, pyspark Arrow
+  workers, python driver) across the whole run.
+  ``OCR_SPARK_BENCH_DOCS`` sizes it (default 1,000,000).
 
 Output schema (driver contract):
   {"metric": "...", "value": N, "unit": "...", "queries": {...}, "sf": ...}
@@ -445,6 +451,192 @@ def run_scaling_shuffle(n_small: int, mult: int = 10) -> dict:
     }
 
 
+def _peak_rss_sampler(stop, peaks: dict, interval: float = 2.0) -> None:
+    """Poll /proc every ``interval`` s and track peak RSS of the local-mode
+    JVM (comm 'java'), the pyspark Arrow worker pool (other 'python*'
+    processes), and this driver process.  Sandbox-scoped: the host runs
+    no other java/python, so comm matching is sufficient; on a cluster
+    the same numbers come from the executor metrics endpoint."""
+    import glob
+
+    me = os.getpid()
+    page = os.sysconf("SC_PAGE_SIZE")
+    while not stop.is_set():
+        jvm = workers = drv = 0
+        for sdir in glob.glob("/proc/[0-9]*"):
+            try:
+                with open(sdir + "/comm") as f:
+                    comm = f.read().strip()
+                with open(sdir + "/statm") as f:
+                    rss = int(f.read().split()[1]) * page
+            except (OSError, ValueError, IndexError):
+                continue
+            pid = int(sdir.rsplit("/", 1)[1])
+            if comm == "java":
+                jvm += rss
+            elif comm.startswith("python"):
+                if pid == me:
+                    drv = rss
+                else:
+                    workers += rss
+        peaks["jvm_gb"] = max(peaks.get("jvm_gb", 0.0), jvm / 2**30)
+        peaks["pyworkers_gb"] = max(
+            peaks.get("pyworkers_gb", 0.0), workers / 2**30
+        )
+        peaks["driver_py_gb"] = max(
+            peaks.get("driver_py_gb", 0.0), drv / 2**30
+        )
+        peaks["total_gb"] = max(
+            peaks.get("total_gb", 0.0), (jvm + workers + drv) / 2**30
+        )
+        stop.wait(interval)
+
+
+def run_soak(
+    n_docs: int, n_buckets: int = 128, wave_size: int = 32
+) -> dict:
+    """Full lifecycle at ``n_docs`` with peak-memory stamps — the §3b
+    protocol, committable and re-runnable.  Heap via SPARK_DRIVER_MEM
+    (default here 28g, the 1M-scale sizing from §3b-r2c; §3b-r2 showed
+    8 GB/32 threads is the OOM cliff for the edit-overlay plan)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "28g")
+    from ocr_spark import get_spark
+    from ocr_spark.jobs import retention
+    from ocr_spark.jobs.edits import apply_edits, compact_overlay
+    from ocr_spark.jobs.extract_job import read_documents, run_extraction
+
+    pre = _cpu_control()
+    cached = _contract_path(n_docs)
+    work = tempfile.mkdtemp(prefix="ocr_soak_")
+    input_path = os.path.join(work, "documents.parquet")
+    shutil.copytree(cached, input_path)
+    out_path = os.path.join(work, "derived")
+    mani = os.path.join(work, "manifest")
+
+    peaks: dict = {}
+    stop = threading.Event()
+    sampler = threading.Thread(
+        target=_peak_rss_sampler, args=(stop, peaks), daemon=True
+    )
+    sampler.start()
+    timings: dict = {}
+    spark = get_spark("ocr-soak")
+    try:
+        t0 = time.perf_counter()
+        ext = run_extraction(
+            spark, input_path, out_path, mani, "soak-extract",
+            n_buckets=n_buckets, wave_size=wave_size,
+        )
+        timings["extract_sec"] = round(time.perf_counter() - t0, 1)
+
+        # durable edit batch: ~200 docs, first text span tagged
+        # contract doc_id is 'doc-%08d' — select on the numeric tail
+        dnum = F.expr("cast(substr(doc_id, 5) as bigint)")
+        step = max(n_docs // 200, 1)
+        upd = (
+            read_documents(spark, input_path)
+            .where((dnum % step) == 0)
+            .select(
+                "doc_id",
+                F.expr(
+                    "transform(spans, s -> named_struct("
+                    "'kind', s.kind, "
+                    "'text', case when s.kind = 'text' "
+                    "then concat(s.text, '_edited') else s.text end, "
+                    "'media_ref', s.media_ref, 'offset', s.offset))"
+                ).alias("spans"),
+                "meta",
+            )
+        )
+        t0 = time.perf_counter()
+        ed = apply_edits(
+            spark, upd, input_path, out_path, mani, "soak-edit",
+            n_buckets=n_buckets, wave_size=wave_size,
+        )
+        timings["edit_sec"] = round(time.perf_counter() - t0, 1)
+
+        # durable expire: ~1000 docs (tombstones + derived rewrite)
+        estep = max(n_docs // 1000, 1)
+        t0 = time.perf_counter()
+        ex = retention.expire_where(
+            spark, out_path, mani, "soak-expire",
+            (F.expr("cast(substr(doc_id, 5) as bigint)") % estep) == 3,
+            wave_size=wave_size, input_path=input_path,
+        )
+        timings["expire_sec"] = round(time.perf_counter() - t0, 1)
+
+        t0 = time.perf_counter()
+        comp = compact_overlay(spark, input_path)
+        timings["compact_sec"] = round(time.perf_counter() - t0, 1)
+
+        # reconciliation — exact, both sides of the seam
+        seam_n = read_documents(spark, input_path).count()
+        derived_n = (
+            spark.read.parquet(out_path).select("doc_id").distinct().count()
+        )
+        expired_docs = (
+            spark.read.parquet(input_path).select("doc_id").distinct()
+            .where((dnum % estep) == 3).count()
+        )
+        edit_eligible = (
+            read_documents(spark, input_path)
+            .where(((dnum % step) == 0) & ((dnum % estep) != 3))
+            .select("doc_id", F.explode("spans").alias("s"))
+            .where(F.col("s.kind") == "text")
+            .select("doc_id").distinct().count()
+        )
+        edited_ok = (
+            read_documents(spark, input_path)
+            .where(((dnum % step) == 0) & ((dnum % estep) != 3))
+            .select("doc_id", F.explode("spans").alias("s"))
+            .where(F.col("s.text").endswith("_edited"))
+            .select("doc_id").distinct().count()
+        )
+    finally:
+        spark.stop()
+        stop.set()
+        sampler.join(timeout=10)
+
+    reconciled = seam_n == derived_n
+    return {
+        "metric": "lifecycle soak (extract+edit+expire+compact)",
+        "value": round(n_docs / max(timings["extract_sec"], 1e-9), 1),
+        "unit": "docs/sec (extraction incl. waves+commits)",
+        "queries": {
+            **timings,
+            "extract_status": ext["status"],
+            "doc_count": ext["doc_count"],
+            "span_count": ext["span_count"],
+            "edited_docs": ed["edited_docs"],
+            "touched_buckets": len(ed["touched_buckets"]),
+            "expired_rows": ex.get("expired", ex.get("expired_rows", -1)),
+            "compacted": comp.get("status", "ok"),
+            "seam_docs": seam_n,
+            "derived_docs": derived_n,
+            "post_expire_seam_docs_match": reconciled,
+            "edited_docs_verified": edited_ok,
+            "edit_eligible_docs": edit_eligible,
+            "peak_jvm_gb": round(peaks.get("jvm_gb", 0.0), 2),
+            "peak_pyworkers_gb": round(peaks.get("pyworkers_gb", 0.0), 2),
+            "peak_driver_py_gb": round(peaks.get("driver_py_gb", 0.0), 2),
+            "peak_total_gb": round(peaks.get("total_gb", 0.0), 2),
+            "heap_setting": os.environ.get("SPARK_DRIVER_MEM", "8g"),
+            "n_buckets": n_buckets,
+            "wave_size": wave_size,
+            "expired_from_seam": n_docs - seam_n,
+            "expired_still_in_base": expired_docs,
+        },
+        "sf": f"contract table n_docs={n_docs}",
+        "contract_docs": n_docs,
+        "cpu_control_pre": pre,
+        "cpu_control_sec": _cpu_control(),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -452,7 +644,9 @@ def main() -> None:
     # round-1 driver run under-amortized JIT/stage overhead 4x and was not
     # comparable to the baseline; see VERDICT round 1).
     n_docs = int(os.environ.get("OCR_SPARK_BENCH_DOCS", "100000"))
-    if "--scaling-shuffle" in sys.argv:
+    if "--soak" in sys.argv:
+        out = run_soak(int(os.environ.get("OCR_SPARK_BENCH_DOCS", "1000000")))
+    elif "--scaling-shuffle" in sys.argv:
         out = run_scaling_shuffle(
             int(os.environ.get("OCR_SPARK_SCALE_N", "2"))
         )
