@@ -58,8 +58,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _normalized_matrix(embeddings: DataFrame, id_col: str, vec_col: str):
-    """Collect (ids, L2-normalized float64 matrix) for the broadcast index."""
+#: Broadcast-tier ceiling for the exact/bruteforce index collect — the
+#: bound is ENFORCED (the cosine_topk_pq discipline), not assumed.  At
+#: dim 64 float64 this is ~5 GB of driver matrix; raise deliberately on
+#: a bigger driver, or use the tiers that never collect the index
+#: (embedding_neardup_lsh / cosine_topk_lsh / cosine_topk_ivfpq).
+BRUTEFORCE_MAX_INDEX_ROWS = 10_000_000
+
+
+def _normalized_matrix(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_rows: int = BRUTEFORCE_MAX_INDEX_ROWS,
+):
+    """Collect (ids, L2-normalized float64 matrix) for the broadcast index.
+
+    This is the exact small-index tier's defining step; the row bound is
+    asserted so the tier cannot silently become an O(N) driver
+    materialization at scale."""
+    n = embeddings.count()
+    if n > max_rows:
+        raise ValueError(
+            f"bruteforce/exact tier collects the full index: {n} rows > "
+            f"max {max_rows}; use embedding_neardup_lsh / cosine_topk_lsh "
+            f"/ cosine_topk_ivfpq, which keep the index distributed."
+        )
     rows = embeddings.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)

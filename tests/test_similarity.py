@@ -232,3 +232,15 @@ def test_ivfpq_reports_true_cosines(spark, emb):
     for r in cosine_topk_ivfpq(emb, emb, k=5).collect():
         key = (r["vec_id"], r["neighbor_id"])
         assert key in exact_all and exact_all[key] == r["sim"], key
+
+
+def test_bruteforce_asserts_its_collect_ceiling(spark, emb):
+    """The exact tier's full-index collect is bounded and enforced, like
+    the PQ tier — over the limit it refuses with a pointer at the
+    distributed tiers instead of materializing O(N) on the driver."""
+    import pytest
+
+    from ocr_spark.operators import similarity as S
+
+    with pytest.raises(ValueError, match="distributed"):
+        S._normalized_matrix(emb, "vec_id", "embedding", max_rows=3)
