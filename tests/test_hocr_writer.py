@@ -125,6 +125,71 @@ def test_hocr_writer_shape_is_tesseract_parsable(spark):
     assert 'title="bbox 10 60 60 90; baseline 0.000000 -2.000000"' in xml
 
 
+def test_hocr_round_trip_randomized_battery(spark):
+    """Seeded randomized IR battery over the writer's exact domain —
+    integer boxes, per-line collinear dyadic baselines (slopes 0, ±0.25,
+    ±0.5, 1, 2), entity-bearing texts, optional fonts, occasional empty
+    lines/paragraphs — parse(write(ir)) must equal the IR with empties
+    dropped, bit-for-bat including every word's b."""
+    import random
+
+    rng = random.Random(20260821)
+    texts = ["ok", "Fish & Chips", "<tag>", 'q"q', "a b", "çã!", "x&amp;y"]
+    fonts = [None, "Times_New-Roman", "f-g_h"]
+    slopes = [0.0, 0.25, -0.25, 0.5, -0.5, 1.0, 2.0]
+
+    def rand_line():
+        n = rng.randint(1, 5)
+        if rng.random() < 0.1:
+            return []
+        x = rng.randrange(0, 50)
+        words, slope = [], rng.choice(slopes)
+        y1 = rng.randrange(0, 400)
+        h = rng.randrange(10, 40)
+        xs = []
+        for _ in range(n):
+            w = rng.randrange(2, 60, 2)  # even width → integer x_mid
+            xs.append((x, x + w))
+            x += w + rng.randrange(1, 20)
+        hx1 = xs[0][0]
+        hy2 = y1 + h
+        c0 = rng.randrange(-20, 20)
+        for (x1, x2) in xs:
+            xm = (x1 + x2) / 2.0
+            words.append(
+                {
+                    "text": rng.choice(texts),
+                    "box": [float(x1), float(y1), float(x2), float(hy2)],
+                    "b": slope * (xm - hx1) + c0 + hy2,
+                    "confidence": rng.randrange(0, 101),
+                    "font": rng.choice(fonts),
+                }
+            )
+        return words
+
+    def rand_page():
+        return [
+            [rand_line() for _ in range(rng.randint(0, 4))]
+            for _ in range(rng.randint(0, 3))
+        ]
+
+    pages = [(f"r{i}", i % 7, rand_page()) for i in range(30)]
+    ir = _ir_df(spark, pages)
+    back = parse_hocr_pages(
+        hocr_pages(ir).select(
+            "doc_id", "page_no", F.col("hocr_xml").alias("hocr")
+        )
+    )
+    got = _collect_ir(back)
+    for doc_id, page_no, paragraphs in pages:
+        expected = [
+            [line for line in par if line]
+            for par in paragraphs
+        ]
+        expected = [p for p in expected if p]
+        assert got[(doc_id, page_no)] == _norm(expected), (doc_id, page_no)
+
+
 def test_parser_unescapes_entities_like_lxml(spark):
     """The reference reads word text via lxml text_content(), which
     decodes entities (parse_hocr.py:65) — the lexer must match, &amp;
