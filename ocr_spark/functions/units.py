@@ -62,3 +62,19 @@ def size_human(b: Column | str) -> Column:
             "SQL for oracle parity); use size_human_sql for expressions"
         )
     return F.expr(size_human_sql(name))
+
+
+def ocr_eta_sql(n: str, dialect: str = "spark") -> str:
+    """F12 OCR time estimate — the reference's ``estimate_ocr_time``
+    (src/engines/ocr_tesserocr.py:287-291): ``'<1min'`` under 20 pages,
+    else ``ceil(0.0176·n + 0.2632)`` minutes.  Cross-engine exact: the
+    rational (176n+2632)/10000 is never an integer (176n+2632 ≡ 0
+    mod 10000 has no solution — 22n ≡ −329 mod 1250 pairs even with
+    odd), so the double sits ≥1e-4 from every ceil boundary and both
+    engines agree."""
+    st = "string" if dialect == "spark" else "varchar"
+    return (
+        f"case when ({n}) < 20 then '<1min' else "
+        f"concat(cast(cast(ceil(0.0176 * ({n}) + 0.2632) as bigint) "
+        f"as {st}), 'min') end"
+    )

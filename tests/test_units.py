@@ -48,3 +48,25 @@ def test_dialects_share_arithmetic():
     a = size_human_sql("b")
     b = size_human_sql("b", "duckdb")
     assert a.replace(" div ", "//").replace("as string", "as varchar") == b
+
+
+def test_ocr_eta_matches_reference_exactly():
+    """F12: verbatim semantics of estimate_ocr_time
+    (ocr_tesserocr.py:287-291) across both branches."""
+    import math
+
+    from ocr_spark.functions.units import ocr_eta_sql
+
+    def _ref(n: int) -> str:
+        if n < 20:
+            return "<1min"
+        return f"{math.ceil(0.0176 * n + 0.2632)}min"
+
+    con = duckdb.connect()
+    cases = list(range(0, 2500)) + [10**5, 10**6]
+    got = con.sql(
+        f"select n, {ocr_eta_sql('n', 'duckdb')} as h "
+        f"from (select unnest({cases}) as n)"
+    ).fetchall()
+    for n, h in got:
+        assert h == _ref(n), (n, h, _ref(n))
