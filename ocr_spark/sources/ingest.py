@@ -91,6 +91,101 @@ def write_zip(path: str, entries: dict[str, bytes]) -> None:
             z.writestr(name, payload)
 
 
+def write_tiff(
+    path: str, pages: list[bytes], big_endian: bool = False
+) -> None:
+    """Write a REAL multi-frame baseline TIFF (S3 fixtures): proper
+    header, one IFD per page chained via next-IFD offsets, ascending-tag
+    entries (ImageWidth 256 / ImageLength 257 / Compression 259=none /
+    StripOffsets 273 / StripByteCounts 279), each page's single
+    uncompressed strip carrying the payload.  Readable by any TIFF
+    tool; the walker below consumes the same structure."""
+    bo = ">" if big_endian else "<"
+    header = (b"MM" if big_endian else b"II") + struct.pack(bo + "H", 42)
+    # layout: header(4) + first-IFD-offset(4) + all strip data, IFDs last
+    data_off = 8
+    strips = []
+    for p in pages:
+        strips.append((data_off, len(p)))
+        data_off += len(p)
+    ifd_size = 2 + 5 * 12 + 4
+    out = [header, struct.pack(bo + "I", data_off)]
+    out.extend(pages)
+    for i, (off, ln) in enumerate(strips):
+        nxt = 0 if i == len(strips) - 1 else data_off + (i + 1) * ifd_size
+        entries = b"".join(
+            struct.pack(bo + "HHII", tag, typ, 1, val)
+            for tag, typ, val in (
+                (256, 4, max(ln, 1)),   # width: fixture = strip length
+                (257, 4, 1),            # height 1 (structure, not pixels)
+                (259, 3, 1),            # no compression
+                (273, 4, off),          # strip offset
+                (279, 4, ln),           # strip byte count
+            )
+        )
+        out.append(struct.pack(bo + "H", 5) + entries + struct.pack(bo + "I", nxt))
+    with open(path, "wb") as f:
+        f.write(b"".join(out))
+
+
+def _tiff_frames(content: bytes) -> list[bytes]:
+    """S3: walk a multi-frame TIFF's IFD chain — both byte orders, tag
+    256/257 geometry ignored here (no pixel decode; the codec seam),
+    strip offsets/counts honored including count>1 arrays — and return
+    one strips-concatenated payload per frame, in CHAIN ORDER (the
+    reference iterates PIL ``seek(i)`` frame order,
+    celery_app.py:597-652).  Loop-guarded; malformed chains raise."""
+    if len(content) < 8 or content[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF: bad byte-order mark")
+    bo = "<" if content[:2] == b"II" else ">"
+    (magic,) = struct.unpack_from(bo + "H", content, 2)
+    if magic != 42:
+        raise ValueError("not a TIFF: bad magic")
+    (ifd,) = struct.unpack_from(bo + "I", content, 4)
+    frames: list[bytes] = []
+    seen = set()
+    while ifd:
+        if ifd in seen or len(frames) >= 65535:
+            raise ValueError("TIFF IFD chain loop")
+        seen.add(ifd)
+        (n,) = struct.unpack_from(bo + "H", content, ifd)
+        tags: dict[int, tuple[int, int, int]] = {}
+        for k in range(n):
+            tag, typ, cnt, val = struct.unpack_from(
+                bo + "HHII", content, ifd + 2 + 12 * k
+            )
+            tags[tag] = (typ, cnt, val)
+
+        def vals(tag: int) -> list[int]:
+            typ, cnt, val = tags[tag]
+            size = 2 if typ == 3 else 4
+            if cnt * size <= 4:  # inline value field
+                if typ == 3:
+                    return list(
+                        struct.unpack_from(bo + f"{cnt}H", content, ifd + 2 + 12 * _idx(tag) + 8)
+                    )
+                return [val]
+            fmt = bo + f"{cnt}" + ("H" if typ == 3 else "I")
+            return list(struct.unpack_from(fmt, content, val))
+
+        def _idx(tag: int) -> int:
+            for k in range(n):
+                t = struct.unpack_from(bo + "H", content, ifd + 2 + 12 * k)[0]
+                if t == tag:
+                    return k
+            raise KeyError(tag)
+
+        offs = vals(273)
+        cnts = vals(279)
+        if len(offs) != len(cnts):
+            raise ValueError("TIFF strip offset/count mismatch")
+        frames.append(
+            b"".join(content[o : o + c] for o, c in zip(offs, cnts))
+        )
+        (ifd,) = struct.unpack_from(bo + "I", content, ifd + 2 + 12 * n)
+    return frames
+
+
 # ---------------------------------------------------------------------------
 # container split
 # ---------------------------------------------------------------------------
@@ -119,6 +214,13 @@ def _split_container(path: str, content: bytes) -> list[tuple[str, str, str, byt
             off += 4
             out.append(("pdf", f"{stem}_{i}.png", content[off : off + ln]))
             off += ln
+    elif ext in ("tif", "tiff"):
+        # S3: real IFD-chain walk, one page per frame in chain order
+        # (celery_app.py:597-652's PIL seek(i) order)
+        out = [
+            ("tiff", f"{stem}_{i}.tif", frame)
+            for i, frame in enumerate(_tiff_frames(content))
+        ]
     else:
         # S4 single image: the file is page 0 (celery_app.py:654-677)
         out = [("img", doc_id, content)]

@@ -74,3 +74,78 @@ def test_ingest_single_image(spark, tmp_path):
     assert [(r["doc_id"], r["offset"], r["text"]) for r in rows] == [
         ("solo.png", 0, "only")
     ]
+
+
+def test_tiff_ifd_walk_both_endians(spark, tmp_path):
+    """S3: real multi-frame TIFF scan — IFD chain order (the reference's
+    PIL seek(i) order, celery_app.py:597-652) in both byte orders."""
+    from ocr_spark.sources.ingest import write_tiff
+
+    d = tmp_path / "tiffs"
+    d.mkdir()
+    write_tiff(
+        str(d / "doc_le.tiff"),
+        [_page([f"t{i}"]) for i in range(4)],
+    )
+    write_tiff(
+        str(d / "doc_be.tif"),
+        [_page(["big0"]), _page(["big1"])],
+        big_endian=True,
+    )
+    spans = ingest_spans(spark, str(d))
+    le = [
+        r["text"]
+        for r in spans.where(spans.doc_id == "doc_le.tiff")
+        .orderBy("offset").collect()
+    ]
+    assert le == ["t0", "t1", "t2", "t3"]
+    be = [
+        r["text"]
+        for r in spans.where(spans.doc_id == "doc_be.tif")
+        .orderBy("offset").collect()
+    ]
+    assert be == ["big0", "big1"]
+
+
+def test_tiff_multi_strip_and_loop_guard():
+    """The walker honors count>1 strip arrays (offset-table indirection)
+    and refuses IFD-chain loops."""
+    import struct
+
+    import pytest as pt
+
+    from ocr_spark.sources.ingest import _tiff_frames, write_tiff
+
+    # hand-build: one frame split across two strips
+    p1, p2 = b"hello-", b"strips"
+    data_off = 8
+    strip_tbl_off = data_off + len(p1) + len(p2)
+    ifd_off = strip_tbl_off + 16  # 2 offsets + 2 counts (4 bytes each)
+    buf = [b"II", struct.pack("<H", 42), struct.pack("<I", ifd_off),
+           p1, p2,
+           struct.pack("<2I", data_off, data_off + len(p1)),
+           struct.pack("<2I", len(p1), len(p2))]
+    entries = [
+        (256, 4, 1, 12), (257, 4, 1, 1), (259, 3, 1, 1),
+        (273, 4, 2, strip_tbl_off), (279, 4, 2, strip_tbl_off + 8),
+    ]
+    buf.append(struct.pack("<H", len(entries)))
+    for t, ty, c, v in entries:
+        buf.append(struct.pack("<HHII", t, ty, c, v))
+    buf.append(struct.pack("<I", 0))
+    frames = _tiff_frames(b"".join(buf))
+    assert frames == [b"hello-strips"]
+
+    # loop: next-IFD pointing back at itself
+    import io as _io
+    loop = bytearray(b"".join(buf))
+    loop[-4:] = struct.pack("<I", ifd_off)
+    with pt.raises(ValueError, match="loop"):
+        _tiff_frames(bytes(loop))
+
+    # writer output is also readable frame-exact
+    import tempfile, os as _os
+    with tempfile.TemporaryDirectory() as td:
+        p = _os.path.join(td, "x.tif")
+        write_tiff(p, [b"A", b"BB", b"CCC"])
+        assert _tiff_frames(open(p, "rb").read()) == [b"A", b"BB", b"CCC"]
