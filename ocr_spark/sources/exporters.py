@@ -419,3 +419,51 @@ def jsonl_records(docs: DataFrame) -> DataFrame:
         F.lit("}"),
     )
     return docs.select("doc_id", value.alias("value"))
+
+
+def zip_bundles(artifacts: DataFrame) -> DataFrame:
+    """E6 export_zip (reference export.py:132-146, 987-998: zip the
+    document's images / whole result tree incl. METS) as a per-document
+    bundle sink: ``(doc_id, entry_name, payload binary)`` rows → ONE
+    real ZIP archive per document (``doc_id, n_entries, n_bytes, zip``).
+
+    Determinism contract (what makes the sink testable and re-runnable):
+    entries are sorted by name, stored uncompressed (ZIP_STORED — the
+    payloads are parquet/XML/PDF text that downstream tools re-compress
+    anyway), and stamped with the fixed DOS epoch (1980-01-01), so the
+    archive BYTES are a pure function of the content — byte-identical
+    across partitionings and re-runs (md5-gated in tests).  CRC32s are
+    real, so any unzip tool validates the bundle.
+
+    Kernel shape: stdlib ``zipfile`` over an in-memory buffer inside one
+    applyInPandas group per document — binary rides the doc_id shuffle
+    once (the sink's job, same as chunk_assembly); nothing is collected
+    to the driver."""
+    import io as _io
+    import zipfile as _zf
+
+    import pandas as pd
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        doc = pdf["doc_id"].iloc[0]
+        buf = _io.BytesIO()
+        rows = sorted(
+            zip(pdf["entry_name"], pdf["payload"]), key=lambda r: r[0]
+        )
+        with _zf.ZipFile(buf, "w", _zf.ZIP_STORED) as z:
+            for name, payload in rows:
+                info = _zf.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+                z.writestr(info, bytes(payload))
+        blob = buf.getvalue()
+        return pd.DataFrame(
+            {
+                "doc_id": [doc],
+                "n_entries": [len(rows)],
+                "n_bytes": [len(blob)],
+                "zip": [blob],
+            }
+        )
+
+    return artifacts.groupBy("doc_id").applyInPandas(
+        build, "doc_id string, n_entries int, n_bytes long, zip binary"
+    )
