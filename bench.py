@@ -145,7 +145,7 @@ def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
         "html_tables", "zorder_layout", "session_windows", "html_outline",
         "alto_words", "postings_codec", "http_meta", "more_like_this", "kwic_snippets", "robots_sitemaps", "compaction_plan", "html_markdown",
         # round 3: hOCR export round-trip close + newly-oracled encode
-        "hocr_export", "bpe_encode", "pdf_export", "size_humanize", "ocr_eta", "path_safety", "chunk_assembly", "export_bundle", "ner_entities", "raster_segments",
+        "hocr_export", "bpe_encode", "pdf_export", "size_humanize", "ocr_eta", "path_safety", "chunk_assembly", "export_bundle", "ner_entities", "raster_segments", "document_bundle",
     ]
     # Per-workload scan tuning (the conf is runtime-settable): thin
     # TPC-H-ish tables are scan-bound and want the vectorized reader's
