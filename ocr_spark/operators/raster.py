@@ -95,6 +95,25 @@ def _runs(row: np.ndarray) -> list[tuple[int, int]]:
     return list(zip(starts.tolist(), ends.tolist()))
 
 
+def _runs2d(m: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All [start, end) True runs of every row in ONE vectorized pass:
+    a sentinel False column stops runs at row ends, the padded array
+    flattens, and one diff locates all boundaries.  Returns (rows,
+    starts, ends) sorted by (row, start) — the same order the per-row
+    loop produced."""
+    h, w = m.shape
+    padded = np.zeros((h, w + 1), dtype=bool)
+    padded[:, :w] = m
+    flat = padded.ravel()
+    d = np.diff(flat.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if flat[0]:
+        starts = np.concatenate(([0], starts))
+    rows = starts // (w + 1)
+    return rows, starts - rows * (w + 1), ends - rows * (w + 1)
+
+
 def _line_mask(ink: np.ndarray, scale: int = LINE_SCALE) -> np.ndarray:
     """Ruling mask: maximal ink runs spanning ≥ dim/scale pixels AND
     thin in the cross direction (find_lines over the reference's
@@ -103,30 +122,28 @@ def _line_mask(ink: np.ndarray, scale: int = LINE_SCALE) -> np.ndarray:
     that without a local-mean filter)."""
     h, w = ink.shape
     thin = max(3, min(h, w) // 150)
+
+    def select_runs(m: np.ndarray, lo=None, hi=None):
+        rows, s, e = _runs2d(m)
+        ln = e - s
+        keep = np.ones(len(rows), dtype=bool)
+        if lo is not None:
+            keep &= ln >= lo
+        if hi is not None:
+            keep &= ln <= hi
+        return rows[keep], s[keep], e[keep]
+
     long_h = np.zeros_like(ink, dtype=bool)
-    min_w = max(w // scale, 2)
-    for y in range(h):
-        for s, e in _runs(ink[y]) if ink[y].any() else []:
-            if e - s >= min_w:
-                long_h[y, s:e] = True
+    for y, s, e in zip(*select_runs(ink, lo=max(w // scale, 2))):
+        long_h[y, s:e] = True
     mask = np.zeros_like(ink, dtype=bool)
-    for x in range(w):
-        col = long_h[:, x]
-        for s, e in _runs(col) if col.any() else []:
-            if e - s <= thin:
-                mask[s:e, x] = True
+    for x, s, e in zip(*select_runs(long_h.T.copy(), hi=thin)):
+        mask[s:e, x] = True
     long_v = np.zeros_like(ink, dtype=bool)
-    min_h = max(h // scale, 2)
-    for x in range(w):
-        col = ink[:, x]
-        for s, e in _runs(col) if col.any() else []:
-            if e - s >= min_h:
-                long_v[s:e, x] = True
-    for y in range(h):
-        row = long_v[y]
-        for s, e in _runs(row) if row.any() else []:
-            if e - s <= thin:
-                mask[y, s:e] = True
+    for x, s, e in zip(*select_runs(ink.T.copy(), lo=max(h // scale, 2))):
+        long_v[s:e, x] = True
+    for y, s, e in zip(*select_runs(long_v, hi=thin)):
+        mask[y, s:e] = True
     return mask
 
 
@@ -147,30 +164,23 @@ def _components(ink: np.ndarray) -> list[tuple[int, int, int, int, int]]:
         if ra != rb:
             parent[rb] = ra
 
-    prev: list[tuple[int, int, int]] = []  # (start, end, label)
-    run_info: list[tuple[int, int, int]] = []  # per label: (y, s, e)
-    for y in range(ink.shape[0]):
-        row = ink[y]
-        cur: list[tuple[int, int, int]] = []
-        row_runs = _runs(row) if row.any() else []
-        for s, e in row_runs:
-            lab = len(parent)
-            parent.append(lab)
-            cur.append((s, e, lab))
+    r_rows, r_s, r_e = _runs2d(ink)
+    n_runs = len(r_rows)
+    parent.extend(range(n_runs))
+    run_info = list(zip(r_rows.tolist(), r_s.tolist(), r_e.tolist()))
+    # row boundaries in the (row-sorted) run arrays
+    row_start = np.searchsorted(r_rows, np.arange(ink.shape[0] + 1))
+    for y in range(1, ink.shape[0]):
+        i, iend = row_start[y - 1], row_start[y]
+        j, jend = row_start[y], row_start[y + 1]
         # union with overlapping runs of the previous row (two-pointer)
-        i = j = 0
-        while i < len(prev) and j < len(cur):
-            ps, pe, pl = prev[i]
-            cs, ce, cl = cur[j]
-            if ps < ce and cs < pe:  # overlap → 4-connected
-                union(pl, cl)
-            if pe <= ce:
+        while i < iend and j < jend:
+            if r_s[i] < r_e[j] and r_s[j] < r_e[i]:  # 4-connected
+                union(i, j)
+            if r_e[i] <= r_e[j]:
                 i += 1
             else:
                 j += 1
-        for s, e, lab in cur:
-            run_info.append((y, s, e))
-        prev = cur
     # resolve boxes
     agg: dict[int, list[int]] = {}
     for lab, (y, s, e) in enumerate(run_info):
