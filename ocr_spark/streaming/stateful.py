@@ -73,3 +73,90 @@ def streaming_dedup(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# S7 streaming form: live chunked-upload assembly
+# ---------------------------------------------------------------------------
+
+UPLOAD_OUT = (
+    "file_id string, total_count int, n_chunks int, n_bytes bigint, "
+    "assembly_md5 string"
+)
+UPLOAD_STATE = "total_count int, counters array<int>, datas array<binary>"
+
+
+def _assembly_fn(
+    key: Any,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Accumulate chunks per file across micro-batches; emit exactly ONE
+    completion row when every counter has arrived, then drop the state.
+    Overwrite semantics and the completion rule mirror the batch
+    operator (sources/upload.chunk_assembly) exactly — gated by the
+    stream==batch equivalence test."""
+    import hashlib
+
+    (file_id,) = key
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if state.exists:
+        total, counters, datas = state.get
+        got = {
+            int(c): bytes(d) for c, d in zip(counters, datas)
+        }
+        total = int(total)
+    else:
+        total, got = None, {}
+    for _, r in rows.iterrows():
+        t = int(r["total_count"])
+        total = t if total is None else max(total, t)
+        c, d = int(r["counter"]), bytes(r["data"])
+        got[c] = max(got[c], d) if c in got else d  # bytewise-max re-send
+    counters = sorted(got)
+    if total is not None and len(counters) == total:
+        blob = b"".join(got[c] for c in counters)
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "file_id": [file_id],
+                "total_count": [total],
+                "n_chunks": [len(counters)],
+                "n_bytes": [len(blob)],
+                "assembly_md5": [hashlib.md5(blob).hexdigest()],
+            }
+        )
+    else:
+        state.update((total, counters, [got[c] for c in counters]))
+        yield pd.DataFrame(
+            columns=[
+                "file_id", "total_count", "n_chunks", "n_bytes",
+                "assembly_md5",
+            ]
+        )
+
+
+def streaming_chunk_assembly(
+    chunks: DataFrame, state_ttl_minutes: int | None = None
+) -> DataFrame:
+    """S7's live form — the reference accepts upload chunks one POST at
+    a time and joins them when the last arrives (app.py:676-760); here
+    chunks arrive as a stream and ``applyInPandasWithState`` keeps one
+    state cell per in-flight file (the chunk payloads — an upload
+    assembler buffers by definition, like the reference's temp chunk
+    folder; ``state_ttl_minutes`` expires abandoned uploads the way the
+    reference's temp cleanup does).  Append mode: one completion row
+    per file, ever.  Input: ``file_id string, counter int, total_count
+    int, data binary``."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+    return chunks.groupBy("file_id").applyInPandasWithState(
+        _assembly_fn,
+        outputStructType=UPLOAD_OUT,
+        stateStructType=UPLOAD_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
