@@ -17,8 +17,6 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_UNITS = (("KB", 1024), ("MB", 1024**2), ("GB", 1024**3))
-
 
 def _scaled_sql(b: str, s: int, label: str, div: str, st: str) -> str:
     """round-half-even centi-unit expression for one unit tier."""
@@ -52,16 +50,10 @@ def size_human_sql(b: str, dialect: str = "spark") -> str:
     )
 
 
-def size_human(b: Column | str) -> Column:
-    """bytes (bigint, ≥ 0) → the reference's humanized size string."""
-    name = b if isinstance(b, str) else None
-    if name is None:
-        # Column input: route through a SQL expression on its string form
-        raise TypeError(
-            "size_human takes a column NAME (the expression is built in "
-            "SQL for oracle parity); use size_human_sql for expressions"
-        )
-    return F.expr(size_human_sql(name))
+def size_human(b: str) -> Column:
+    """bytes column name (bigint, ≥ 0) → the reference's humanized size
+    string (built via the shared SQL so the twin cannot drift)."""
+    return F.expr(size_human_sql(b))
 
 
 def ocr_eta_sql(n: str, dialect: str = "spark") -> str:
