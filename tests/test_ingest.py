@@ -137,7 +137,6 @@ def test_tiff_multi_strip_and_loop_guard():
     assert frames == [b"hello-strips"]
 
     # loop: next-IFD pointing back at itself
-    import io as _io
     loop = bytearray(b"".join(buf))
     loop[-4:] = struct.pack("<I", ifd_off)
     with pt.raises(ValueError, match="loop"):
