@@ -277,9 +277,13 @@ def segment_bitmaps(pages: DataFrame) -> DataFrame:
                 d["doc_id"], d["page_no"], d["width"], d["height"],
                 d["bitmap"],
             ):
-                gray = np.frombuffer(
-                    bm or b"", dtype=np.uint8
-                )[: wd * ht].reshape(ht, wd)
+                buf = np.frombuffer(bm or b"", dtype=np.uint8)
+                if len(buf) < wd * ht or wd <= 0 or ht <= 0:
+                    # malformed page: marker row, never a stage-killing
+                    # reshape error (the warc parse_ok=false convention)
+                    rows.append((doc, pno, 0, "corrupt", 0, 0, 0, 0, 0, 0.0))
+                    continue
+                gray = buf[: wd * ht].reshape(ht, wd)
                 for i, (kind, x1, y1, x2, y2, n, frac) in enumerate(
                     segment_page(gray)
                 ):

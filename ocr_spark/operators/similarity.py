@@ -76,15 +76,18 @@ def _normalized_matrix(
 
     This is the exact small-index tier's defining step; the row bound is
     asserted so the tier cannot silently become an O(N) driver
-    materialization at scale."""
-    n = embeddings.count()
-    if n > max_rows:
+    materialization at scale.  The bound is checked on the SAME scan
+    that builds the index: collect under limit(max_rows+1) and raise if
+    the limit was hit — no separate count() action recomputing the
+    upstream pipeline, and the driver never holds more than max_rows+1
+    rows either way."""
+    rows = embeddings.select(id_col, vec_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
         raise ValueError(
-            f"bruteforce/exact tier collects the full index: {n} rows > "
-            f"max {max_rows}; use embedding_neardup_lsh / cosine_topk_lsh "
+            f"bruteforce/exact tier collects the full index: > "
+            f"{max_rows} rows; use embedding_neardup_lsh / cosine_topk_lsh "
             f"/ cosine_topk_ivfpq, which keep the index distributed."
         )
-    rows = embeddings.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     order = np.argsort(ids)
@@ -587,9 +590,10 @@ def cosine_topk_pq(
 
     vs cosine_topk_bruteforce: the broadcast ceiling grows by dim·4/m
     (~32× at dim=64, m=8 ⇒ ~1B vectors per 8 GB executor).  The ceiling
-    is enforced, not assumed: the index row count (already an O(1)
-    driver scalar from the trainer's bounded-sample path) must be ≤
-    ``max_index_rows`` or this raises with a pointer to
+    is enforced, not assumed: the slim codes frame is collected under
+    ``limit(max_index_rows+1)`` and this raises if the limit was hit —
+    checked on the same scan that builds the driver codes, never a
+    separate full count() action — with a pointer to
     ``cosine_topk_ivfpq`` — the genuinely unbounded tier, where codes
     stay distributed in the inverted file and NOTHING O(N) ever reaches
     the driver.  Approximate (recall < 1) — recall-gated in pytest like
@@ -597,19 +601,23 @@ def cosine_topk_pq(
     """
     spark = queries.sparkSession
     S = shortlist if shortlist is not None else 10 * k
-    n_index = index.count()
-    if n_index > max_index_rows:
-        raise ValueError(
-            f"cosine_topk_pq is the broadcast-codes MID tier: index has "
-            f"{n_index} rows > max_index_rows={max_index_rows} "
-            f"(~{n_index * (m * 8 + 8) // 2**20} MiB of driver codes); "
-            f"use cosine_topk_ivfpq, whose inverted file stays distributed."
-        )
     mat = _training_sample_matrix(index, vec_col, train_sample, seed)
     cbs = _pq_codebooks(mat, m, n_codes, seed)
     b_cb = spark.sparkContext.broadcast(cbs)
 
-    enc = pq_encode(index, cbs, id_col=id_col, vec_col=vec_col).toPandas()
+    enc = (
+        pq_encode(index, cbs, id_col=id_col, vec_col=vec_col)
+        .limit(max_index_rows + 1)
+        .toPandas()
+    )
+    if len(enc) > max_index_rows:
+        raise ValueError(
+            f"cosine_topk_pq is the broadcast-codes MID tier: index has "
+            f"> max_index_rows={max_index_rows} rows "
+            f"(~{max_index_rows * (m * 8 + 8) // 2**20} MiB of driver "
+            f"codes); use cosine_topk_ivfpq, whose inverted file stays "
+            f"distributed."
+        )
     ids = enc["vec_id"].to_numpy(dtype=np.int64)
     codes = np.stack(enc["codes"].to_numpy()).astype(np.int64)
     order = np.argsort(ids)

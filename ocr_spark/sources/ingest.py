@@ -114,7 +114,14 @@ def write_tiff(
     for i, (off, ln) in enumerate(strips):
         nxt = 0 if i == len(strips) - 1 else data_off + (i + 1) * ifd_size
         entries = b"".join(
-            struct.pack(bo + "HHII", tag, typ, 1, val)
+            # type-3 (SHORT) inline values are LEFT-justified in the
+            # 4-byte value field per the TIFF spec — pack the 2-byte
+            # value first, then pad — so external tools read the same
+            # value in both byte orders.
+            struct.pack(bo + "HHI", tag, typ, 1)
+            + struct.pack(bo + "H", val) + b"\x00\x00"
+            if typ == 3
+            else struct.pack(bo + "HHII", tag, typ, 1, val)
             for tag, typ, val in (
                 (256, 4, max(ln, 1)),   # width: fixture = strip length
                 (257, 4, 1),            # height 1 (structure, not pixels)

@@ -10,7 +10,12 @@ assembly/progress/completion bookkeeping is exactly the reference's:
   rounding, rebuilt as integer round-half-even in centi-percent
   (the functions/units.py idiom) so both engines agree on ties;
 * the file completes exactly when every counter 1..total_count has
-  arrived (app.py:751); a re-sent counter overwrites (filesystem
+  arrived (app.py:751) — gated on the counter DOMAIN, not just the
+  count: n_chunks = total_count AND min(counter) = 1 AND
+  max(counter) = total_count, so a protocol-violating row (counter 0
+  or > total_count) plus a missing in-range chunk can never fake
+  completion (the reference's join_chunks fails loudly on a missing
+  1..N chunk file); a re-sent counter overwrites (filesystem
   last-write-wins, rebuilt deterministically as bytewise-max since a
   table has no arrival order).
 
@@ -43,6 +48,8 @@ def chunk_assembly(chunks: DataFrame) -> DataFrame:
     g = dedup.groupBy("file_id").agg(
         F.max("total_count").alias("total_count"),
         F.count(F.lit(1)).alias("n_chunks"),
+        F.min("counter").alias("_min_c"),
+        F.max("counter").alias("_max_c"),
         F.sum(F.octet_length("data")).alias("n_bytes"),
         F.sort_array(F.collect_list(F.struct("counter", "data"))).alias(
             "_parts"
@@ -59,15 +66,16 @@ def chunk_assembly(chunks: DataFrame) -> DataFrame:
         "aggregate(_parts, cast('' as binary), (acc, p) -> "
         "concat(acc, p.data))"
     )
+    done = "(n_chunks = total_count and _min_c = 1 and _max_c = total_count)"
     return g.select(
         "file_id",
         "total_count",
         "n_chunks",
         F.expr(f"cast({q} as double) / 100.0").alias("progress_pct"),
-        (F.col("n_chunks") == F.col("total_count")).alias("complete"),
+        F.expr(done).alias("complete"),
         "n_bytes",
         F.expr(
-            f"case when n_chunks = total_count then md5({assembled}) "
+            f"case when {done} then md5({assembled}) "
             f"else cast(null as string) end"
         ).alias("assembly_md5"),
     )

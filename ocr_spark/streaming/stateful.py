@@ -86,19 +86,35 @@ UPLOAD_OUT = (
 UPLOAD_STATE = "total_count int, counters array<int>, datas array<binary>"
 
 
+_EMPTY_UPLOAD_OUT = pd.DataFrame(
+    columns=[
+        "file_id", "total_count", "n_chunks", "n_bytes", "assembly_md5",
+    ]
+)
+
+
 def _assembly_fn(
     key: Any,
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
+    ttl_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     """Accumulate chunks per file across micro-batches; emit exactly ONE
-    completion row when every counter has arrived, then drop the state.
-    Overwrite semantics and the completion rule mirror the batch
-    operator (sources/upload.chunk_assembly) exactly — gated by the
-    stream==batch equivalence test."""
+    completion row when every counter 1..total_count has arrived, then
+    drop the state.  Overwrite semantics and the completion rule mirror
+    the batch operator (sources/upload.chunk_assembly) exactly — gated
+    by the stream==batch equivalence test.  With a TTL configured, the
+    processing-time timeout is re-armed on every state update and a
+    timed-out invocation (no input rows) drops the abandoned upload's
+    buffered chunks — the reference's temp-folder cleanup cron."""
     import hashlib
 
     (file_id,) = key
+    if state.hasTimedOut:
+        # abandoned upload: expire the buffered chunks, emit nothing
+        state.remove()
+        yield _EMPTY_UPLOAD_OUT
+        return
     rows = pd.concat(list(pdfs), ignore_index=True)
     if state.exists:
         total, counters, datas = state.get
@@ -114,7 +130,14 @@ def _assembly_fn(
         c, d = int(r["counter"]), bytes(r["data"])
         got[c] = max(got[c], d) if c in got else d  # bytewise-max re-send
     counters = sorted(got)
-    if total is not None and len(counters) == total:
+    done = (
+        total is not None
+        and len(counters) == total
+        and counters
+        and counters[0] == 1
+        and counters[-1] == total
+    )
+    if done:
         blob = b"".join(got[c] for c in counters)
         state.remove()
         yield pd.DataFrame(
@@ -128,12 +151,9 @@ def _assembly_fn(
         )
     else:
         state.update((total, counters, [got[c] for c in counters]))
-        yield pd.DataFrame(
-            columns=[
-                "file_id", "total_count", "n_chunks", "n_bytes",
-                "assembly_md5",
-            ]
-        )
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        yield _EMPTY_UPLOAD_OUT
 
 
 def streaming_chunk_assembly(
@@ -153,8 +173,16 @@ def streaming_chunk_assembly(
         if state_ttl_minutes
         else GroupStateTimeout.NoTimeout
     )
+    if state_ttl_minutes:
+        ttl_ms = state_ttl_minutes * 60 * 1000
+
+        def fn(key, pdfs, state):
+            return _assembly_fn(key, pdfs, state, ttl_ms=ttl_ms)
+
+    else:
+        fn = _assembly_fn
     return chunks.groupBy("file_id").applyInPandasWithState(
-        _assembly_fn,
+        fn,
         outputStructType=UPLOAD_OUT,
         stateStructType=UPLOAD_STATE,
         outputMode="append",

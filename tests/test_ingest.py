@@ -107,6 +107,34 @@ def test_tiff_ifd_walk_both_endians(spark, tmp_path):
     assert be == ["big0", "big1"]
 
 
+def test_tiff_inline_short_left_justified(tmp_path):
+    """Type-3 (SHORT) inline values must be LEFT-justified in the 4-byte
+    value field (TIFF spec) so external tools read Compression=1, not 0,
+    in big-endian fixtures.  Check the raw entry bytes in both orders."""
+    import struct
+
+    from ocr_spark.sources.ingest import write_tiff
+
+    for be, bo in ((False, "<"), (True, ">")):
+        p = str(tmp_path / f"j_{be}.tif")
+        write_tiff(p, [b"payload"], big_endian=be)
+        buf = open(p, "rb").read()
+        (ifd,) = struct.unpack_from(bo + "I", buf, 4)
+        (n,) = struct.unpack_from(bo + "H", buf, ifd)
+        for i in range(n):
+            off = ifd + 2 + 12 * i
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", buf, off)
+            if tag == 259:
+                assert typ == 3
+                # value occupies the FIRST two bytes of the value field
+                (val,) = struct.unpack_from(bo + "H", buf, off + 8)
+                assert val == 1
+                assert buf[off + 10 : off + 12] == b"\x00\x00"
+                break
+        else:
+            raise AssertionError("no Compression tag")
+
+
 def test_tiff_multi_strip_and_loop_guard():
     """The walker honors count>1 strip arrays (offset-table indirection)
     and refuses IFD-chain loops."""

@@ -108,3 +108,26 @@ def test_segment_bitmaps_operator(spark):
     # determinism under repartition
     again = segment_bitmaps(df.repartition(3)).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_segment_bitmaps_corrupt_buffer_marker(spark):
+    """A truncated/undersized bitmap buffer yields a marker region row
+    (kind='corrupt') instead of a stage-killing reshape error — the
+    ingest parse_ok=false convention."""
+    g = _page()
+    rows = [
+        ("ok", 1, g.shape[1], g.shape[0], g.tobytes()),
+        ("bad", 1, 100, 100, b"\x00" * 10),   # 10 bytes for 10k pixels
+        ("bad", 2, 4, 4, None),               # null bitmap
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, page_no int, width int, height int, bitmap binary",
+    )
+    got = segment_bitmaps(df).collect()
+    bad = [r for r in got if r["doc_id"] == "bad"]
+    assert {(r["page_no"], r["kind"]) for r in bad} == {
+        (1, "corrupt"), (2, "corrupt")
+    }
+    # the healthy page still segments
+    assert any(r["doc_id"] == "ok" and r["kind"] == "text" for r in got)

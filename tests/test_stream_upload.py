@@ -85,3 +85,80 @@ def test_stream_equals_batch_assembly(spark, tmp_path):
     for fid in got:
         for col in ("total_count", "n_chunks", "n_bytes", "assembly_md5"):
             assert got[fid][col] == batch[fid][col], (fid, col)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing _assembly_fn's TTL
+    branch without running a stream wall-clock long enough to expire."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_assembly_fn_timeout_branch_drops_state():
+    """hasTimedOut invocation: abandoned upload's buffered chunks are
+    dropped, nothing emitted, no pd.concat on the empty iterator."""
+    from ocr_spark.streaming.stateful import _assembly_fn
+
+    st = _FakeState(value=(3, [1], [b"part1"]), timed_out=True)
+    out = list(_assembly_fn(("fX",), iter([]), st, ttl_ms=60000))
+    assert st.removed
+    assert len(out) == 1 and len(out[0]) == 0
+
+
+def test_assembly_fn_rearms_ttl_on_update():
+    """Every state update re-arms the processing-time timeout, so the
+    advertised state_ttl_minutes actually fires for abandoned uploads."""
+    from ocr_spark.streaming.stateful import _assembly_fn
+
+    st = _FakeState()
+    rows = pd.DataFrame(
+        {
+            "file_id": ["fY"],
+            "counter": [1],
+            "total_count": [2],
+            "data": [b"p1"],
+        }
+    )
+    out = list(_assembly_fn(("fY",), iter([rows]), st, ttl_ms=120000))
+    assert st.timeout_set == 120000
+    assert st.exists and len(out) == 1 and len(out[0]) == 0
+
+
+def test_streaming_counter_domain_gate():
+    """Mirror of the batch counter-domain rule: counters {0,1} with
+    total_count 2 must not complete (missing in-range chunk 2)."""
+    from ocr_spark.streaming.stateful import _assembly_fn
+
+    st = _FakeState()
+    rows = pd.DataFrame(
+        {
+            "file_id": ["fZ", "fZ"],
+            "counter": [0, 1],
+            "total_count": [2, 2],
+            "data": [b"zero", b"one"],
+        }
+    )
+    out = list(_assembly_fn(("fZ",), iter([rows]), st))
+    assert st.exists          # still in flight, not completed
+    assert len(out[0]) == 0

@@ -62,6 +62,27 @@ def test_assembly_is_partition_invariant(spark):
         assert r[6] == hashlib.md5(want).hexdigest()
 
 
+def test_counter_domain_gates_completion(spark):
+    """A protocol-violating counter (0 or > total_count) plus a missing
+    in-range chunk must NOT fake completion — the reference's
+    join_chunks would fail loudly on the missing 1..N chunk file
+    (app.py:676-683)."""
+    spec = [
+        (7, 0, 2, "zero"), (7, 1, 2, "one"),      # counter 0 + missing 2
+        (8, 1, 2, "one"), (8, 3, 2, "three"),     # counter 3 + missing 2
+        (9, 2, 2, "two"), (9, 3, 2, "three"),     # no counter 1
+    ]
+    out = {
+        r["file_id"]: r
+        for r in chunk_assembly(
+            spark.createDataFrame(_rows(spec), SCHEMA)
+        ).collect()
+    }
+    for fid in (7, 8, 9):
+        assert not out[fid]["complete"], fid
+        assert out[fid]["assembly_md5"] is None, fid
+
+
 def test_banker_progress_ties(spark):
     """progress at .005 exactly: 1/8 chunks = 12.5% ... use totals where
     10000·n/t hits half-centi ties and pin the round-half-even result."""
