@@ -2,12 +2,16 @@
 columns with typed metadata, processed through Arrow-batched ``mapInPandas``
 kernels.
 
-The actual codec work (image decode, resampling, frame sampling) needs
-native libraries not present in this container, so the *decode step* is a
-deterministic fake behind ``FAKE_DECODE`` / a clearly-marked
-``NotImplementedError`` — but everything Spark-side is real and tested:
-schemas, batch iteration, partition sizing, UDF signatures, and the
-metadata columns downstream operators key on.
+Image decode is REAL for PNG — the one format the reference itself
+emits (page rasters at server/celery_app.py:903-913, crops at
+:1062-1081) — via the pure-stdlib codec in sources/png.py: every kernel
+here sniffs the content bytes and routes PNGs through real
+decode → grayscale → box-resample pixels.  Non-PNG payloads (and
+corrupt PNGs) fall back to the original deterministic fake behind
+``FAKE_DECODE`` / a clearly-marked ``NotImplementedError`` — JPEG/ffmpeg
+codecs genuinely aren't in this container — and everything Spark-side is
+real and tested either way: schemas, batch iteration, partition sizing,
+UDF signatures, and the metadata columns downstream operators key on.
 
 This is the Spark landing zone for the reference's media path: cropped
 image regions (server/celery_app.py:1062-1081) become ``media(doc_id,
@@ -33,7 +37,18 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-FAKE_DECODE = True  # container has no image/audio codecs; see module docstring
+from ocr_spark.sources.png import (  # noqa: E402  (real PNG codec path)
+    decode_png,
+    encode_png,
+    grid8,
+    is_png,
+    resample_image,
+    to_gray,
+)
+
+#: governs only the NON-PNG fallback (no JPEG/ffmpeg in this container);
+#: PNG content always takes the real sources/png.py decode path.
+FAKE_DECODE = True
 
 MEDIA_SCHEMA = (
     "doc_id string, media_ref string, content binary, mime string"
@@ -45,9 +60,9 @@ FEATURE_SCHEMA = (
 
 
 def _fake_decode(content: bytes) -> tuple[int, int, np.ndarray]:
-    """Deterministic fake decoder: derives (width, height, 8-dim feature)
-    purely from the bytes, so tests are stable.  A real build swaps this for
-    PIL/ffmpeg behind the same signature."""
+    """Deterministic fake decoder for NON-PNG payloads: derives (width,
+    height, 8-dim feature) purely from the bytes, so tests are stable.
+    A real build swaps this for PIL/ffmpeg behind the same signature."""
     if not FAKE_DECODE:
         raise NotImplementedError(
             "real media decode requires PIL/ffmpeg, not present in this container"
@@ -57,6 +72,33 @@ def _fake_decode(content: bytes) -> tuple[int, int, np.ndarray]:
     height = 64 + h[1] % 192
     feat = np.frombuffer(h[:16], dtype=np.uint8)[:8].astype(np.float32) / 255.0
     return width, height, feat
+
+
+def _real_image(content: bytes) -> np.ndarray | None:
+    """The sniff-dispatch: PNG bytes → REAL decoded pixel array; anything
+    else (or a corrupt PNG — which must degrade to the fake, never kill
+    the Arrow stage) → None, sending the caller to the fake seam."""
+    if is_png(content):
+        import zlib
+
+        try:
+            return decode_png(content)
+        except (ValueError, zlib.error):
+            return None
+    return None
+
+
+def _decode(content: bytes) -> tuple[int, int, np.ndarray]:
+    """(width, height, 8-dim float32 feature).  PNG → real pixels: the
+    feature is the 8 column means of the 8×8 box-resampled grayscale
+    grid, /255 — a real (if tiny) visual descriptor.  Non-PNG → fake."""
+    img = _real_image(content)
+    if img is None:
+        return _fake_decode(content)
+    gray = to_gray(img)
+    h, w = gray.shape
+    feat = (grid8(gray).mean(axis=0) / 255.0).astype(np.float32)
+    return w, h, feat
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
@@ -71,7 +113,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                 pdf["doc_id"], pdf["media_ref"], pdf["content"], pdf["mime"]
             ):
                 b = bytes(content) if content is not None else b""
-                w, hgt, feat = _fake_decode(b)
+                w, hgt, feat = _decode(b)
                 rows.append(
                     (
                         doc_id,
@@ -106,9 +148,11 @@ def resize_media(media: DataFrame, max_px: int = 128) -> DataFrame:
     rescale, export.py:558-564, and page-0 thumbnails, celery_app.py:934-
     940, generalized to a max-edge clamp).  The geometry — scale =
     max_px / max(w, h), never upscale, round-half-up like PIL — is REAL
-    and unit-tested; only the pixel resampling is the documented fake
-    (content' = deterministic f(content, out dims)).  One narrow
-    Arrow-batched map; bytes never shuffle."""
+    and unit-tested.  PNG content takes the REAL pixel path: decode →
+    exact integer box-resample per channel → re-encode PNG; only
+    non-PNG payloads get the documented fake (content' = deterministic
+    f(content, out dims)).  One narrow Arrow-batched map; bytes never
+    shuffle."""
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -117,15 +161,24 @@ def resize_media(media: DataFrame, max_px: int = 128) -> DataFrame:
                 pdf["doc_id"], pdf["media_ref"], pdf["content"], pdf["mime"]
             ):
                 b = bytes(content) if content is not None else b""
-                w, hgt, _ = _fake_decode(b)
+                img = _real_image(b)
+                if img is not None:
+                    hgt, w = img.shape[:2]
+                else:
+                    w, hgt, _ = _fake_decode(b)
                 scale = min(1.0, max_px / max(w, hgt))
                 ow = max(1, int(w * scale + 0.5))
                 oh = max(1, int(hgt * scale + 0.5))
-                # fake resample: size-stamped digest of the original bytes
-                out = (
-                    struct.pack("<II", ow, oh)
-                    + hashlib.sha256(b + struct.pack("<II", ow, oh)).digest()
-                )
+                if img is not None:
+                    out = encode_png(resample_image(img, ow, oh))
+                else:
+                    # fake resample: size-stamped digest of the bytes
+                    out = (
+                        struct.pack("<II", ow, oh)
+                        + hashlib.sha256(
+                            b + struct.pack("<II", ow, oh)
+                        ).digest()
+                    )
                 rows.append((doc_id, ref, mime, w, hgt, ow, oh, out))
             yield pd.DataFrame(
                 rows,
@@ -222,10 +275,38 @@ def sample_frames(
     return video.mapInPandas(fn, FRAME_SCHEMA)
 
 
+def _synth_pixels(seed: bytes, n: int) -> np.ndarray:
+    """Deterministic pseudo-random uint8 pixel stream: vectorized
+    splitmix64 finalizer over a counter sequence keyed by the seed
+    digest.  Portable (pure integer ops), O(n) numpy, no RNG-state
+    version hazards — the tests/bench datagen idiom."""
+    s = np.frombuffer(seed[:8], dtype=np.uint64)[0]
+    with np.errstate(over="ignore"):
+        x = np.arange(n, dtype=np.uint64) + s
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return (x & np.uint64(0xFF)).astype(np.uint8)
+
+
+def synth_image(seed_key: str) -> np.ndarray:
+    """Deterministic test/bench image for a media ref: 64-95 px a side,
+    grayscale (3 in 4) or RGB, digest-seeded pixels."""
+    h0 = hashlib.sha256(seed_key.encode()).digest()
+    w, hgt = 64 + h0[0] % 32, 64 + h0[1] % 32
+    if h0[3] % 4 == 0:  # RGB
+        return _synth_pixels(h0, w * hgt * 3).reshape(hgt, w, 3)
+    return _synth_pixels(h0, w * hgt).reshape(hgt, w)
+
+
 def synth_media_for_spans(spans_df: DataFrame) -> DataFrame:
     """Build the media-bytes side table for every ``media_ref`` span:
-    deterministic fake PNG-ish payloads (magic header + seeded bytes).
-    Data-gen utility for tests/bench — content = f(doc_id, media_ref)."""
+    REAL PNGs (sources/png.py encoder; digest-seeded pixels, mixed
+    gray/RGB, per-image filter choice) so every downstream kernel —
+    feature extraction, aHash, resize — exercises the real decode path.
+    Data-gen utility for tests/bench — content = f(doc_id, media_ref).
+    Filter types are drawn from {0,1,2} (the vectorized-unfilter set) to
+    keep bulk datagen fast; filters 3/4 are unit-test-exercised."""
     from pyspark.sql import functions as F
 
     refs = (
@@ -236,14 +317,15 @@ def synth_media_for_spans(spans_df: DataFrame) -> DataFrame:
     )
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        magic = b"\x89PNG\r\n\x1a\n"
         for pdf in it:
-            content = [
-                magic
-                + hashlib.sha256(f"{d}/{r}".encode()).digest()
-                + struct.pack("<I", len(r))
-                for d, r in zip(pdf["doc_id"], pdf["media_ref"])
-            ]
+            content = []
+            for d, r in zip(pdf["doc_id"], pdf["media_ref"]):
+                key = f"{d}/{r}"
+                ft = hashlib.sha256(key.encode()).digest()[2] % 3
+                content.append(
+                    encode_png(synth_image(key), filters=ft,
+                               compress_level=1)
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -263,11 +345,10 @@ AHASH_SCHEMA = (
 
 
 def _fake_grid(content: bytes) -> np.ndarray:
-    """Deterministic stand-in for the 8×8 grayscale resample a real build
-    produces with PIL (`img.convert('L').resize((8, 8))`): 64 bytes
-    expanded from the content digest.  Identical bytes → identical grid —
-    the property the average-hash dedup path needs; everything downstream
-    of this seam is real."""
+    """Deterministic NON-PNG stand-in for the 8×8 grayscale resample a
+    real build produces with PIL (`img.convert('L').resize((8, 8))`):
+    64 bytes expanded from the content digest.  Identical bytes →
+    identical grid — the property the average-hash dedup path needs."""
     if not FAKE_DECODE:
         raise NotImplementedError(
             "real media decode requires PIL/ffmpeg, not present in this container"
@@ -276,6 +357,18 @@ def _fake_grid(content: bytes) -> np.ndarray:
         content + b"\x01"
     ).digest()
     return np.frombuffer(h, dtype=np.uint8).astype(np.int64)
+
+
+def _grid(content: bytes) -> np.ndarray:
+    """The aHash input grid: PNG → REAL pixels (decode → grayscale →
+    exact 8×8 box means, sources/png.py grid8); non-PNG → the digest
+    fake.  Real pixels mean visually-identical re-encodes (different
+    filter choices, different compress levels) hash identically — the
+    property a byte-digest fake cannot provide."""
+    img = _real_image(content)
+    if img is None:
+        return _fake_grid(content)
+    return grid8(to_gray(img)).astype(np.int64).flatten()
 
 
 def average_hash_bits(grid: np.ndarray) -> int:
@@ -309,7 +402,7 @@ def media_avg_hash(media: DataFrame) -> DataFrame:
                 b = bytes(content) if content is not None else b""
                 rows.append(
                     (doc_id, ref, mime, len(b),
-                     average_hash_bits(_fake_grid(b)))
+                     average_hash_bits(_grid(b)))
                 )
             yield pd.DataFrame(
                 rows,

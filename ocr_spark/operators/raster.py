@@ -311,3 +311,51 @@ def segment_bitmaps(pages: DataFrame) -> DataFrame:
             )
 
     return pages.mapInArrow(fn, _OUT_DDL)
+
+
+_PAGE_DDL = (
+    "doc_id string, page_no int, width int, height int, bitmap binary"
+)
+
+
+def decode_png_pages(pages: DataFrame) -> DataFrame:
+    """(doc_id, page_no, content binary) → the ``segment_bitmaps`` input
+    shape, through the REAL sources/png.py decoder: PNG bytes → pixels →
+    integer Rec.601 grayscale.  This closes the G-chain end-to-end — the
+    reference renders every page to PNG (celery_app.py:903-913) and
+    segments the decoded raster (image.py:140-227); here the same bytes
+    flow decode → Otsu → components → regions with no codec seam left.
+
+    Corrupt/undecodable rows degrade to ``width=0, height=0, bitmap=''``
+    which ``segment_bitmaps`` turns into its 'corrupt' marker row — one
+    bad page never kills the stage.  One narrow Arrow-batched map;
+    decoded bitmaps stay inside the stage (compose with
+    ``segment_bitmaps`` before any shuffle so only slim region rows move).
+    """
+    import pandas as pd
+
+    from ocr_spark.sources.png import decode_png, is_png, to_gray
+
+    def fn(it):
+        import zlib
+
+        for pdf in it:
+            rows = []
+            for doc, pno, content in zip(
+                pdf["doc_id"], pdf["page_no"], pdf["content"]
+            ):
+                b = bytes(content) if content is not None else b""
+                try:
+                    if not is_png(b):
+                        raise ValueError("not png")
+                    gray = to_gray(decode_png(b))
+                    h, w = gray.shape
+                    rows.append((doc, pno, w, h, gray.tobytes()))
+                except (ValueError, zlib.error):
+                    rows.append((doc, pno, 0, 0, b""))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "page_no", "width", "height", "bitmap"],
+            )
+
+    return pages.mapInPandas(fn, _PAGE_DDL)

@@ -259,9 +259,9 @@ def decode_png(data: bytes) -> np.ndarray:
     while pos + 8 <= n:
         (ln,) = struct.unpack_from(">I", data, pos)
         typ = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + ln]
-        if len(payload) != ln:
+        if pos + 12 + ln > n:
             raise ValueError("truncated PNG chunk")
+        payload = data[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
         if zlib.crc32(typ + payload) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG CRC mismatch in {typ!r}")
@@ -368,3 +368,29 @@ def box_resample(gray: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
             f"({out_h}, {out_w}); use repeat-upscale upstream"
         )
     return ((sums + areas // 2) // areas).astype(np.uint8)
+
+
+def resample_image(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """box_resample generalized to multi-channel decode_png output:
+    each channel resampled independently (exact integer box means)."""
+    if img.ndim == 2:
+        return box_resample(img, out_w, out_h)
+    return np.stack(
+        [
+            box_resample(img[:, :, c], out_w, out_h)
+            for c in range(img.shape[2])
+        ],
+        axis=2,
+    )
+
+
+def grid8(gray: np.ndarray) -> np.ndarray:
+    """8×8 box-average grid of a grayscale page — the aHash input.
+    Images smaller than 8px on a side are repeat-upscaled first (exact,
+    deterministic) so the box means stay well-defined."""
+    h, w = gray.shape
+    if h < 8 or w < 8:
+        gray = np.repeat(
+            np.repeat(gray, -(-8 // h), axis=0), -(-8 // w), axis=1
+        )
+    return box_resample(gray, 8, 8)
