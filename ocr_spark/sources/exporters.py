@@ -259,7 +259,10 @@ def alto_pages(page_ir: DataFrame, page_w: int = 2480, page_h: int = 3508) -> Da
 
 
 def hocr_pages(
-    page_ir: DataFrame, page_w: int = 2480, page_h: int = 3508
+    page_ir: DataFrame,
+    page_w: int = 2480,
+    page_h: int = 3508,
+    media: DataFrame | None = None,
 ) -> DataFrame:
     """hOCR page writer — the export round-trip's last leg: page IR
     (doc_id, page_no, paragraphs — sources/hocr shape) → one
@@ -298,9 +301,23 @@ def hocr_pages(
     parser drops them on read (parse_hocr.py:99-102), so the writer is
     idempotent with the parse domain.
 
-    Narrow zero-shuffle projection; per-line hull/baseline
-    subexpressions re-evaluate per reference but only over one line's
-    words (bounded), never over data-scale arrays.
+    ``media`` (optional): interleaved documents' image regions as
+    ``doc_id, page_no, par_idx int, seq int, media_ref string, box
+    array<double>`` rows — emitted as the hOCR spec's ``ocr_photo``
+    divs (``<div class="ocr_photo" id="photo_{page}_{k}" title="bbox …;
+    x_source {ref}"></div>``), placed BEFORE paragraph ``par_idx``
+    (0-based; ≥ n_pars ⇒ after the last).  ``x_source`` carries the
+    media_ref so ``parse_hocr_media`` (sources/hocr.py) round-trips
+    interleaved documents: write → parse recovers (par_idx, seq order,
+    ref, box) exactly.  The reference's Tesseract hOCR uses the same
+    class family for photo regions; its media crops
+    (celery_app.py:1062-1081) are what these divs reference.
+
+    Narrow zero-shuffle projection without media; with media, one
+    (doc_id, page_no) aggregation joins the slim photo rows on — the
+    binary media itself never enters this writer.  Per-line
+    hull/baseline subexpressions re-evaluate per reference but only
+    over one line's words (bounded), never over data-scale arrays.
     """
     esc = (
         "replace(replace(replace(replace({x}, '&', '&amp;'), '<', '&lt;'),"
@@ -352,20 +369,65 @@ def hocr_pages(
         "block0 -> filter(block0, line0 -> size(line0) > 0)), "
         "block1 -> size(block1) > 0)"
     )
-    pars_xml = (
-        f"array_join(transform({filtered}, (block, bi) -> concat("
+    par_arr = (
+        f"transform({filtered}, (block, bi) -> concat("
         f"'<p class=\"ocr_par\" id=\"par_', {page_s}, '_', "
         "cast(bi + 1 as string), '\" lang=\"por\">', "
         f"array_join(transform(block, (line, li) -> {line_xml}), ''), "
-        "'</p>')), '')"
+        "'</p>'))"
     )
-    hocr = F.expr(
-        "concat('<?xml version=\"1.0\" encoding=\"UTF-8\"?>"
+    header = (
+        "'<?xml version=\"1.0\" encoding=\"UTF-8\"?>"
         "<html><body><div class=\"ocr_page\" id=\"page_', "
-        f"{page_s}, '\" title=\"bbox 0 0 {int(page_w)} {int(page_h)}\">', "
-        f"{pars_xml}, '</div></body></html>')"
+        f"{page_s}, '\" title=\"bbox 0 0 {int(page_w)} {int(page_h)}\">'"
     )
-    return page_ir.select("doc_id", "page_no", hocr.alias("hocr_xml"))
+    if media is None:
+        hocr = F.expr(
+            f"concat({header}, array_join({par_arr}, ''), "
+            "'</div></body></html>')"
+        )
+        return page_ir.select("doc_id", "page_no", hocr.alias("hocr_xml"))
+
+    photo_xml = (
+        "concat('<div class=\"ocr_photo\" id=\"photo_', "
+        f"{page_s}, '_', cast(mi + 1 as string), "
+        f"'\" title=\"bbox ', {i4('m.box[0]')}, ' ', {i4('m.box[1]')}, "
+        f"' ', {i4('m.box[2]')}, ' ', {i4('m.box[3]')}, "
+        f"'; x_source ', {esc.format(x='m.media_ref')}, '\"></div>')"
+    )
+    magg = media.groupBy("doc_id", "page_no").agg(
+        F.sort_array(
+            F.collect_list(F.struct("par_idx", "seq", "media_ref", "box"))
+        ).alias("_media")
+    )
+    empty_media = (
+        "cast(array() as array<struct<par_idx:int,seq:int,"
+        "media_ref:string,box:array<double>>>)"
+    )
+    df = (
+        page_ir.join(magg, ["doc_id", "page_no"], "left")
+        # stage both arrays as named columns: the interleave below
+        # references them repeatedly inside HOF lambdas (the
+        # re-inlining trap, CLAUDE.md)
+        .withColumn("_media", F.coalesce(F.col("_media"), F.expr(empty_media)))
+        .withColumn("_pars", F.expr(par_arr))
+        .withColumn(
+            "_mx",
+            F.expr(
+                "transform(_media, (m, mi) -> named_struct("
+                f"'par_idx', m.par_idx, 'xml', {photo_xml}))"
+            ),
+        )
+    )
+    body = (
+        "concat(array_join(transform(_pars, (p, pi) -> concat("
+        "array_join(transform(filter(_mx, mm -> mm.par_idx = pi), "
+        "mm -> mm.xml), ''), p)), ''), "
+        "array_join(transform(filter(_mx, mm -> mm.par_idx >= "
+        "size(_pars)), mm -> mm.xml), ''))"
+    )
+    hocr = F.expr(f"concat({header}, {body}, '</div></body></html>')")
+    return df.select("doc_id", "page_no", hocr.alias("hocr_xml"))
 
 
 def _json_escape(c: Column) -> Column:

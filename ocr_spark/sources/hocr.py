@@ -313,6 +313,69 @@ def parse_hocr_pages(
     return df.mapInArrow(fn, PAGE_IR_DDL)
 
 
+_PHOTO_RE = re.compile(
+    r"<div[^>]*class=.ocr_photo.[^>]*title=.(?P<title>[^\"']*).[^>]*>"
+)
+_PAR_OPEN_RE = re.compile(r"<p[^>]*class=.ocr_par.")
+_XSRC_RE = re.compile(r"x_source (.*)$")
+
+MEDIA_DDL = (
+    "doc_id string, page_no int, par_idx int, seq int, "
+    "media_ref string, box array<double>"
+)
+
+
+def parse_hocr_media(df: DataFrame) -> DataFrame:
+    """(doc_id, page_no, hocr) → one row per ``ocr_photo`` div — the
+    media-region side channel of interleaved hOCR documents
+    (``hocr_pages(..., media=...)`` writes them; the hOCR spec's photo
+    class family).  Recovered per div: ``par_idx`` (number of
+    ``ocr_par`` openings before it — the writer's before-paragraph
+    placement), ``seq`` (order within the page), ``media_ref`` (the
+    ``x_source`` title field, entity-unescaped) and the integer
+    ``bbox`` as doubles, so ``parse(write(ir, media)) == (ir, media)``
+    round-trips both channels — gated in tests/test_hocr_writer.py.
+
+    Narrow mapInPandas, no shuffle; photo divs are sparse, so the
+    per-match loop rides on the page-level regex scan."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc, pno, hocr in zip(
+                pdf["doc_id"], pdf["page_no"], pdf["hocr"]
+            ):
+                s = hocr or ""
+                for seq, m in enumerate(_PHOTO_RE.finditer(s)):
+                    title = m.group("title")
+                    bm = BBOX_RE.search(title)
+                    box = (
+                        [float(v) for v in bm.group(1).split()]
+                        if bm
+                        else [0.0, 0.0, 0.0, 0.0]
+                    )
+                    sm = _XSRC_RE.search(title)
+                    ref = sm.group(1) if sm else None
+                    if ref is not None:
+                        ref = (
+                            ref.replace("&lt;", "<")
+                            .replace("&gt;", ">")
+                            .replace("&quot;", '"')
+                            .replace("&amp;", "&")
+                        )
+                    par_idx = len(_PAR_OPEN_RE.findall(s, 0, m.start()))
+                    rows.append((doc, int(pno), par_idx, seq, ref, box))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "page_no", "par_idx", "seq",
+                    "media_ref", "box",
+                ],
+            )
+
+    return df.mapInPandas(fn, MEDIA_DDL)
+
+
 def render_hocr(paragraphs: list, page_no: int = 1) -> str:
     """Deterministic hOCR renderer (test fixture generator): page IR →
     Tesseract-shaped hOCR.  Inverse of the parser on its output domain."""

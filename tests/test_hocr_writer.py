@@ -98,6 +98,58 @@ def test_hocr_round_trip_is_exact(spark):
     assert got[("docB", 2)] == _norm(_PAGE_B_EXPECT)
 
 
+def test_hocr_media_round_trip_interleaved(spark):
+    """Interleaved documents: ocr_photo divs carry (par_idx, seq,
+    x_source ref, bbox) through write → parse exactly, text channel
+    untouched — the r3 verdict's hOCR media-coverage item."""
+    from ocr_spark.sources.hocr import parse_hocr_media
+
+    media_rows = [
+        # before par 0, before par 1, and after the last par (idx >= n)
+        ("docA", 1, 0, 0, "img/cover & <one>.png", [5.0, 5.0, 100.0, 200.0]),
+        ("docA", 1, 1, 1, "img/mid.png", [0.0, 300.0, 50.0, 390.0]),
+        ("docA", 1, 9, 2, "img/tail.png", [10.0, 500.0, 90.0, 600.0]),
+        ("docB", 2, 0, 0, "only-photo.png", [1.0, 2.0, 3.0, 4.0]),
+    ]
+    ir = _ir_df(spark, [("docA", 1, _PAGE_A), ("docB", 2, _PAGE_B)])
+    media = spark.createDataFrame(
+        media_rows,
+        "doc_id string, page_no int, par_idx int, seq int, "
+        "media_ref string, box array<double>",
+    )
+    hocr = hocr_pages(ir, media=media).select(
+        "doc_id", "page_no", F.col("hocr_xml").alias("hocr")
+    )
+    # text channel identical to the no-media run
+    got_ir = _collect_ir(parse_hocr_pages(hocr))
+    assert got_ir[("docA", 1)] == _norm(_PAGE_A)
+    assert got_ir[("docB", 2)] == _norm(_PAGE_B_EXPECT)
+    # media channel recovered exactly (par_idx clamps to n_pars on read:
+    # a 9 placed after docA's 2 pars reads back as 2)
+    back = {
+        (r["doc_id"], r["page_no"], r["seq"]): (
+            r["par_idx"], r["media_ref"], tuple(r["box"])
+        )
+        for r in parse_hocr_media(hocr).collect()
+    }
+    assert back[("docA", 1, 0)] == (
+        0, "img/cover & <one>.png", (5.0, 5.0, 100.0, 200.0)
+    )
+    assert back[("docA", 1, 1)] == (1, "img/mid.png", (0.0, 300.0, 50.0, 390.0))
+    assert back[("docA", 1, 2)] == (2, "img/tail.png", (10.0, 500.0, 90.0, 600.0))
+    assert back[("docB", 2, 0)] == (0, "only-photo.png", (1.0, 2.0, 3.0, 4.0))
+    # ordering in the document: cover div precedes par 1, mid sits
+    # between the two pars, tail after the last par
+    xml = {r["doc_id"]: r["hocr"] for r in hocr.collect()}["docA"]
+    assert xml.index('class="ocr_photo" id="photo_1_1"') < xml.index("par_1_1")
+    assert (
+        xml.index("par_1_1")
+        < xml.index('id="photo_1_2"')
+        < xml.index("par_1_2")
+        < xml.index('id="photo_1_3"')
+    )
+
+
 def test_hocr_writer_is_pure_catalyst(spark):
     ir = _ir_df(spark, [("docA", 1, _PAGE_A)])
     plan = (
