@@ -1,12 +1,18 @@
-"""Sketch-family error bounds: the approximate queries (HLL++ distinct,
-GK quantiles) must stay within their declared error of the exact
-aggregations on the driver testdata.  The exact twin ``distinct_stats`` is
-hash-gated by the DuckDB parity suite; these tests gate the sketches'
-*approximation contract*, which no SQL oracle can express.
+"""Sketch-family approximation contracts: the r4 deterministic sketches
+(md5-HLL distinct, count-min heavy hitters, md5-sampled nearest-rank
+quantiles) are EXACT-oracled for engine agreement in the parity suite;
+these tests gate what no SQL oracle can express — that each sketch's
+estimate honestly tracks the exact aggregation within its declared
+error.  Spark's native sketch surface (approx_count_distinct /
+approx_top_k / percentile_approx) keeps its own error-bound gates here
+too: it remains the interchangeable at-scale form even though its
+engine-internal state is not cross-engine checkable.
 """
 
 from __future__ import annotations
 
+import hashlib
+import math
 import os
 
 import pytest
@@ -14,6 +20,11 @@ import pytest
 import __spark_entry__ as entry_mod
 
 SF_DIR = os.environ.get("OCR_SPARK_PARITY_SF", "/root/testdata/sf0.001")
+
+#: r4 deterministic HLL: m=256 → rsd = 1.04/sqrt(256) = 0.065; the
+#: linear-counting regime (the fixture's small vocabularies) is far
+#: tighter, but the bound must hold for both branches.
+HLL_RSD = 1.04 / math.sqrt(256)
 
 
 @pytest.fixture(scope="module")
@@ -23,8 +34,9 @@ def exact(spark):
 
 
 def test_hll_within_rsd_bound(spark, exact):
-    """HLL++ at rsd=0.02 must land within 3 standard errors (6%) of the
-    exact distinct count for every group."""
+    """Deterministic md5-HLL must land within 3 standard errors of the
+    exact distinct count for every group (LC lookup quantization adds
+    at most ±1)."""
     got = {
         r["source"]: r["n_vocab_hll"]
         for r in entry_mod.q_vocab_hll(spark, SF_DIR).collect()
@@ -32,7 +44,7 @@ def test_hll_within_rsd_bound(spark, exact):
     assert set(got) == set(exact)
     for src, approx in got.items():
         true = exact[src]["n_vocab"]
-        assert abs(approx - true) <= max(3 * 0.02 * true, 1.0), (
+        assert abs(approx - true) <= max(3 * HLL_RSD * true, 2.0), (
             src, approx, true
         )
 
@@ -43,46 +55,81 @@ def test_hll_deterministic(spark):
     assert a == b
 
 
-def test_quantile_sketch_rank_bound(spark):
-    """percentile_approx(accuracy=10000) guarantees rank error <=
-    n / accuracy; verify each reported percentile's true rank lands inside
-    that window (exact ranks computed from the raw column)."""
+def test_native_hll_within_rsd_bound(spark, exact):
+    """Spark's native HLL++ (the interchangeable at-scale form) at
+    rsd=0.02: within 3 standard errors of exact."""
     from pyspark.sql import functions as F
 
+    from ocr_spark.functions.text import norm_tokens
+
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    by_lang = {
-        r["lang"]: sorted(v["n_chars"] for v in r["vals"])
-        for r in docs.groupBy("lang")
-        .agg(F.collect_list(F.struct("n_chars")).alias("vals"))
+    got = {
+        r["source"]: r["n"]
+        for r in docs.select(
+            "source", F.explode(norm_tokens(F.col("text"))).alias("word")
+        )
+        .groupBy("source")
+        .agg(F.approx_count_distinct("word", rsd=0.02).alias("n"))
         .collect()
     }
+    for src, approx in got.items():
+        true = exact[src]["n_vocab"]
+        assert abs(approx - true) <= max(3 * 0.02 * true, 1.0), (
+            src, approx, true
+        )
+
+
+def _sample_keep(doc_id) -> bool:
+    h = hashlib.md5(f"qs|{doc_id}".encode()).hexdigest()
+    return int(h[:6], 16) % 4 == 0
+
+
+def test_quantile_sketch_exact_on_sample_and_rank_sane(spark):
+    """The r4 sampled sketch's quantiles must equal the nearest-rank
+    quantiles of the deterministic md5 sample EXACTLY (recomputed
+    independently here), and each must sit near its population rank
+    (binomial sampling noise, 4σ + slack)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "lang", "doc_id", "n_chars"
+    ).collect()
+    by_lang_all: dict[str, list[int]] = {}
+    by_lang_samp: dict[str, list[tuple[int, int]]] = {}
+    for r in docs:
+        by_lang_all.setdefault(r["lang"], []).append(r["n_chars"])
+        if _sample_keep(r["doc_id"]):
+            by_lang_samp.setdefault(r["lang"], []).append(
+                (r["n_chars"], r["doc_id"])
+            )
     got = entry_mod.q_doclen_quantile_sketch(spark, SF_DIR).collect()
-    assert {r["lang"] for r in got} == set(by_lang)
+    assert {r["lang"] for r in got} == set(by_lang_samp)
     for r in got:
-        vals = by_lang[r["lang"]]
-        n = len(vals)
-        assert r["n_docs"] == n
-        tol = max(n / 10000.0, 1.0)  # rank tolerance (>=1 for tiny groups)
+        samp = sorted(by_lang_samp[r["lang"]])
+        n = len(samp)
+        assert r["n_sample"] == n
         for p, key in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
-            v = r[key]
-            # rank window of v in the sorted data
-            lo = sum(1 for x in vals if x < v)
-            hi = sum(1 for x in vals if x <= v)
-            target = p * n
-            assert lo - tol <= target <= hi + tol, (
-                r["lang"], key, v, lo, hi, target
+            k = math.ceil(p * n)
+            assert r[key] == samp[k - 1][0], (r["lang"], key)
+            # population rank sanity
+            vals = sorted(by_lang_all[r["lang"]])
+            npop = len(vals)
+            lo = sum(1 for x in vals if x < r[key])
+            hi = sum(1 for x in vals if x <= r[key])
+            tol = 4 * math.sqrt(max(p * (1 - p) * npop / 0.25, 1.0)) + 8
+            assert lo - tol <= p * npop <= hi + tol, (
+                r["lang"], key, r[key], lo, hi, p * npop, tol
             )
 
 
-def test_vocab_heavy_hitters_containment_and_exactness(spark):
-    """Frequent-items guarantee: every word whose exact count strictly
-    exceeds the exact 10th-highest count per source must appear in the
-    sketch's top-10, and (since maxItemsTracked exceeds the fixture
-    vocabulary) every reported est_count equals the exact count."""
+def test_vocab_heavy_hitters_cms_contract(spark):
+    """Count-min guarantees: est >= exact for every reported word,
+    inflation <= d-row min bound (generous eN/w), and every word whose
+    exact count strictly exceeds the 10th-highest estimate appears in
+    the top-10 (est(h) >= exact(h) > est_10 forces inclusion)."""
     from collections import Counter
 
-    from ocr_spark.functions.text import norm_tokens
     from pyspark.sql import functions as F
+
+    from ocr_spark.functions.text import norm_tokens
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     exact_rows = (
@@ -105,9 +152,13 @@ def test_vocab_heavy_hitters_containment_and_exactness(spark):
     assert set(by_source) == set(exact)
     for source, sketch in by_source.items():
         counts = exact[source]
+        n_tokens = sum(counts.values())
         assert len(sketch) == min(10, len(counts))
-        boundary = sorted(counts.values(), reverse=True)[:10][-1]
-        must_have = {w for w, c in counts.items() if c > boundary}
-        assert must_have <= set(sketch), (source, must_have - set(sketch))
+        infl_bound = math.e * n_tokens / 1024 + 1
         for w, est in sketch.items():
-            assert est == counts[w], (source, w, est, counts[w])
+            assert counts[w] <= est <= counts[w] + infl_bound, (
+                source, w, est, counts[w]
+            )
+        boundary_est = min(sketch.values())
+        must_have = {w for w, c in counts.items() if c > boundary_est}
+        assert must_have <= set(sketch), (source, must_have - set(sketch))
