@@ -146,6 +146,9 @@ def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
         "alto_words", "postings_codec", "http_meta", "more_like_this", "kwic_snippets", "robots_sitemaps", "compaction_plan", "html_markdown",
         # round 3: hOCR export round-trip close + newly-oracled encode
         "hocr_export", "bpe_encode", "pdf_export", "size_humanize", "ocr_eta", "path_safety", "chunk_assembly", "export_bundle", "ner_entities", "raster_segments", "document_bundle",
+        # round 4: real PNG codec chain + E7 adopt + deterministic sketches
+        "png_roundtrip", "raster_from_png", "adopt_registry",
+        "vocab_hll", "vocab_heavy_hitters", "doclen_quantile_sketch",
     ]
     # Per-workload scan tuning (the conf is runtime-settable): thin
     # TPC-H-ish tables are scan-bound and want the vectorized reader's
@@ -492,6 +495,123 @@ def _peak_rss_sampler(stop, peaks: dict, interval: float = 2.0) -> None:
         stop.wait(interval)
 
 
+def run_soak_bundle(mega_pages: int = 1000, n_normal: int = 2000) -> dict:
+    """Mega-doc-tail soak of the bundling sinks (BENCH/BASELINE.md §3c,
+    VERDICT r3 item 3): ``document_bundle`` over a page IR whose skew
+    tail reaches ``mega_pages`` pages in one document — the per-doc
+    ``collect_list`` page payloads and the O(pages²) PDF xref
+    prefix-sum fold are the two costs bounded only by page count, fine
+    at court-document page counts and proven here at the tail.  Peak-RSS
+    stamps via the §3b sampler; the mega doc's bundle md5 is re-checked
+    byte-identical across partitionings (the zip determinism contract).
+    Five mega docs at mega_pages/5 steps plus ``n_normal`` 1-3-page
+    docs, ~40 words/page."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "8g")
+    from ocr_spark import get_spark
+    from ocr_spark.jobs.export_all import document_bundle
+
+    pre = _cpu_control()
+    peaks: dict = {}
+    stop = threading.Event()
+    sampler = threading.Thread(
+        target=_peak_rss_sampler, args=(stop, peaks), daemon=True
+    )
+    sampler.start()
+    spark = get_spark("ocr-soak-bundle")
+    step = max(mega_pages // 5, 1)
+    par_synth = """
+transform(sequence(0, 1), p -> array(transform(sequence(1, 20), i ->
+  named_struct(
+    'text', concat('w', cast(page_no as string), '_',
+                   cast(p as string), '_', cast(i as string)),
+    'box', array(cast(10 + i * 20 as double),
+                 cast(100 + p * 40 as double),
+                 cast(25 + i * 20 as double),
+                 cast(130 + p * 40 as double)),
+    'b', cast(128 + p * 40 as double),
+    'confidence', cast(90 as int),
+    'font', cast(null as string)))))
+"""
+    try:
+        ir = (
+            spark.range(n_normal + 5)
+            .selectExpr(
+                "concat('doc-', lpad(cast(id as string), 8, '0')) as doc_id",
+                f"case when id < 5 then cast((id + 1) * {step} as int) "
+                "else cast(1 + id % 3 as int) end as n_pages",
+            )
+            .selectExpr("doc_id", "explode(sequence(1, n_pages)) as page_no")
+            .withColumn("paragraphs", F.expr(par_synth))
+        )
+        mega_id = "doc-00000004"
+
+        t0 = time.perf_counter()
+        rows = (
+            document_bundle(ir)
+            .select(
+                "doc_id", "n_entries", "n_bytes",
+                F.md5("zip").alias("bundle_md5"),
+            )
+            .collect()
+        )
+        total_sec = round(time.perf_counter() - t0, 1)
+        by_id = {r["doc_id"]: r for r in rows}
+        mega = by_id[mega_id]
+
+        # tail-only timing: the five mega docs alone
+        t1 = time.perf_counter()
+        tail_rows = (
+            document_bundle(ir.where("doc_id < 'doc-00000005'"))
+            .select("doc_id", F.md5("zip").alias("m"))
+            .collect()
+        )
+        tail_sec = round(time.perf_counter() - t1, 1)
+
+        # determinism at the tail: repartitioned input, identical bytes
+        t2 = time.perf_counter()
+        again = {
+            r["doc_id"]: r["m"]
+            for r in document_bundle(
+                ir.where("doc_id < 'doc-00000005'").repartition(64)
+            )
+            .select("doc_id", F.md5("zip").alias("m"))
+            .collect()
+        }
+        det_sec = round(time.perf_counter() - t2, 1)
+        det_ok = all(
+            again[r["doc_id"]] == r["m"] for r in tail_rows
+        )
+    finally:
+        stop.set()
+        sampler.join(timeout=5)
+        spark.stop()
+    return {
+        "metric": "bundle mega-doc soak (document_bundle, pages-skew tail)",
+        "value": total_sec,
+        "unit": "sec",
+        "queries": {
+            "bundle_all_sec": total_sec,
+            "bundle_tail_only_sec": tail_sec,
+            "bundle_tail_repartitioned_sec": det_sec,
+            "n_docs": n_normal + 5,
+            "mega_pages": mega_pages,
+            "mega_n_entries": mega["n_entries"],
+            "mega_zip_bytes": mega["n_bytes"],
+            "tail_md5_identical_across_partitionings": det_ok,
+            "peak_jvm_gb": round(peaks.get("jvm_gb", 0.0), 2),
+            "peak_pyworkers_gb": round(peaks.get("pyworkers_gb", 0.0), 2),
+            "peak_total_gb": round(peaks.get("total_gb", 0.0), 2),
+        },
+        "sf": f"synthetic page IR, tail up to {mega_pages} pages/doc",
+        "cpu_control_pre": pre,
+        "cpu_control_sec": _cpu_control(),
+    }
+
+
 def run_soak(
     n_docs: int, n_buckets: int = 128, wave_size: int = 32
 ) -> dict:
@@ -644,7 +764,11 @@ def main() -> None:
     # round-1 driver run under-amortized JIT/stage overhead 4x and was not
     # comparable to the baseline; see VERDICT round 1).
     n_docs = int(os.environ.get("OCR_SPARK_BENCH_DOCS", "100000"))
-    if "--soak" in sys.argv:
+    if "--soak-bundle" in sys.argv:
+        out = run_soak_bundle(
+            int(os.environ.get("OCR_SPARK_MEGA_PAGES", "1000"))
+        )
+    elif "--soak" in sys.argv:
         out = run_soak(int(os.environ.get("OCR_SPARK_BENCH_DOCS", "1000000")))
     elif "--scaling-shuffle" in sys.argv:
         out = run_scaling_shuffle(

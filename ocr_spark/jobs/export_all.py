@@ -158,17 +158,16 @@ def pending_exports(
     (``os.path.exists(filename) and not force_recreate`` →  return the
     existing file, export.py:142-143): which (doc_id, format) pairs
     still need GENERATION.  ``force_recreate`` regenerates everything,
-    reference flag-for-flag.  Anti-join on the slim key columns only —
-    the registry's payloads never move."""
+    reference flag-for-flag.  The (doc × format) domain is an explode of
+    a literal array — a narrow projection, no join — and the gate itself
+    is an anti-join on the slim key columns only; the registry's
+    payloads never move."""
     want = (
         docs.select("doc_id")
         .distinct()
-        .crossJoin(
-            F.broadcast(
-                docs.sparkSession.createDataFrame(
-                    [(f,) for f in formats], "format string"
-                )
-            )
+        .withColumn(
+            "format",
+            F.explode(F.array(*[F.lit(f) for f in formats])),
         )
     )
     if force_recreate:
