@@ -178,20 +178,27 @@ def pdf_documents(
         f"array({page_obj}, {content_obj}))))"
     )
     # offset of object i = len(header) + Σ len(objs[0..i-1]); header is
-    # ASCII so char length == byte length everywhere in this build
+    # ASCII so char length == byte length everywhere in this build.
+    # LINEAR prefix sum (r4): one aggregate pass carries (running total,
+    # offsets-so-far) in a struct accumulator — the old per-entry
+    # slice+aggregate form re-summed every prefix, O(pages²) interpreted
+    # char_length calls, and was the measured 11.6 s/23.9 s bottleneck
+    # of the 1000-page mega-doc soak (BENCH/BASELINE.md §3c).
     hlen = len(HEADER)
-    off_i = (
-        f"{hlen} + aggregate(slice(o2, 1, i), 0L, "
-        "(a, x) -> a + char_length(x))"
+    offs = (
+        f"aggregate(o2, "
+        f"named_struct('acc', cast({hlen} as bigint), "
+        "'arr', cast(array() as array<bigint>)), "
+        "(s, x) -> named_struct("
+        "'acc', s.acc + char_length(x), "
+        "'arr', concat(s.arr, array(s.acc))))"
     )
     xref_entries = (
-        f"array_join(transform(o2, (o, i) -> concat("
-        f"lpad(cast({off_i} as string), 10, '0'), ' 00000 n ', chr(10))),"
+        "array_join(transform(offarr, o -> concat("
+        "lpad(cast(o as string), 10, '0'), ' 00000 n ', chr(10))),"
         " '')"
     )
-    total = (
-        f"{hlen} + aggregate(o2, 0L, (a, x) -> a + char_length(x))"
-    )
+    total = f"{hlen} + aggregate(o2, 0L, (a, x) -> a + char_length(x))"
     pdf = (
         "concat('%PDF-1.4', chr(10), array_join(o2, ''), "
         "'xref', chr(10), '0 ', cast(size(o2) + 1 as string), chr(10), "
@@ -203,6 +210,7 @@ def pdf_documents(
     )
     return (
         agg.withColumn("o2", F.expr(objs))
+        .withColumn("offarr", F.expr(f"({offs}).arr"))
         .select(
             "doc_id",
             F.size("pages").alias("n_pages"),
