@@ -103,6 +103,11 @@ def _time_extraction(spark, src_path: str) -> tuple[float, int]:
 def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
     from ocr_spark import get_spark
 
+    if n_docs > 400_000:
+        # the §3b soak sizing: the 1M-doc e2e needs the big heap — at
+        # the 8 GB default the JVM dies mid-extraction and the bench
+        # emits nothing (observed r4)
+        os.environ.setdefault("SPARK_DRIVER_MEM", "28g")
     spark = get_spark("ocr-bench", master=f"local[{cpus}]")
     import __spark_entry__ as entry_mod
 
@@ -149,6 +154,7 @@ def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
         # round 4: real PNG codec chain + E7 adopt + deterministic sketches
         "png_roundtrip", "raster_from_png", "adopt_registry",
         "vocab_hll", "vocab_heavy_hitters", "doclen_quantile_sketch",
+        "wav_features",
     ]
     # Per-workload scan tuning (the conf is runtime-settable): thin
     # TPC-H-ish tables are scan-bound and want the vectorized reader's

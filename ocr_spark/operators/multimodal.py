@@ -412,6 +412,96 @@ def media_avg_hash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, AHASH_SCHEMA)
 
 
+AUDIO_SCHEMA = (
+    "doc_id string, media_ref string, mime string, n_bytes bigint, "
+    "sample_rate int, n_channels int, n_frames bigint, "
+    "sum_abs bigint, zero_crossings bigint, peak int"
+)
+
+
+def synth_audio_for_refs(refs: DataFrame, n_samples: int = 4000) -> DataFrame:
+    """REAL PCM16 WAV payloads for (doc_id, media_ref) rows —
+    splitmix-seeded samples through sources/wav.encode_wav, so the audio
+    kernels exercise the real decode path (the synth_media_for_spans
+    discipline, audio edition).  Data-gen utility for tests/bench."""
+    from ocr_spark.sources.wav import encode_wav
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            content = []
+            for d, r in zip(pdf["doc_id"], pdf["media_ref"]):
+                seed = hashlib.sha256(f"{d}/{r}|wav".encode()).digest()
+                raw = _synth_pixels(seed, 2 * n_samples).astype(np.int64)
+                s = (raw[0::2] * 256 + raw[1::2] - 32768).astype(np.int16)
+                content.append(encode_wav(s, sample_rate=16000))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "content": content,
+                    "mime": "audio/wav",
+                }
+            )
+
+    return refs.mapInPandas(fn, MEDIA_SCHEMA)
+
+
+def extract_audio_features(media: DataFrame, frame: int = 400) -> DataFrame:
+    """binary audio content → typed metadata + integer frame-feature
+    rollups (Σ|x|, zero crossings, peak) — the VAD/quality triple a
+    speech-data pipeline filters on.  WAV content takes the REAL
+    sources/wav.py decode path; non-WAV (mp3/ogg — no sandbox codec)
+    degrades to a deterministic digest fake, same dispatch discipline
+    as the image kernels.  One narrow Arrow-batched pass; audio bytes
+    never shuffle."""
+    from ocr_spark.sources.wav import decode_wav, frame_features, is_wav
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, ref, content, mime in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["content"], pdf["mime"]
+            ):
+                b = bytes(content) if content is not None else b""
+                try:
+                    if not is_wav(b):
+                        raise ValueError("not wav")
+                    a, rate = decode_wav(b)
+                    ch = a.shape[1]
+                    ff = frame_features(a, frame=frame)
+                    rows.append(
+                        (
+                            doc_id, ref, mime, len(b), rate, ch,
+                            len(ff),
+                            int(ff[:, 0].sum()) if len(ff) else 0,
+                            int(ff[:, 1].sum()) if len(ff) else 0,
+                            int(ff[:, 2].max()) if len(ff) else 0,
+                        )
+                    )
+                except ValueError:
+                    h = hashlib.sha1(b).digest()
+                    rows.append(
+                        (
+                            doc_id, ref, mime, len(b),
+                            8000 + (h[0] % 5) * 2000, 1 + h[1] % 2,
+                            int.from_bytes(h[2:4], "big"),
+                            int.from_bytes(h[4:8], "big"),
+                            int.from_bytes(h[8:10], "big"),
+                            int.from_bytes(h[10:12], "big") % 32768,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_ref", "mime", "n_bytes",
+                    "sample_rate", "n_channels", "n_frames",
+                    "sum_abs", "zero_crossings", "peak",
+                ],
+            )
+
+    return media.mapInPandas(fn, AUDIO_SCHEMA)
+
+
 def caption_pairs(spans: DataFrame, window: int = 8) -> DataFrame:
     """Image–text pair mining over an interleaved span sequence — the
     LAION/MMC4-style assignment step that turns an interleaved corpus
