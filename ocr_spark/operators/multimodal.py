@@ -6,12 +6,14 @@ Image decode is REAL for PNG — the one format the reference itself
 emits (page rasters at server/celery_app.py:903-913, crops at
 :1062-1081) — via the pure-stdlib codec in sources/png.py: every kernel
 here sniffs the content bytes and routes PNGs through real
-decode → grayscale → box-resample pixels.  Non-PNG payloads (and
-corrupt PNGs) fall back to the original deterministic fake behind
-``FAKE_DECODE`` / a clearly-marked ``NotImplementedError`` — JPEG/ffmpeg
-codecs genuinely aren't in this container — and everything Spark-side is
-real and tested either way: schemas, batch iteration, partition sizing,
-UDF signatures, and the metadata columns downstream operators key on.
+decode → grayscale → box-resample pixels.  Audio decode is REAL for
+WAV/RIFF PCM (sources/wav.py) the same way.  Other payloads (JPEG,
+mp3/ogg, video — and corrupt files) fall back to the deterministic fake
+behind ``FAKE_DECODE`` / a clearly-marked ``NotImplementedError`` —
+those codecs genuinely aren't in this container — and everything
+Spark-side is real and tested either way: schemas, batch iteration,
+partition sizing, UDF signatures, and the metadata columns downstream
+operators key on.
 
 This is the Spark landing zone for the reference's media path: cropped
 image regions (server/celery_app.py:1062-1081) become ``media(doc_id,
