@@ -407,8 +407,8 @@ def hocr_pages(
     df = (
         page_ir.join(magg, ["doc_id", "page_no"], "left")
         # stage both arrays as named columns: the interleave below
-        # references them repeatedly inside HOF lambdas (the
-        # re-inlining trap, CLAUDE.md)
+        # references them repeatedly inside HOF lambdas, and Catalyst
+        # re-inlines unnamed subexpressions once per reference
         .withColumn("_media", F.coalesce(F.col("_media"), F.expr(empty_media)))
         .withColumn("_pars", F.expr(par_arr))
         .withColumn(
