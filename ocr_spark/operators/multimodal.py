@@ -93,14 +93,23 @@ def _real_image(content: bytes) -> np.ndarray | None:
 def _decode(content: bytes) -> tuple[int, int, np.ndarray]:
     """(width, height, 8-dim float32 feature).  PNG → real pixels: the
     feature is the 8 column means of the 8×8 box-resampled grayscale
-    grid, /255 — a real (if tiny) visual descriptor.  Non-PNG → fake."""
+    grid, /255 — a real (if tiny) visual descriptor.  JPEG/GIF/BMP/WebP
+    → REAL header geometry (sources/imagemeta.py — dimensions need no
+    pixel codec) with the pixel feature falling back to the
+    deterministic fake.  Anything else → fake entirely."""
     img = _real_image(content)
-    if img is None:
-        return _fake_decode(content)
-    gray = to_gray(img)
-    h, w = gray.shape
-    feat = (grid8(gray).mean(axis=0) / 255.0).astype(np.float32)
-    return w, h, feat
+    if img is not None:
+        gray = to_gray(img)
+        h, w = gray.shape
+        feat = (grid8(gray).mean(axis=0) / 255.0).astype(np.float32)
+        return w, h, feat
+    from ocr_spark.sources.imagemeta import sniff_dimensions
+
+    meta = sniff_dimensions(content)
+    if meta is not None:
+        _fmt, w, h = meta
+        return w, h, _fake_decode(content)[2]
+    return _fake_decode(content)
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
@@ -167,7 +176,9 @@ def resize_media(media: DataFrame, max_px: int = 128) -> DataFrame:
                 if img is not None:
                     hgt, w = img.shape[:2]
                 else:
-                    w, hgt, _ = _fake_decode(b)
+                    # real header geometry for JPEG/GIF/BMP/WebP, the
+                    # digest fake otherwise (_decode's dispatch)
+                    w, hgt, _ = _decode(b)
                 scale = min(1.0, max_px / max(w, hgt))
                 ow = max(1, int(w * scale + 0.5))
                 oh = max(1, int(hgt * scale + 0.5))
