@@ -314,7 +314,11 @@ def parse_hocr_pages(
 
 
 _PHOTO_RE = re.compile(
-    r"<div[^>]*class=.ocr_photo.[^>]*title=.(?P<title>[^\"']*).[^>]*>"
+    # Quote-aware title capture: the delimiter is whichever quote opens
+    # the attribute, so an apostrophe inside a double-quoted title (the
+    # writer always double-quotes) no longer truncates the media_ref.
+    r"<div[^>]*class=([\"'])ocr_photo\1[^>]*"
+    r"title=([\"'])(?P<title>.*?)\2[^>]*>"
 )
 _PAR_OPEN_RE = re.compile(r"<p[^>]*class=.ocr_par.")
 _XSRC_RE = re.compile(r"x_source (.*)$")

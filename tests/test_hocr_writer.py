@@ -258,3 +258,25 @@ def test_parser_unescapes_entities_like_lxml(spark):
     )
     [row] = parse_hocr_pages(df).collect()
     assert row["paragraphs"][0][0][0]["text"] == 'A & B <c> "d" \'e\' &lt;f'
+
+
+def test_hocr_media_ref_with_apostrophe_round_trips(spark):
+    """ADVICE r4: an apostrophe in media_ref used to truncate the title
+    capture ([^\"']*); the quote-aware regex must carry it through
+    write -> parse verbatim (the writer double-quotes titles, so a raw
+    ' is legal inside)."""
+    from ocr_spark.sources.hocr import parse_hocr_media
+
+    ref = "img/o'brien's \"scan\" & <draft>.png"
+    ir = _ir_df(spark, [("docA", 1, _PAGE_A)])
+    media = spark.createDataFrame(
+        [("docA", 1, 0, 0, ref, [5.0, 5.0, 100.0, 200.0])],
+        "doc_id string, page_no int, par_idx int, seq int, "
+        "media_ref string, box array<double>",
+    )
+    hocr = hocr_pages(ir, media=media).select(
+        "doc_id", "page_no", F.col("hocr_xml").alias("hocr")
+    )
+    [row] = parse_hocr_media(hocr).collect()
+    assert row["media_ref"] == ref
+    assert tuple(row["box"]) == (5.0, 5.0, 100.0, 200.0)
