@@ -2,13 +2,16 @@
 columns with typed metadata, processed through Arrow-batched ``mapInPandas``
 kernels.
 
-Image decode is REAL for PNG — the one format the reference itself
-emits (page rasters at server/celery_app.py:903-913, crops at
-:1062-1081) — via the pure-stdlib codec in sources/png.py: every kernel
-here sniffs the content bytes and routes PNGs through real
+Image decode is REAL for PNG — the format the reference itself emits
+(page rasters at server/celery_app.py:903-913, crops at :1062-1081) —
+via the pure-stdlib codec in sources/png.py, and REAL for baseline
+JPEG — the format uploads and crops keep when the original was a JPEG
+(server/src/utils/file.py:92-98, server/celery_app.py:1070-1081) — via
+sources/jpeg.py: every kernel here sniffs the content bytes
+(sources/imagecodec.py) and routes both through real
 decode → grayscale → box-resample pixels.  Audio decode is REAL for
-WAV/RIFF PCM (sources/wav.py) the same way.  Other payloads (JPEG,
-mp3/ogg, video — and corrupt files) fall back to the deterministic fake
+WAV/RIFF PCM (sources/wav.py) the same way.  Other payloads (GIF/BMP/
+WebP pixels, mp3/ogg, video — and corrupt files) fall back to the deterministic fake
 behind ``FAKE_DECODE`` / a clearly-marked ``NotImplementedError`` —
 those codecs genuinely aren't in this container — and everything
 Spark-side is real and tested either way: schemas, batch iteration,
@@ -40,16 +43,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ocr_spark.sources.png import (  # noqa: E402  (real PNG codec path)
-    decode_png,
     encode_png,
     grid8,
-    is_png,
     resample_image,
     to_gray,
 )
 
-#: governs only the NON-PNG fallback (no JPEG/ffmpeg in this container);
-#: PNG content always takes the real sources/png.py decode path.
+#: governs only the fallback for formats WITHOUT an in-repo codec
+#: (GIF/BMP/WebP pixels, mp3/ogg, video frames); PNG and baseline JPEG
+#: content always take the real sources/png.py / sources/jpeg.py paths.
 FAKE_DECODE = True
 
 MEDIA_SCHEMA = (
@@ -77,26 +79,23 @@ def _fake_decode(content: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def _real_image(content: bytes) -> np.ndarray | None:
-    """The sniff-dispatch: PNG bytes → REAL decoded pixel array; anything
-    else (or a corrupt PNG — which must degrade to the fake, never kill
-    the Arrow stage) → None, sending the caller to the fake seam."""
-    if is_png(content):
-        import zlib
+    """The sniff-dispatch: PNG or baseline-JPEG bytes → REAL decoded
+    pixel array (sources/imagecodec.py); anything else — or a corrupt /
+    unsupported-variant stream, which must degrade to the fake, never
+    kill the Arrow stage — → None, sending the caller to the fake seam."""
+    from ocr_spark.sources.imagecodec import sniff_decode
 
-        try:
-            return decode_png(content)
-        except (ValueError, zlib.error):
-            return None
-    return None
+    return sniff_decode(content)
 
 
 def _decode(content: bytes) -> tuple[int, int, np.ndarray]:
-    """(width, height, 8-dim float32 feature).  PNG → real pixels: the
-    feature is the 8 column means of the 8×8 box-resampled grayscale
-    grid, /255 — a real (if tiny) visual descriptor.  JPEG/GIF/BMP/WebP
-    → REAL header geometry (sources/imagemeta.py — dimensions need no
-    pixel codec) with the pixel feature falling back to the
-    deterministic fake.  Anything else → fake entirely."""
+    """(width, height, 8-dim float32 feature).  PNG / baseline JPEG →
+    real pixels: the feature is the 8 column means of the 8×8
+    box-resampled grayscale grid, /255 — a real (if tiny) visual
+    descriptor.  GIF/BMP/WebP (and progressive JPEG) → REAL header
+    geometry (sources/imagemeta.py — dimensions need no pixel codec)
+    with the pixel feature falling back to the deterministic fake.
+    Anything else → fake entirely."""
     img = _real_image(content)
     if img is not None:
         gray = to_gray(img)
@@ -159,11 +158,13 @@ def resize_media(media: DataFrame, max_px: int = 128) -> DataFrame:
     rescale, export.py:558-564, and page-0 thumbnails, celery_app.py:934-
     940, generalized to a max-edge clamp).  The geometry — scale =
     max_px / max(w, h), never upscale, round-half-up like PIL — is REAL
-    and unit-tested.  PNG content takes the REAL pixel path: decode →
-    exact integer box-resample per channel → re-encode PNG; only
-    non-PNG payloads get the documented fake (content' = deterministic
-    f(content, out dims)).  One narrow Arrow-batched map; bytes never
-    shuffle."""
+    and unit-tested.  PNG and baseline-JPEG content take the REAL pixel
+    path: decode → exact integer box-resample per channel → re-encode in
+    the SAME format (the reference keeps the original extension,
+    src/utils/file.py:92-98); only payloads without an in-repo codec get
+    the documented fake (content' = deterministic f(content, out dims)).
+    One narrow Arrow-batched map; bytes never shuffle."""
+    from ocr_spark.sources.jpeg import encode_jpeg, is_jpeg
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -176,14 +177,20 @@ def resize_media(media: DataFrame, max_px: int = 128) -> DataFrame:
                 if img is not None:
                     hgt, w = img.shape[:2]
                 else:
-                    # real header geometry for JPEG/GIF/BMP/WebP, the
-                    # digest fake otherwise (_decode's dispatch)
+                    # real header geometry for GIF/BMP/WebP (and JPEG
+                    # variants outside the baseline decoder), the digest
+                    # fake otherwise (_decode's dispatch)
                     w, hgt, _ = _decode(b)
                 scale = min(1.0, max_px / max(w, hgt))
                 ow = max(1, int(w * scale + 0.5))
                 oh = max(1, int(hgt * scale + 0.5))
                 if img is not None:
-                    out = encode_png(resample_image(img, ow, oh))
+                    resized = resample_image(img, ow, oh)
+                    out = (
+                        encode_jpeg(resized)
+                        if is_jpeg(b)
+                        else encode_png(resized)
+                    )
                 else:
                     # fake resample: size-stamped digest of the bytes
                     out = (
@@ -373,10 +380,11 @@ def _fake_grid(content: bytes) -> np.ndarray:
 
 
 def _grid(content: bytes) -> np.ndarray:
-    """The aHash input grid: PNG → REAL pixels (decode → grayscale →
-    exact 8×8 box means, sources/png.py grid8); non-PNG → the digest
-    fake.  Real pixels mean visually-identical re-encodes (different
-    filter choices, different compress levels) hash identically — the
+    """The aHash input grid: PNG / baseline JPEG → REAL pixels (decode →
+    grayscale → exact 8×8 box means, sources/png.py grid8); formats
+    without an in-repo codec → the digest fake.  Real pixels mean
+    visually-identical re-encodes (different filter choices, different
+    FORMATS — a PNG and a JPEG of the same image) hash identically — the
     property a byte-digest fake cannot provide."""
     img = _real_image(content)
     if img is None:

@@ -320,11 +320,14 @@ _PAGE_DDL = (
 
 def decode_png_pages(pages: DataFrame) -> DataFrame:
     """(doc_id, page_no, content binary) → the ``segment_bitmaps`` input
-    shape, through the REAL sources/png.py decoder: PNG bytes → pixels →
-    integer Rec.601 grayscale.  This closes the G-chain end-to-end — the
+    shape, through the REAL in-repo decoders (sources/imagecodec.py
+    sniff-dispatch): PNG or baseline-JPEG bytes → pixels → integer
+    Rec.601 grayscale.  This closes the G-chain end-to-end — the
     reference renders every page to PNG (celery_app.py:903-913) and
-    segments the decoded raster (image.py:140-227); here the same bytes
-    flow decode → Otsu → components → regions with no codec seam left.
+    segments the decoded raster (image.py:140-227), while uploaded
+    single images keep their original (often JPEG) extension
+    (src/utils/file.py:92-98); here the same bytes flow
+    decode → Otsu → components → regions with no codec seam left.
 
     Corrupt/undecodable rows degrade to ``width=0, height=0, bitmap=''``
     which ``segment_bitmaps`` turns into its 'corrupt' marker row — one
@@ -334,24 +337,22 @@ def decode_png_pages(pages: DataFrame) -> DataFrame:
     """
     import pandas as pd
 
-    from ocr_spark.sources.png import decode_png, is_png, to_gray
+    from ocr_spark.sources.imagecodec import sniff_decode
+    from ocr_spark.sources.png import to_gray
 
     def fn(it):
-        import zlib
-
         for pdf in it:
             rows = []
             for doc, pno, content in zip(
                 pdf["doc_id"], pdf["page_no"], pdf["content"]
             ):
                 b = bytes(content) if content is not None else b""
-                try:
-                    if not is_png(b):
-                        raise ValueError("not png")
-                    gray = to_gray(decode_png(b))
+                img = sniff_decode(b)
+                if img is not None:
+                    gray = to_gray(img)
                     h, w = gray.shape
                     rows.append((doc, pno, w, h, gray.tobytes()))
-                except (ValueError, zlib.error):
+                else:
                     rows.append((doc, pno, 0, 0, b""))
             yield pd.DataFrame(
                 rows,

@@ -1,0 +1,43 @@
+"""Unified image sniff-dispatch: bytes → pixels for every format with a
+real in-repo codec (PNG via sources/png.py, baseline JPEG via
+sources/jpeg.py).
+
+One choke point for the multimodal/raster kernels, so adding a codec
+(as the JPEG round did after PNG) upgrades every pixel consumer at
+once — features, resize, perceptual hash, raster segmentation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ocr_spark.sources.jpeg import decode_jpeg, is_jpeg
+from ocr_spark.sources.png import decode_png, is_png
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode PNG or baseline JPEG bytes to a uint8 pixel array
+    ((H, W[, C]) — PNG may carry alpha, JPEG never).  Raises ValueError
+    for unsupported formats/variants or corrupt streams (zlib errors are
+    re-raised as ValueError so callers catch one type)."""
+    import zlib
+
+    if is_png(data):
+        try:
+            return decode_png(data)
+        except zlib.error as e:
+            raise ValueError(f"corrupt PNG stream: {e}") from e
+    if is_jpeg(data):
+        return decode_jpeg(data)
+    raise ValueError("no in-repo codec for these bytes")
+
+
+def sniff_decode(data: bytes) -> np.ndarray | None:
+    """``decode_image`` with the degrade-don't-raise contract the Arrow
+    kernels need: None for non-PNG/JPEG payloads, corrupt streams, and
+    documented unsupported variants (Adam7/16-bit PNG, progressive
+    JPEG) — never an exception out of a kernel."""
+    try:
+        return decode_image(data)
+    except ValueError:
+        return None
