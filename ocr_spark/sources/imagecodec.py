@@ -18,14 +18,16 @@ from ocr_spark.sources.png import decode_png, is_png
 def decode_image(data: bytes) -> np.ndarray:
     """Decode PNG or baseline JPEG bytes to a uint8 pixel array
     ((H, W[, C]) — PNG may carry alpha, JPEG never).  Raises ValueError
-    for unsupported formats/variants or corrupt streams (zlib errors are
-    re-raised as ValueError so callers catch one type)."""
+    for unsupported formats/variants or corrupt streams (zlib/struct/
+    index errors from crafted truncations are re-raised as ValueError so
+    callers catch one type)."""
+    import struct
     import zlib
 
     if is_png(data):
         try:
             return decode_png(data)
-        except zlib.error as e:
+        except (zlib.error, struct.error, IndexError) as e:
             raise ValueError(f"corrupt PNG stream: {e}") from e
     if is_jpeg(data):
         return decode_jpeg(data)

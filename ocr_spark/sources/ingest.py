@@ -41,6 +41,7 @@ import io
 import os
 import struct
 import zipfile
+import zlib
 from collections.abc import Iterator
 
 import pyarrow as pa
@@ -205,32 +206,49 @@ def _split_container(path: str, content: bytes) -> list[tuple[str, str, str, byt
     doc_id = os.path.basename(path)
     stem, ext = os.path.splitext(doc_id)
     ext = ext.lower().lstrip(".")
-    if ext == "zip":
-        out = []
-        with zipfile.ZipFile(io.BytesIO(content)) as z:
-            for info in z.infolist():
-                if info.is_dir():
-                    continue
-                out.append(("zip", info.filename, z.read(info)))
-    elif ext == "pdfx":
-        assert content[:4] == PDFX_MAGIC, f"bad pdfx container: {path}"
-        (n,) = struct.unpack_from("<I", content, 4)
-        out, off = [], 8
-        for i in range(n):
-            (ln,) = struct.unpack_from("<I", content, off)
-            off += 4
-            out.append(("pdf", f"{stem}_{i}.png", content[off : off + ln]))
-            off += ln
-    elif ext in ("tif", "tiff"):
-        # S3: real IFD-chain walk, one page per frame in chain order
-        # (celery_app.py:597-652's PIL seek(i) order)
-        out = [
-            ("tiff", f"{stem}_{i}.tif", frame)
-            for i, frame in enumerate(_tiff_frames(content))
-        ]
-    else:
-        # S4 single image: the file is page 0 (celery_app.py:654-677)
-        out = [("img", doc_id, content)]
+    try:
+        if ext == "zip":
+            out = []
+            with zipfile.ZipFile(io.BytesIO(content)) as z:
+                for info in z.infolist():
+                    if info.is_dir():
+                        continue
+                    out.append(("zip", info.filename, z.read(info)))
+        elif ext == "pdfx":
+            if content[:4] != PDFX_MAGIC:
+                raise ValueError(f"bad pdfx container: {path}")
+            (n,) = struct.unpack_from("<I", content, 4)
+            out, off = [], 8
+            for i in range(n):
+                (ln,) = struct.unpack_from("<I", content, off)
+                off += 4
+                if off + ln > len(content):
+                    raise ValueError("truncated pdfx page")
+                out.append(("pdf", f"{stem}_{i}.png", content[off : off + ln]))
+                off += ln
+        elif ext in ("tif", "tiff"):
+            # S3: real IFD-chain walk, one page per frame in chain order
+            # (celery_app.py:597-652's PIL seek(i) order)
+            out = [
+                ("tiff", f"{stem}_{i}.tif", frame)
+                for i, frame in enumerate(_tiff_frames(content))
+            ]
+        else:
+            # S4 single image: the file is page 0 (celery_app.py:654-677)
+            out = [("img", doc_id, content)]
+    except (
+        ValueError,
+        KeyError,
+        struct.error,
+        zipfile.BadZipFile,
+        zlib.error,
+        NotImplementedError,  # zipfile: unsupported compression type
+        OSError,  # zipfile: CRC / header inconsistencies surface as OSError
+    ):
+        # degrade-to-marker: one corrupt upload must never kill the scan
+        # stage (the raster path's 'corrupt' marker-row convention) —
+        # downstream sees an empty page under source_type 'corrupt'
+        out = [("corrupt", doc_id, b"")]
     return [(doc_id, st, name, payload) for st, name, payload in out]
 
 
