@@ -251,21 +251,49 @@ def sample_frames(
 ) -> DataFrame:
     """Frame sampling: one input video row → one output row per kept frame
     (frame 0, every_n, 2·every_n, …), with the timestamp each frame would
-    carry at ``fps``.  The container walk (magic check + length-prefixed
-    frame split) is REAL parsing — only frame bytes are fake pixels.  The
-    1→N row fan-out happens inside the Arrow batch, so a long video never
-    becomes a wide row downstream: frames are independent rows that
-    repartition freely.  Scale shape: narrow map, no shuffle; downstream
-    feature extraction joins by (doc_id, media_ref, frame_no)."""
+    carry at the container's frame rate (AVI) or ``fps`` (fallback).
+
+    MJPEG-in-AVI is REAL end to end (r5): the RIFF walk
+    (sources/avi.py — the WAV code's sibling grammar) yields ``00dc``
+    chunks that ARE baseline JPEGs, so sampled frame rows feed
+    ``extract_media_features``/``media_avg_hash`` with real pixels via
+    sources/jpeg.py.  The legacy length-prefixed ``FVC1`` container walk
+    is also real parsing, with fake frame pixels, for codecs with no
+    in-repo decoder; corrupt/unknown containers skip, like a codec
+    would.  The 1→N row fan-out happens inside the Arrow batch, so a
+    long video never becomes a wide row downstream: frames are
+    independent rows that repartition freely.  Scale shape: narrow map,
+    no shuffle; downstream feature extraction joins by (doc_id,
+    media_ref, frame_no)."""
+    from ocr_spark.sources.avi import is_avi, parse_avi
+
     ms_per_frame = 1000.0 / fps
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out_d, out_r, out_f, out_t, out_c = [], [], [], [], []
+
+            def keep(doc_id, ref, frame_no, ms, payload):
+                out_d.append(doc_id)
+                out_r.append(ref)
+                out_f.append(frame_no)
+                out_t.append(int(frame_no * ms))
+                out_c.append(payload)
+
             for doc_id, ref, content in zip(
                 pdf["doc_id"], pdf["media_ref"], pdf["content"]
             ):
                 b = bytes(content) if content is not None else b""
+                if is_avi(b):
+                    try:
+                        frames, real_fps = parse_avi(b)
+                    except ValueError:
+                        continue  # corrupt container — skip, degrade
+                    real_ms = 1000.0 / real_fps
+                    for frame_no, payload in enumerate(frames):
+                        if frame_no % every_n == 0:
+                            keep(doc_id, ref, frame_no, real_ms, payload)
+                    continue
                 if not b.startswith(_FRAME_MAGIC):
                     continue  # not a video container — skip, like a codec would
                 pos, frame_no = len(_FRAME_MAGIC), 0
@@ -275,11 +303,7 @@ def sample_frames(
                     if pos + ln > len(b):
                         break  # truncated tail frame — drop, atomic-write moral
                     if frame_no % every_n == 0:
-                        out_d.append(doc_id)
-                        out_r.append(ref)
-                        out_f.append(frame_no)
-                        out_t.append(int(frame_no * ms_per_frame))
-                        out_c.append(b[pos : pos + ln])
+                        keep(doc_id, ref, frame_no, ms_per_frame, b[pos : pos + ln])
                     pos += ln
                     frame_no += 1
             yield pd.DataFrame(
