@@ -197,6 +197,35 @@ def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
     }
 
 
+def run_contract_only(n_docs: int) -> dict:
+    """Just the contract-table extraction leg (no query battery) — the
+    subprocess body behind the headline's 1M-doc north-metric row
+    (r4 verdict item 5).  Runs in its OWN process because driver heap is
+    fixed at first JVM launch: the 1M leg needs the 28 GB soak heap the
+    100k session must not pay for.  Per-leg cpu-control stamps bracket
+    the measurement so the row carries its own host-health calibration."""
+    from ocr_spark import get_spark
+
+    if n_docs > 400_000:
+        os.environ.setdefault("SPARK_DRIVER_MEM", "28g")
+    pre = _cpu_control()
+    src = _contract_path(n_docs)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("ocr-bench-contract", master=f"local[{cpus}]")
+    med_dt, n = _warm_then_measure(spark, src)
+    spark.stop()
+    return {
+        "metric": "documents/sec end-to-end extraction throughput",
+        "value": round(n / med_dt, 1),
+        "unit": "docs/sec",
+        "contract_docs": n,
+        "median_sec": round(med_dt, 3),
+        "cpus": cpus,
+        "cpu_control_pre": pre,
+        "cpu_control_post": _cpu_control(),
+    }
+
+
 def _warm_then_measure(
     spark, src: str, cap: int = 12, stall_n: int = 4, improve: float = 0.95
 ) -> tuple[float, int]:
@@ -763,6 +792,29 @@ def run_soak(
     }
 
 
+def _north_1m_row() -> dict:
+    """The soak-scale north metric (1M-doc contract extraction) as a
+    per-round driver artifact row (r4 verdict item 5): run in a
+    subprocess so it gets its own 28 GB-heap JVM, never the headline
+    session's.  Failures degrade to an error note — the driver must
+    always receive its JSON line.  Set OCR_SPARK_SKIP_1M=1 to skip
+    (small-scale smoke runs)."""
+    import subprocess
+
+    if os.environ.get("OCR_SPARK_SKIP_1M"):
+        return {"skipped": "OCR_SPARK_SKIP_1M set"}
+    env = dict(os.environ, OCR_SPARK_BENCH_DOCS="1000000")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--contract-only"],
+            capture_output=True, text=True, timeout=5400, env=env,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        return json.loads(line)
+    except Exception as e:  # noqa: BLE001 — degrade, never kill the bench
+        return {"error": f"{type(e).__name__}: {e}"}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -788,8 +840,15 @@ def main() -> None:
     elif "--scaling" in sys.argv:
         n_docs = int(os.environ.get("OCR_SPARK_BENCH_DOCS", "100000"))
         out = run_scaling(int(os.environ.get("OCR_SPARK_SCALE_N", "2")), n_docs)
+    elif "--contract-only" in sys.argv:
+        out = run_contract_only(n_docs)
     else:
         out = run_headline(sf_dir, cpus, n_docs)
+        if n_docs >= 100_000:
+            # driver-scale runs also record the soak-scale north metric;
+            # small smoke runs (OCR_SPARK_BENCH_DOCS below the committed
+            # 100k baseline) skip it
+            out["north_1m"] = _north_1m_row()
     print(json.dumps(out))
 
 
