@@ -12,9 +12,10 @@ decode" seam with a real decoder.
 Scope (documented, raised-on otherwise):
 * bit depth 8 for all five color types — gray(0), RGB(2), palette(3),
   gray+alpha(4), RGBA(6) — plus bit depth 1 grayscale (bitonal scans,
-  the document-archive common case);
-* non-interlaced only (the reference's own PNGs are non-interlaced;
-  Adam7 raises a clear ValueError);
+  the document-archive common case) and bit depth 16 for the non-palette
+  types (decoded to 8-bit by the standard high-byte downsample);
+* both interlace methods — non-interlaced (the reference's own PNGs)
+  and Adam7 (crawled-corpus PNGs), r5;
 * all five scanline filters (None/Sub/Up/Average/Paeth) on decode, and
   the encoder can emit any of them (tests drive every filter path).
 
@@ -36,6 +37,12 @@ import zlib
 import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: Adam7 pass sampling grids (x_start, y_start, x_step, y_step), PNG §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 #: channels per pixel, by color type
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -281,13 +288,15 @@ def decode_png(data: bytes) -> np.ndarray:
     w, h, depth, ctype, comp, filt, inter = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("bad IHDR compression/filter method")
-    if inter != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
+    if inter not in (0, 1):
+        raise ValueError(f"bad IHDR interlace method {inter}")
     if ctype not in _CHANNELS:
         raise ValueError(f"bad color type {ctype}")
     channels = _CHANNELS[ctype]
     if depth == 8:
         pass
+    elif depth == 16 and ctype in (0, 2, 4, 6):
+        pass  # decoded to 8-bit by taking the high byte (see below)
     elif depth == 1 and ctype in (0, 3):
         pass
     else:
@@ -295,19 +304,46 @@ def decode_png(data: bytes) -> np.ndarray:
             f"unsupported bit depth {depth} for color type {ctype}"
         )
     raw = zlib.decompress(b"".join(idat))
-    if depth == 8:
-        rowbytes, bpp = w * channels, channels
-        px = _unfilter(raw, h, rowbytes, bpp)
-        img = px.reshape(h, w, channels)
-    else:  # depth == 1, gray or palette: unpack bits after unfiltering
-        rowbytes, bpp = (w + 7) // 8, 1
-        px = _unfilter(raw, h, rowbytes, bpp)
-        bits = np.unpackbits(px, axis=1)[:, :w]
-        img = (
+    bpp = {8: channels, 16: channels * 2, 1: 1}[depth]
+
+    def rowbytes_for(pw: int) -> int:
+        if depth == 1:
+            return (pw + 7) // 8
+        return pw * bpp
+
+    def decode_sub(buf: bytes, pw: int, ph: int) -> np.ndarray:
+        """Unfilter + sample-unpack one (sub-)image to (ph, pw, channels)
+        uint8.  16-bit samples keep the big-endian HIGH byte — the
+        standard 16→8 downsample (value >> 8); depth-1 unpacks bits."""
+        px = _unfilter(buf, ph, rowbytes_for(pw), bpp)
+        if depth == 8:
+            return px.reshape(ph, pw, channels)
+        if depth == 16:
+            return px.reshape(ph, pw, channels, 2)[:, :, :, 0].copy()
+        bits = np.unpackbits(px, axis=1)[:, :pw]
+        return (
             bits[:, :, None]
             if ctype == 3
             else (bits * 255).astype(np.uint8)[:, :, None]
         )
+
+    if inter == 0:
+        img = decode_sub(raw, w, h)  # _unfilter checks the byte count
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered back
+        # on the (x0, y0, dx, dy) sampling grids of PNG §8.2
+        img = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            nb = ph * (1 + rowbytes_for(pw))
+            img[y0::dy, x0::dx] = decode_sub(raw[pos : pos + nb], pw, ph)
+            pos += nb
+        if pos != len(raw):
+            raise ValueError("bad Adam7 pixel stream length")
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")

@@ -159,16 +159,17 @@ def test_corrupt_containers_end_to_end(spark, tmp_path):
 
 
 def test_unsupported_png_variants_degrade_in_kernels(spark):
-    """Adam7-interlaced and 16-bit PNGs (documented decoder scope) must
-    flow through the media kernels as fake-path / marker rows, never
-    raise (r4 verdict item 2)."""
+    """PNGs outside the (now Adam7- and 16-bit-inclusive) decoder scope —
+    a truncated Adam7 pixel stream and the spec-invalid 16-bit palette
+    combination — must flow through the media kernels as fake-path /
+    marker rows, never raise (r4 verdict item 2)."""
     from ocr_spark.operators.multimodal import extract_media_features
     from ocr_spark.operators.raster import decode_png_pages
     from ocr_spark.sources.png import PNG_SIG
     import zlib as _z
 
-    def png_with_ihdr(depth: int, interlace: int) -> bytes:
-        ihdr = struct.pack(">IIBBBBB", 8, 8, depth, 0, 0, 0, interlace)
+    def png_with_ihdr(depth: int, ctype: int, interlace: int) -> bytes:
+        ihdr = struct.pack(">IIBBBBB", 8, 8, depth, ctype, 0, 0, interlace)
         def chunk(typ, payload):
             return (
                 struct.pack(">I", len(payload)) + typ + payload
@@ -180,8 +181,8 @@ def test_unsupported_png_variants_degrade_in_kernels(spark):
             + chunk(b"IEND", b"")
         )
 
-    adam7 = png_with_ihdr(8, 1)
-    deep16 = png_with_ihdr(16, 0)
+    adam7 = png_with_ihdr(8, 0, 1)  # valid IHDR, truncated Adam7 stream
+    deep16 = png_with_ihdr(16, 3, 0)  # 16-bit palette: spec-invalid
     assert sniff_decode(adam7) is None and sniff_decode(deep16) is None
     media = spark.createDataFrame(
         [

@@ -100,10 +100,11 @@ def test_malformed_inputs_raise():
         decode_png(b"\x89PNG\r\n\x1a\nnot-chunks")
     with pytest.raises(ValueError):
         decode_png(good[:30])  # truncated chunk
-    # interlaced rejected with a clear error
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    # unknown interlace method rejected with a clear error (Adam7
+    # itself is supported since r5 — see test_adam7_decode_exact)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 2)
     inter = PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
-    with pytest.raises(ValueError, match="interlaced"):
+    with pytest.raises(ValueError, match="interlace"):
         decode_png(inter)
     with pytest.raises(ValueError):
         decode_png(b"JFIF-not-a-png")
@@ -254,3 +255,87 @@ def test_synth_media_is_real_png(spark, tmp_path):
     for r in media:
         img = decode_png(bytes(r["content"]))  # raises if not a real PNG
         assert img.shape[0] >= 64 and img.shape[1] >= 64
+
+
+def _chunk_raw(typ: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload)) + typ + payload
+        + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_adam7_gray(img: np.ndarray) -> bytes:
+    """Test-side Adam7 encoder (filter 0 rows): gather each pass's
+    sampling grid (PNG §8.2), one filtered sub-image after another."""
+    from ocr_spark.sources.png import _ADAM7
+
+    h, w = img.shape
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            parts.append(b"\x00" + row.tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)
+    return (
+        PNG_SIG + _chunk_raw(b"IHDR", ihdr)
+        + _chunk_raw(b"IDAT", zlib.compress(b"".join(parts)))
+        + _chunk_raw(b"IEND", b"")
+    )
+
+
+def encode_16bit(hi: np.ndarray, lo: np.ndarray, ctype: int) -> bytes:
+    """Test-side 16-bit encoder: big-endian sample pairs, filter 0."""
+    h, w = hi.shape[:2]
+    ch = 1 if hi.ndim == 2 else hi.shape[2]
+    samples = np.stack(
+        [hi.reshape(h, w, ch), lo.reshape(h, w, ch)], axis=-1
+    ).reshape(h, w * ch * 2)
+    rows = b"".join(b"\x00" + samples[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, 0)
+    return (
+        PNG_SIG + _chunk_raw(b"IHDR", ihdr)
+        + _chunk_raw(b"IDAT", zlib.compress(rows))
+        + _chunk_raw(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (13, 17), (1, 1), (5, 3), (16, 9)])
+def test_adam7_decode_exact(shape):
+    """Adam7 deinterlace (r5): hand-built interlaced streams decode to
+    the exact source pixels across pass-degenerate shapes."""
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    dec = decode_png(encode_adam7_gray(img))
+    assert dec.shape == shape and (dec == img).all()
+
+
+def test_16bit_decode_high_byte():
+    """16-bit depth (r5): decoded via the standard high-byte downsample,
+    low bytes ignored, gray and RGBA."""
+    hi = rng.integers(0, 256, (9, 7), dtype=np.uint8)
+    lo = rng.integers(0, 256, (9, 7), dtype=np.uint8)
+    assert (decode_png(encode_16bit(hi, lo, 0)) == hi).all()
+    hi4 = rng.integers(0, 256, (6, 5, 4), dtype=np.uint8)
+    lo4 = rng.integers(0, 256, (6, 5, 4), dtype=np.uint8)
+    assert (decode_png(encode_16bit(hi4, lo4, 6)) == hi4).all()
+
+
+def test_adam7_bad_stream_length_degrades():
+    """A truncated/overlong Adam7 stream raises ValueError (and so
+    degrades through sniff_decode), never mis-scatters."""
+    from ocr_spark.sources.imagecodec import sniff_decode
+
+    img = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    good = encode_adam7_gray(img)
+    # rebuild with a short pixel stream but valid CRCs
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1)
+    bad = (
+        PNG_SIG + _chunk_raw(b"IHDR", ihdr)
+        + _chunk_raw(b"IDAT", zlib.compress(b"\x00" * 50))
+        + _chunk_raw(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(bad)
+    assert sniff_decode(bad) is None
+    assert (sniff_decode(good) == img).all()
