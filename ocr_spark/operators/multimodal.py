@@ -4,8 +4,9 @@ kernels.
 
 Image decode is REAL for PNG — the format the reference itself emits
 (page rasters at server/celery_app.py:903-913, crops at :1062-1081) —
-via the pure-stdlib codec in sources/png.py, and REAL for baseline
-JPEG — the format uploads and crops keep when the original was a JPEG
+via the pure-stdlib codec in sources/png.py, and REAL for JPEG
+(baseline and progressive) — the format uploads and crops keep when the
+original was a JPEG
 (server/src/utils/file.py:92-98, server/celery_app.py:1070-1081) — via
 sources/jpeg.py: every kernel here sniffs the content bytes
 (sources/imagecodec.py) and routes both through real
@@ -50,8 +51,8 @@ from ocr_spark.sources.png import (  # noqa: E402  (real PNG codec path)
 )
 
 #: governs only the fallback for formats WITHOUT an in-repo codec
-#: (GIF/BMP/WebP pixels, mp3/ogg, video frames); PNG and baseline JPEG
-#: content always take the real sources/png.py / sources/jpeg.py paths.
+#: (GIF/BMP/WebP pixels, mp3/ogg, video frames); PNG and JPEG content
+#: always take the real sources/png.py / sources/jpeg.py paths.
 FAKE_DECODE = True
 
 MEDIA_SCHEMA = (
@@ -79,7 +80,7 @@ def _fake_decode(content: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def _real_image(content: bytes) -> np.ndarray | None:
-    """The sniff-dispatch: PNG or baseline-JPEG bytes → REAL decoded
+    """The sniff-dispatch: PNG or JPEG bytes → REAL decoded
     pixel array (sources/imagecodec.py); anything else — or a corrupt /
     unsupported-variant stream, which must degrade to the fake, never
     kill the Arrow stage — → None, sending the caller to the fake seam."""
@@ -89,13 +90,13 @@ def _real_image(content: bytes) -> np.ndarray | None:
 
 
 def _decode(content: bytes) -> tuple[int, int, np.ndarray]:
-    """(width, height, 8-dim float32 feature).  PNG / baseline JPEG →
-    real pixels: the feature is the 8 column means of the 8×8
-    box-resampled grayscale grid, /255 — a real (if tiny) visual
-    descriptor.  GIF/BMP/WebP (and progressive JPEG) → REAL header
-    geometry (sources/imagemeta.py — dimensions need no pixel codec)
-    with the pixel feature falling back to the deterministic fake.
-    Anything else → fake entirely."""
+    """(width, height, 8-dim float32 feature).  PNG / JPEG (baseline or
+    progressive) → real pixels: the feature is the 8 column means of
+    the 8×8 box-resampled grayscale grid, /255 — a real (if tiny)
+    visual descriptor.  GIF/BMP/WebP → REAL header geometry
+    (sources/imagemeta.py — dimensions need no pixel codec) with the
+    pixel feature falling back to the deterministic fake.  Anything
+    else → fake entirely."""
     img = _real_image(content)
     if img is not None:
         gray = to_gray(img)
@@ -177,8 +178,7 @@ def resize_media(media: DataFrame, max_px: int = 128) -> DataFrame:
                 if img is not None:
                     hgt, w = img.shape[:2]
                 else:
-                    # real header geometry for GIF/BMP/WebP (and JPEG
-                    # variants outside the baseline decoder), the digest
+                    # real header geometry for GIF/BMP/WebP, the digest
                     # fake otherwise (_decode's dispatch)
                     w, hgt, _ = _decode(b)
                 scale = min(1.0, max_px / max(w, hgt))

@@ -1,6 +1,6 @@
 """Unified image sniff-dispatch: bytes → pixels for every format with a
-real in-repo codec (PNG via sources/png.py, baseline JPEG via
-sources/jpeg.py).
+real in-repo codec (PNG via sources/png.py, JPEG — baseline and
+progressive — via sources/jpeg.py).
 
 One choke point for the multimodal/raster kernels, so adding a codec
 (as the JPEG round did after PNG) upgrades every pixel consumer at
@@ -16,7 +16,7 @@ from ocr_spark.sources.png import decode_png, is_png
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode PNG or baseline JPEG bytes to a uint8 pixel array
+    """Decode PNG or JPEG bytes to a uint8 pixel array
     ((H, W[, C]) — PNG may carry alpha, JPEG never).  Raises ValueError
     for unsupported formats/variants or corrupt streams (zlib/struct/
     index errors from crafted truncations are re-raised as ValueError so
@@ -37,8 +37,8 @@ def decode_image(data: bytes) -> np.ndarray:
 def sniff_decode(data: bytes) -> np.ndarray | None:
     """``decode_image`` with the degrade-don't-raise contract the Arrow
     kernels need: None for non-PNG/JPEG payloads, corrupt streams, and
-    documented unsupported variants (Adam7/16-bit PNG, progressive
-    JPEG) — never an exception out of a kernel."""
+    documented unsupported variants (16-bit-palette PNG, arithmetic/
+    12-bit/lossless JPEG) — never an exception out of a kernel."""
     try:
         return decode_image(data)
     except ValueError:

@@ -17,9 +17,10 @@ pure ``struct`` byte arithmetic, no codec:
 * WebP  — VP8X canvas, VP8L 14-bit dims, or VP8 key-frame size.
 
 ``sniff_dimensions`` is the multimodal kernels' metadata dispatch:
-formats whose PIXELS this engine can't decode in-sandbox (JPEG/GIF/
-BMP/WebP) still report REAL geometry; only their pixel-derived features
-fall back to the deterministic fake.
+formats whose PIXELS this engine can't decode in-sandbox (GIF/BMP/WebP
+— JPEG pixels are real since r5, sources/jpeg.py) still report REAL
+geometry; only their pixel-derived features fall back to the
+deterministic fake.
 """
 
 from __future__ import annotations

@@ -13,11 +13,13 @@ F.16 Huffman decode procedure).
 
 Scope (documented, ValueError otherwise — callers degrade to the fake /
 marker-row convention, never crash a kernel):
-* decode — baseline sequential DCT (SOF0), 8-bit precision, Huffman
+* decode — baseline sequential (SOF0) AND progressive (SOF2, r5:
+  spectral selection + successive approximation per T.81 G.1.2, EOB
+  runs, AC refinement correction bits), 8-bit precision, Huffman
   entropy coding, 1- or 3-component scans, any sampling factors whose
   ratios to the max are integral (covers 4:4:4 / 4:2:2 / 4:2:0 / 4:1:1),
-  restart markers (DRI/RSTn).  Progressive (SOF2), arithmetic coding,
-  12-bit, and hierarchical streams raise a clear ValueError;
+  restart markers (DRI/RSTn).  Arithmetic coding, 12-bit, lossless and
+  hierarchical streams raise a clear ValueError;
 * encode — baseline SOF0, grayscale or RGB (written 4:4:4 YCbCr),
   Annex K quantization tables under the standard libjpeg quality
   scaling (default 50 = tables verbatim), Annex K Huffman tables.
@@ -274,6 +276,32 @@ def _encode_blocks(
     return prev_dc
 
 
+def _encode_ac_band(writer: _BitWriter, blk, ac_codes: dict) -> None:
+    """Entropy-code one block's AC band 1..63 (the progressive
+    spectral-selection AC scan; EOB0 ends the block — with no EOB-run
+    extension bits this is bit-compatible with the baseline AC coding)."""
+    run = 0
+    nz = np.nonzero(blk[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for i in range(1, last + 1):
+        v = int(blk[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            writer.write(code, ln)
+            run -= 16
+        s, bits = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | s]
+        writer.write(code, ln)
+        writer.write(bits, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]  # EOB0
+        writer.write(code, ln)
+
+
 def _plane_coeffs(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
     """8-aligned plane → (n_blocks, 64) quantized zigzag coefficients,
     DCT vectorized across all blocks at once (one einsum, no per-block
@@ -327,12 +355,20 @@ def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 50) -> bytes:
-    """uint8 (H, W) grayscale or (H, W, 3) RGB → baseline JFIF bytes.
+def encode_jpeg(
+    img: np.ndarray, quality: int = 50, progressive: bool = False
+) -> bytes:
+    """uint8 (H, W) grayscale or (H, W, 3) RGB → JFIF bytes.
 
     Grayscale emits one component; RGB emits 4:4:4 YCbCr.  quality=50
     uses the Annex K tables verbatim (the exact-roundtrip fixtures
-    depend on Q[0,0]=16)."""
+    depend on Q[0,0]=16).  ``progressive=True`` emits an SOF2 stream
+    with spectral-selection scans (one interleaved DC scan, then one
+    full-band AC scan per component) — the coefficients are identical
+    to the baseline encoding, so ``decode(progressive) ==
+    decode(baseline)`` exactly, which is what the round-trip tests
+    pin; successive-approximation DECODE is exercised by hand-built
+    streams in tests/test_jpeg.py."""
     if img.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8")
     if img.ndim == 3 and img.shape[2] == 1:
@@ -354,21 +390,23 @@ def encode_jpeg(img: np.ndarray, quality: int = 50) -> bytes:
     if not gray:
         q_chroma = scaled_quant(QUANT_CHROMA, quality)
         out += _dqt_segment(1, q_chroma)
-    # SOF0: 8-bit precision, all components 1x1 sampling (4:4:4)
+    # SOF0/SOF2: 8-bit precision, all components 1x1 sampling (4:4:4)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for c in range(ncomp):
         sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
     out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
     out += _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
     if not gray:
         out += _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
         out += _dht_segment(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
-    sos = bytes([ncomp])
-    for c in range(ncomp):
-        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    if not progressive:
+        sos = bytes([ncomp])
+        for c in range(ncomp):
+            sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+        sos += bytes([0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
     if gray:
         planes = [(_pad8(img), q_luma)]
@@ -385,18 +423,46 @@ def encode_jpeg(img: np.ndarray, quality: int = 50) -> bytes:
     if not gray:
         dc_c = _huff_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
         ac_c = _huff_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
-    writer = _BitWriter()
-    # 1x1 sampling for every component ⇒ one block per component per MCU,
-    # interleaved in component order, blocks row-major across the image
     nb = coeffs[0].shape[0]
-    prev = [0] * ncomp
-    for b in range(nb):
+    if progressive:
+        # scan 1: interleaved DC (Ss=Se=0, Ah=Al=0)
+        sos = bytes([ncomp])
         for c in range(ncomp):
-            dc, ac = (dc_l, ac_l) if c == 0 else (dc_c, ac_c)
-            prev[c] = _encode_blocks(
-                writer, coeffs[c][b : b + 1], dc, ac, prev[c]
-            )
-    out += writer.flush()
+            sos += bytes([c + 1, (0 if c == 0 else 1) << 4])
+        sos += bytes([0, 0, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        writer = _BitWriter()
+        prev = [0] * ncomp
+        for b in range(nb):
+            for c in range(ncomp):
+                dc = dc_l if c == 0 else dc_c
+                sz, bits = _magnitude(int(coeffs[c][b, 0]) - prev[c])
+                prev[c] = int(coeffs[c][b, 0])
+                code, ln = dc[sz]
+                writer.write(code, ln)
+                writer.write(bits, sz)
+        out += writer.flush()
+        # scans 2..: one full-band AC scan per component (Ss=1, Se=63)
+        for c in range(ncomp):
+            sos = bytes([1, c + 1, 0 if c == 0 else 1]) + bytes([1, 63, 0])
+            out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+            ac = ac_l if c == 0 else ac_c
+            writer = _BitWriter()
+            for b in range(nb):
+                _encode_ac_band(writer, coeffs[c][b], ac)
+            out += writer.flush()
+    else:
+        writer = _BitWriter()
+        # 1x1 sampling for every component ⇒ one block per component per
+        # MCU, interleaved in component order, blocks row-major
+        prev = [0] * ncomp
+        for b in range(nb):
+            for c in range(ncomp):
+                dc, ac = (dc_l, ac_l) if c == 0 else (dc_c, ac_c)
+                prev[c] = _encode_blocks(
+                    writer, coeffs[c][b : b + 1], dc, ac, prev[c]
+                )
+        out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -554,6 +620,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffTable] = {}
     restart_interval = 0
     frame = None  # (h, w, [(cid, hi, vi, tq)])
+    progressive = False
+    store = None  # progressive: per-component persistent coefficient planes
     pos, n = 2, len(data)
     while pos + 4 <= n:
         if data[pos] != 0xFF:
@@ -594,7 +662,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[i + 17 : i + 17 + nv])
                 (huff_dc if cls == 0 else huff_ac)[tid] = _HuffTable(bits, vals)
                 i += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -603,10 +671,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "unsupported JPEG frame type (progressive/arithmetic/"
+                "unsupported JPEG frame type (lossless/arithmetic/"
                 f"hierarchical): SOF{marker & 0x0F}"
             )
         elif marker == 0xDD:  # DRI
@@ -614,12 +683,242 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
-            return _decode_scan(
-                data, pos + 2 + ln, seg, frame, quant,
+            if not progressive:
+                return _decode_scan(
+                    data, pos + 2 + ln, seg, frame, quant,
+                    huff_dc, huff_ac, restart_interval,
+                )
+            if store is None:
+                store = _alloc_store(frame)
+            pos = _progressive_scan(
+                data, pos + 2 + ln, seg, frame, store,
                 huff_dc, huff_ac, restart_interval,
             )
+            continue
         pos += 2 + ln
+    if store is not None:
+        h, w, comps = frame
+        if h == 0 or w == 0:
+            raise ValueError("empty JPEG frame")
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        return _reconstruct(store, comps, quant, h, w, hmax, vmax)
     raise ValueError("JPEG missing SOS")
+
+
+def _alloc_store(frame: tuple) -> list:
+    """Progressive mode: one persistent (blocks_y, blocks_x, 64)
+    coefficient plane per component, allocated on the interleaved MCU
+    grid (a superset of every scan's block grid)."""
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise ValueError("empty JPEG frame")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    return [
+        np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+        for _, hi, vi, _tq in comps
+    ]
+
+
+def _first_ac_block(reader, ac_tab, blk, ss, se, al, eobrun):
+    """One block of a first-pass AC scan (Ah=0), T.81 G.1.2.2: EOBRUN
+    run-length across blocks, ZRL zero runs, coefficients << Al."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(reader, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC coefficient overrun")
+        blk[k] = _extend(reader.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _refine_ac_block(reader, ac_tab, blk, ss, se, al, eobrun):
+    """One block of an AC refinement scan (Ah>0), T.81 G.1.2.3: place
+    new ±1<<Al coefficients and append one correction bit to every
+    nonzero coefficient passed."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k):
+        if reader.bit() and (int(blk[k]) & p1) == 0:
+            blk[k] += p1 if blk[k] > 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(reader, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.bits(r)
+                    break  # EOB: correction bits for the rest, below
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad JPEG AC refinement magnitude")
+                newval = p1 if reader.bit() else m1
+            while k <= se:
+                if blk[k]:
+                    correct(k)
+                    k += 1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                    k += 1
+            if s and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun:
+        while k <= se:
+            if blk[k]:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _progressive_scan(
+    data: bytes,
+    pos: int,
+    seg: bytes,
+    frame: tuple,
+    store: list,
+    huff_dc: dict,
+    huff_ac: dict,
+    restart_interval: int,
+) -> int:
+    """Decode ONE progressive scan (DC or AC band, first or refinement
+    pass) into the persistent coefficient store; returns the byte
+    position of the next marker.  Restart markers reset predictors and
+    the EOB run."""
+    h, w, comps = frame
+    ns = seg[0]
+    by_id = {c[0]: j for j, c in enumerate(comps)}
+    scan_comps = []
+    for i in range(ns):
+        cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+        if cid not in by_id:
+            raise ValueError("JPEG scan references unknown component")
+        scan_comps.append((by_id[cid], tabs >> 4, tabs & 0x0F))
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ahal = seg[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if not (0 <= ss <= se <= 63):
+        raise ValueError("bad JPEG spectral band")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    reader = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    eobrun = 0
+    mcu_count = 0
+
+    def check_restart():
+        nonlocal preds, eobrun
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            m = reader.align_to_marker()
+            if not 0xD0 <= m <= 0xD7:
+                raise ValueError(f"expected RSTn, got FF{m:02X}")
+            preds = [0] * len(comps)
+            eobrun = 0
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG progressive DC scan with Se != 0")
+        if ns > 1:
+            # interleaved DC scan: the frame MCU walk
+            for _my in range(mcuy):
+                for _mx in range(mcux):
+                    check_restart()
+                    for ci, dt, _at in scan_comps:
+                        _cid, hi, vi, _tq = comps[ci]
+                        if ah == 0 and dt not in huff_dc:
+                            raise ValueError("JPEG scan references missing DHT")
+                        for by in range(vi):
+                            for bx in range(hi):
+                                blk = store[ci][_my * vi + by, _mx * hi + bx]
+                                if ah == 0:
+                                    sz = _decode_huff(reader, huff_dc[dt])
+                                    if sz > 15:
+                                        raise ValueError("invalid JPEG DC category")
+                                    diff = _extend(reader.bits(sz), sz) if sz else 0
+                                    preds[ci] += diff
+                                    blk[0] = preds[ci] << al
+                                elif reader.bit():
+                                    blk[0] = int(blk[0]) | (1 << al)
+                    mcu_count += 1
+            return _next_marker_pos(data, reader.pos)
+        # fall through: single-component DC scan uses the block walk below
+    elif ns != 1:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+
+    ci, dt, at = scan_comps[0]
+    _cid, hi, vi, _tq = comps[ci]
+    # component dims: ceil(w·hi/hmax) × ceil(h·vi/vmax); blocks: ceil(/8)
+    cw = -(-(w * hi) // hmax)
+    ch = -(-(h * vi) // vmax)
+    bw = -(-cw // 8)
+    bh = -(-ch // 8)
+    for by in range(bh):
+        for bx in range(bw):
+            check_restart()
+            blk = store[ci][by, bx]
+            if ss == 0:
+                if ah == 0:
+                    if dt not in huff_dc:
+                        raise ValueError("JPEG scan references missing DHT")
+                    sz = _decode_huff(reader, huff_dc[dt])
+                    if sz > 15:
+                        raise ValueError("invalid JPEG DC category")
+                    diff = _extend(reader.bits(sz), sz) if sz else 0
+                    preds[ci] += diff
+                    blk[0] = preds[ci] << al
+                elif reader.bit():
+                    blk[0] = int(blk[0]) | (1 << al)
+            else:
+                if at not in huff_ac:
+                    raise ValueError("JPEG scan references missing DHT")
+                if ah == 0:
+                    eobrun = _first_ac_block(
+                        reader, huff_ac[at], blk, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _refine_ac_block(
+                        reader, huff_ac[at], blk, ss, se, al, eobrun
+                    )
+            mcu_count += 1
+    return _next_marker_pos(data, reader.pos)
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """Skip pad bits/stuffing after a scan's entropy data to the next
+    real marker (0xFF followed by neither 0x00 nor another 0xFF)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    raise ValueError("truncated JPEG: no marker after scan")
 
 
 def _decode_scan(
@@ -676,6 +975,15 @@ def _decode_scan(
                         )
                         planes[ci][my * vi + by, mx * hi + bx] = zz
             mcu_count += 1
+    return _reconstruct(planes, comps, quant, h, w, hmax, vmax)
+
+
+def _reconstruct(
+    planes: list, comps: list, quant: dict, h: int, w: int,
+    hmax: int, vmax: int,
+) -> np.ndarray:
+    """Shared tail of the baseline and progressive paths: per-component
+    dequantize → IDCT → upsample → crop → color convert."""
     out_planes = []
     for ci, (cid, hi, vi, tq) in enumerate(comps):
         if tq not in quant:

@@ -452,3 +452,158 @@ def test_raster_pages_decode_jpeg(spark):
     dec = np.frombuffer(bytes(got[1]["bitmap"]), np.uint8).reshape(48, 72)
     assert (dec == img).all()
     assert (got[2]["width"], got[2]["height"]) == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decode — r5
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (24, 40), (17, 31), (37, 53)])
+def test_progressive_decode_equals_baseline_gray(shape):
+    """Spectral-selection progressive streams carry the same quantized
+    coefficients as baseline, so decode must be bit-identical."""
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg(img, progressive=True))
+    assert prog.shape == base.shape and (prog == base).all()
+
+
+def test_progressive_decode_equals_baseline_rgb_and_dc_exact():
+    img = rng.integers(0, 256, (33, 49, 3), dtype=np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg(img, progressive=True))
+        == decode_jpeg(encode_jpeg(img))
+    ).all()
+    vals = (128 + 16 * rng.integers(-4, 5, (5, 7))).astype(np.uint8)
+    exact = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    assert (decode_jpeg(encode_jpeg(exact, progressive=True)) == exact).all()
+
+
+def _sos_seg(comps, ss, se, ah, al):
+    seg = bytes([len(comps)])
+    for cid, tabs in comps:
+        seg += bytes([cid, tabs])
+    seg += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + seg
+
+
+def test_handbuilt_successive_approximation_scans():
+    """Four hand-built scans (DC first Al=1, DC refine, AC first Al=1,
+    AC refine) must reconstruct exactly the coefficients {DC=2, AC1=3,
+    AC5=-1}; cross-checked against a hand-built BASELINE stream carrying
+    the same coefficients — two entropy paths, one answer."""
+    dc = _canon_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac = _canon_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    flat16 = np.full((8, 8), 16, np.int64)
+    head = (
+        b"\xff\xd8" + _dqt(0, flat16)
+        + b"\xff\xc2" + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00"
+        + _dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+        + _dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    )
+    # scan 1: DC first, Al=1 → codes DC>>1 = 1
+    b1 = _Bits()
+    c, ln = dc[1]; b1.put(c, ln); b1.put(1, 1)
+    # scan 2: DC refinement, Al=0 → appends bit DC&1 = 0
+    b2 = _Bits(); b2.put(0, 1)
+    # scan 3: AC first, Al=1 → AC1 = 3>>1 = 1 (AC5 = -1 truncates to 0)
+    b3 = _Bits()
+    c, ln = ac[0x01]; b3.put(c, ln); b3.put(1, 1)  # (run 0, size 1) value 1
+    c, ln = ac[0x00]; b3.put(c, ln)  # EOB
+    # scan 4: AC refinement, Al=0: correction bit 1 for AC1 (3&1), then
+    # a new -1 at AC5 (3 zero-history skips, sign bit 0), then EOB
+    b4 = _Bits()
+    c, ln = ac[0x31]; b4.put(c, ln)  # r=3, s=1
+    b4.put(0, 1)  # sign: negative
+    b4.put(1, 1)  # correction bit for AC1 (the one nonzero passed)
+    c, ln = ac[0x00]; b4.put(c, ln)  # EOB → correction bits (none left)
+    stream = (
+        head
+        + _sos_seg([(1, 0x00)], 0, 0, 0, 1) + b1.bytes_()
+        + _sos_seg([(1, 0x00)], 0, 0, 1, 0) + b2.bytes_()
+        + _sos_seg([(1, 0x00)], 1, 63, 0, 1) + b3.bytes_()
+        + _sos_seg([(1, 0x00)], 1, 63, 1, 0) + b4.bytes_()
+        + b"\xff\xd9"
+    )
+    got = decode_jpeg(stream)
+    # baseline twin with the same coefficients: DC diff 2, AC1=3, AC5=-1
+    bb = _Bits()
+    c, ln = dc[2]; bb.put(c, ln); bb.put(2, 2)
+    c, ln = ac[0x02]; bb.put(c, ln); bb.put(3, 2)  # (0,2) value 3 at k=1
+    c, ln = ac[0x31]; bb.put(c, ln); bb.put(0, 1)  # (3,1) value -1 at k=5
+    c, ln = ac[0x00]; bb.put(c, ln)
+    base_stream = (
+        b"\xff\xd8" + _dqt(0, flat16)
+        + _sof0(8, 8, [(1, 0x11, 0)])
+        + _dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+        + _dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+        + _sos([(1, 0x00)])
+        + bb.bytes_()
+        + b"\xff\xd9"
+    )
+    want = decode_jpeg(base_stream)
+    assert got.shape == (8, 8)
+    assert (got == want).all()
+
+
+def test_handbuilt_eob_run_spans_blocks():
+    """EOB1 with appended bit 0 covers the current block AND the next:
+    a 16-wide two-block scan where block 2 is never coded decodes block
+    2's AC band to zero."""
+    dc = _canon_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    # EOBn symbols (r<<4, s=0 for r>0) are NOT in the baseline Annex K
+    # AC table — progressive streams carry custom DHTs; this fixture's
+    # table holds exactly the three symbols the scan needs, 2 bits each
+    ac_bits = [0, 3] + [0] * 14
+    ac_vals = [0x03, 0x10, 0x00]
+    ac = _canon_codes(ac_bits, ac_vals)
+    flat16 = np.full((8, 8), 16, np.int64)
+    head = (
+        b"\xff\xd8" + _dqt(0, flat16)
+        + b"\xff\xc2" + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, 8, 16, 1) + b"\x01\x11\x00"
+        + _dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+        + _dht(1, 0, ac_bits, ac_vals)
+    )
+    # DC scan: both blocks DC diff +2 then 0 (predictor holds 2)
+    b1 = _Bits()
+    c, ln = dc[2]; b1.put(c, ln); b1.put(2, 2)
+    c, ln = dc[0]; b1.put(c, ln)
+    # AC scan: block 1 has AC1=5, then EOB1 (covers block 2 entirely)
+    b2 = _Bits()
+    c, ln = ac[0x03]; b2.put(c, ln); b2.put(5, 3)  # (0,3) value 5
+    c, ln = ac[0x10]; b2.put(c, ln); b2.put(0, 1)  # EOB1, appended bit 0
+    stream = (
+        head
+        + _sos_seg([(1, 0x00)], 0, 0, 0, 0) + b1.bytes_()
+        + _sos_seg([(1, 0x00)], 1, 63, 0, 0) + b2.bytes_()
+        + b"\xff\xd9"
+    )
+    got = decode_jpeg(stream)
+    assert got.shape == (8, 16)
+    # block 2 must be the flat DC-only reconstruction: 2*16/8 + 128 = 132
+    assert (got[:, 8:] == 132).all()
+    # block 1 carries the AC ripple — not flat
+    assert got[:, :8].min() != got[:, :8].max()
+
+
+def test_progressive_fuzz_valueerror_only():
+    from ocr_spark.sources.imagecodec import sniff_decode
+
+    full = bytearray(
+        encode_jpeg(
+            rng.integers(0, 256, (24, 24), dtype=np.uint8), progressive=True
+        )
+    )
+    for i in range(0, len(full), 7):
+        fuzz = bytearray(full)
+        fuzz[i] ^= 0x5A
+        data = bytes(fuzz)
+        try:
+            decode_jpeg(data)
+        except ValueError:
+            pass
+        out = sniff_decode(data)
+        assert out is None or isinstance(out, np.ndarray)
