@@ -10,7 +10,9 @@ this closes the audio seam the way png.py closed the image seam: real
 bytes in, real samples out, deterministic fakes only for formats that
 genuinely need a native codec (mp3/ogg/aac).
 
-Scope (raised-on otherwise): RIFF/WAVE with ``fmt `` audio format 1
+Scope (raised-on otherwise): RIFF/WAVE with ``fmt `` audio format 1,
+3 (float32), and the G.711 telephony pair 6 (A-law) / 7 (mu-law) —
+format 1
 (integer PCM) at 8/16/32-bit depth or 3 (float32), any channel count /
 sample rate; ``data`` chunk required; other chunks (LIST, fact, cue)
 skipped like PNG ancillary chunks.  Encoder writes canonical PCM16.
@@ -74,6 +76,34 @@ def write_wav(path: str, samples: np.ndarray, **kw) -> None:
         f.write(encode_wav(samples, **kw))
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """G.711 expansion tables (ITU-T G.711): byte → int16 linear sample.
+    Built arithmetically from the published formulas, not typed."""
+    u = np.arange(256, dtype=np.int64) ^ 0xFF  # mu-law stores complemented
+    sign = np.where(u & 0x80, -1, 1)
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    ulaw = sign * ((((mant << 3) + 0x84) << exp) - 0x84)
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    # A-law sign bit 1 = POSITIVE (opposite of mu-law's complemented form)
+    sign_a = np.where(a & 0x80, 1, -1)
+    exp_a = (a >> 4) & 0x07
+    mant_a = a & 0x0F
+    mag = np.where(
+        exp_a == 0,
+        (mant_a << 4) + 8,
+        ((mant_a << 4) + 0x108) << np.maximum(exp_a - 1, 0),
+    )
+    alaw = sign_a * mag
+    return (
+        ulaw.astype(np.int16),
+        alaw.astype(np.int16),
+    )
+
+
+_ULAW_TABLE, _ALAW_TABLE = _g711_tables()
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes → (int16 samples shaped (n, channels), sample_rate).
     8-bit PCM (unsigned) is centered then scaled ×256; 32-bit PCM is
@@ -115,6 +145,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         a = (
             np.frombuffer(payload, dtype="<i4").astype(np.int64) >> 16
         ).astype(np.int16)
+    elif audio_fmt == 6 and bits == 8:  # G.711 A-law (telephony)
+        a = _ALAW_TABLE[np.frombuffer(payload, dtype=np.uint8)]
+    elif audio_fmt == 7 and bits == 8:  # G.711 mu-law (telephony)
+        a = _ULAW_TABLE[np.frombuffer(payload, dtype=np.uint8)]
     elif audio_fmt == 3 and bits == 32:
         f = np.clip(
             np.frombuffer(payload, dtype="<f4").astype(np.float64),
