@@ -155,6 +155,9 @@ def run_headline(sf_dir: str, cpus: int, n_docs: int) -> dict:
         "png_roundtrip", "raster_from_png", "adopt_registry",
         "vocab_hll", "vocab_heavy_hitters", "doclen_quantile_sketch",
         "wav_features",
+        # round 5: the codec family (JPEG/GIF/BMP/AVI) + header gate
+        "jpeg_roundtrip", "gif_roundtrip", "bmp_roundtrip",
+        "avi_frames", "media_dims",
     ]
     # Per-workload scan tuning (the conf is runtime-settable): thin
     # TPC-H-ish tables are scan-bound and want the vectorized reader's

@@ -10,9 +10,11 @@ original was a JPEG
 (server/src/utils/file.py:92-98, server/celery_app.py:1070-1081) — via
 sources/jpeg.py: every kernel here sniffs the content bytes
 (sources/imagecodec.py) and routes both through real
-decode → grayscale → box-resample pixels.  Audio decode is REAL for
-WAV/RIFF PCM (sources/wav.py) the same way.  Other payloads (GIF/BMP/
-WebP pixels, mp3/ogg, video — and corrupt files) fall back to the deterministic fake
+decode → grayscale → box-resample pixels — and since r5 GIF and BMP
+decode for real too (sources/gif.py, sources/bmp.py, one
+sources/imagecodec.py dispatch).  Audio decode is REAL for WAV/RIFF
+PCM and G.711 (sources/wav.py) the same way.  Remaining payloads (WebP
+pixels, mp3/ogg, non-MJPEG video — and corrupt files) fall back to the deterministic fake
 behind ``FAKE_DECODE`` / a clearly-marked ``NotImplementedError`` —
 those codecs genuinely aren't in this container — and everything
 Spark-side is real and tested either way: schemas, batch iteration,
@@ -51,8 +53,8 @@ from ocr_spark.sources.png import (  # noqa: E402  (real PNG codec path)
 )
 
 #: governs only the fallback for formats WITHOUT an in-repo codec
-#: (GIF/BMP/WebP pixels, mp3/ogg, video frames); PNG and JPEG content
-#: always take the real sources/png.py / sources/jpeg.py paths.
+#: (WebP pixels, mp3/ogg, non-MJPEG video); PNG/JPEG/GIF/BMP content
+#: always takes the real sources/*.py codec paths.
 FAKE_DECODE = True
 
 MEDIA_SCHEMA = (
@@ -65,7 +67,8 @@ FEATURE_SCHEMA = (
 
 
 def _fake_decode(content: bytes) -> tuple[int, int, np.ndarray]:
-    """Deterministic fake decoder for NON-PNG payloads: derives (width,
+    """Deterministic fake decoder for payloads with no in-repo codec:
+    derives (width,
     height, 8-dim feature) purely from the bytes, so tests are stable.
     A real build swaps this for PIL/ffmpeg behind the same signature."""
     if not FAKE_DECODE:
@@ -91,12 +94,12 @@ def _real_image(content: bytes) -> np.ndarray | None:
 
 def _decode(content: bytes) -> tuple[int, int, np.ndarray]:
     """(width, height, 8-dim float32 feature).  PNG / JPEG (baseline or
-    progressive) → real pixels: the feature is the 8 column means of
-    the 8×8 box-resampled grayscale grid, /255 — a real (if tiny)
-    visual descriptor.  GIF/BMP/WebP → REAL header geometry
-    (sources/imagemeta.py — dimensions need no pixel codec) with the
-    pixel feature falling back to the deterministic fake.  Anything
-    else → fake entirely."""
+    progressive) / GIF / BMP → real pixels: the feature is the 8 column
+    means of the 8×8 box-resampled grayscale grid, /255 — a real (if
+    tiny) visual descriptor.  WebP (and out-of-scope variants) → REAL
+    header geometry (sources/imagemeta.py — dimensions need no pixel
+    codec) with the pixel feature falling back to the deterministic
+    fake.  Anything else → fake entirely."""
     img = _real_image(content)
     if img is not None:
         gray = to_gray(img)
@@ -159,12 +162,15 @@ def resize_media(media: DataFrame, max_px: int = 128) -> DataFrame:
     rescale, export.py:558-564, and page-0 thumbnails, celery_app.py:934-
     940, generalized to a max-edge clamp).  The geometry — scale =
     max_px / max(w, h), never upscale, round-half-up like PIL — is REAL
-    and unit-tested.  PNG and baseline-JPEG content take the REAL pixel
+    and unit-tested.  PNG/JPEG/GIF/BMP content takes the REAL pixel
     path: decode → exact integer box-resample per channel → re-encode in
-    the SAME format (the reference keeps the original extension,
-    src/utils/file.py:92-98); only payloads without an in-repo codec get
-    the documented fake (content' = deterministic f(content, out dims)).
+    the SAME format where the format can hold the result (the reference
+    keeps the original extension, src/utils/file.py:92-98): JPEG→JPEG,
+    BMP→BMP, PNG→PNG; GIF→PNG (a box-resampled frame generally exceeds
+    256 colors).  Only payloads without an in-repo codec get the
+    documented fake (content' = deterministic f(content, out dims)).
     One narrow Arrow-batched map; bytes never shuffle."""
+    from ocr_spark.sources.bmp import encode_bmp, is_bmp
     from ocr_spark.sources.jpeg import encode_jpeg, is_jpeg
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -186,11 +192,12 @@ def resize_media(media: DataFrame, max_px: int = 128) -> DataFrame:
                 oh = max(1, int(hgt * scale + 0.5))
                 if img is not None:
                     resized = resample_image(img, ow, oh)
-                    out = (
-                        encode_jpeg(resized)
-                        if is_jpeg(b)
-                        else encode_png(resized)
-                    )
+                    if is_jpeg(b):
+                        out = encode_jpeg(resized)
+                    elif is_bmp(b):
+                        out = encode_bmp(resized)
+                    else:
+                        out = encode_png(resized)
                 else:
                     # fake resample: size-stamped digest of the bytes
                     out = (

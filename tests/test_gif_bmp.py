@@ -227,3 +227,29 @@ def test_g711_wav_decode_and_kernel(spark):
     # (the kernel sums complete frames only; 6400 is frame-aligned)
     want = int(np.abs(np.tile(_ULAW_TABLE, 25).astype(np.int64)).sum())
     assert rows["call.wav"]["sum_abs"] == want
+
+
+def test_resize_media_bmp_stays_bmp(spark):
+    """resize_media keeps the container format for BMP too (r5): real
+    decode → box-resample → re-encode BMP; GIF input falls back to PNG
+    (resampled frames generally exceed 256 colors)."""
+    from ocr_spark.operators.multimodal import resize_media
+    from ocr_spark.sources.png import is_png
+
+    img = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (64, 96), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            ("d1", "a.bmp", bytearray(encode_bmp(img)), "image/bmp"),
+            ("d1", "a.gif", bytearray(encode_gif(gray)), "image/gif"),
+        ],
+        "doc_id string, media_ref string, content binary, mime string",
+    )
+    out = {r["media_ref"]: r for r in resize_media(media, max_px=48).collect()}
+    br = out["a.bmp"]
+    assert (br["out_width"], br["out_height"]) == (48, 32)
+    assert is_bmp(bytes(br["content"]))
+    assert decode_bmp(bytes(br["content"])).shape == (32, 48, 3)
+    gr = out["a.gif"]
+    assert (gr["width"], gr["height"]) == (96, 64)  # real GIF geometry
+    assert is_png(bytes(gr["content"]))  # documented PNG fallback
